@@ -1,0 +1,22 @@
+package graft.core
+
+/** The deterministic synthetic "HTTP" fetch + extract step
+  * (SURVEY.md §2.1 S3 + §2.7 F6/F7), shared verbatim between the Spark
+  * engine's per-partition fetcher and the reference simulator. This is
+  * content, not scheduling: in a real deployment this function is
+  * replaced by a pooled HTTP client inside `mapPartitions` with the same
+  * signature.
+  */
+object Fetcher {
+  /** Fetch outcome: `ok=false` models a transient failure (retryable);
+    * `ok=true` with empty spans+links models a 404/out-of-web URL. */
+  def fetch(web: SyntheticWeb, urlCanon: String, retryCount: Int, cfg: CrawlConfig): FetchResult = {
+    if (web.fetchFails(urlCanon, retryCount, cfg)) FetchResult(ok = false, Nil, Nil)
+    else web.page(urlCanon) match {
+      case None => FetchResult(ok = true, Nil, Nil)
+      case Some(p) =>
+        val (spans, links) = SpanExtractor.extract(p)
+        FetchResult(ok = true, spans, links)
+    }
+  }
+}

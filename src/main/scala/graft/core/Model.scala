@@ -1,0 +1,86 @@
+package graft.core
+
+/** Core data model for the crawl engine.
+  *
+  * Normative shape from BASELINE.json:15 (`input_hint`): the canonical
+  * interleaved text+media document table is
+  * `(doc_id: string, spans: array<struct<kind,text,media_ref,offset>>)`.
+  * The reference checkout at /root/reference is empty (SURVEY.md §0), so
+  * BASELINE.json is the behavioral contract; node-crawler semantics are
+  * public knowledge (SURVEY.md §1.1).
+  */
+
+/** One span of an interleaved document. `kind` is "text" | "media";
+  * `offset` is the 0-based order of the span within the document.
+  * Per-row invariant vs the reference: equality on (kind, text,
+  * media_ref, order=offset ascending). */
+case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+/** An extracted document: ordered interleaved text+media spans. */
+case class Doc(doc_id: String, spans: Seq[Span])
+
+/** A frontier row (SURVEY.md §1.2). Hash-partitioned by `host_bucket`
+  * to co-locate per-host politeness state.
+  *
+  * `discovered_seq` is parallelism-invariant: seeds are numbered by file
+  * order; a link discovered at index k on a parent with sequence p gets
+  * `p * 64 + 1 + k` (≤63 links per page, enforced by the extractor).
+  * First-discovery wins: within a round the minimum candidate seq is
+  * kept per url_hash. */
+case class FrontierEntry(
+    url: String,
+    url_canon: String,
+    url_hash: Long,
+    host: String,
+    host_bucket: Int,
+    priority: Int,
+    discovered_seq: Long,
+    retry_count: Int,
+    due_round: Long,
+    state: String) // "pending" | "done" | "dropped"
+
+object FrontierEntry {
+  val Pending = "pending"
+  val Done = "done"
+  val Dropped = "dropped"
+}
+
+/** One robots rule: longest-prefix-match, allow/disallow. */
+case class RobotsRule(allow: Boolean, prefix: String)
+
+/** Per-host politeness + robots config (SURVEY.md §1.2 `politeness`). */
+case class HostPolicy(
+    host: String,
+    crawl_delay_ms: Long,
+    rules: Seq[RobotsRule]) {
+  /** Logical-clock politeness: URLs a host may serve per BSP round
+    * (SURVEY.md §2.9/§5.2) — replaces node-crawler's wall-clock
+    * `rateLimit` with a deterministic budget. */
+  def quota(roundMs: Long): Int =
+    math.max(1L, roundMs / math.max(1L, crawl_delay_ms)).toInt
+}
+
+/** Crawl run configuration. `maxPerRound` is the analog of
+  * node-crawler's global `maxConnections`: a deterministic global cap on
+  * fetches per round, applied on the total order
+  * (priority, discovered_seq, url_hash). */
+case class CrawlConfig(
+    numBuckets: Int = 32,
+    roundMs: Long = 1000L,
+    maxPerRound: Option[Int] = None,
+    maxRounds: Int = 64,
+    maxRetries: Int = 2,
+    failureModulus: Long = 17L // deterministic transient-failure injection
+)
+
+/** Result of fetching+extracting one page (shared shape between engine
+  * and simulator; produced by the pure `Fetcher`/`SpanExtractor`). */
+case class FetchResult(
+    ok: Boolean,
+    spans: Seq[Span],
+    links: Seq[DiscoveredLink])
+
+/** A link discovered on a page: absolute URL (pre-canonicalization) and
+  * the priority the page assigns it (node-crawler: per-task `priority`,
+  * 0..9, default 5). */
+case class DiscoveredLink(url: String, priority: Int)

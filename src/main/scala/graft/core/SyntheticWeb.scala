@@ -1,0 +1,128 @@
+package graft.core
+
+import Hashing.{draw, pmod, xxhash64}
+
+/** Deterministic virtual web (SURVEY.md §5.2, FIXTURES.md A6).
+  *
+  * There is no network in the sandbox (zero egress), so the "fetch
+  * source" (SURVEY.md §2.1 S3) is a pure function: page bytes for a URL
+  * are a seeded deterministic function of `xxhash64(url_canon)`. Both
+  * the Spark engine's per-partition fetcher and the single-threaded
+  * reference simulator call the same generator, so they observe
+  * identical content — scheduling differences remain the thing under
+  * test.
+  *
+  * URL space: `http://h<i>.example/p/<j>` with `j < pages(host)`.
+  * Host 0 is a mega-host (skew fixture: ~`megaFactor`× the pages of an
+  * ordinary host, SURVEY.md §7.1 step 7). Some pages live under
+  * `/private/...` which robots disallows for every third host.
+  *
+  * Page format (one token per line):
+  * {{{
+  *   t:<text>            text span
+  *   m:<media_ref>       media span
+  *   l:<pri>:<relative>  out-link with priority 0..9
+  * }}}
+  */
+final case class SyntheticWeb(
+    seed: Long = 42L,
+    nHosts: Int = 20,
+    pagesPerHost: Int = 50,
+    megaFactor: Int = 8) {
+
+  def hostName(i: Int): String = f"h$i%04d.example"
+
+  def pagesOf(host: String): Int =
+    if (host == hostName(0)) pagesPerHost * megaFactor else pagesPerHost
+
+  private def hostIndex(host: String): Int =
+    host.drop(1).takeWhile(_.isDigit).toInt
+
+  /** Deterministic per-host politeness + robots config. */
+  def policy(host: String): HostPolicy = {
+    val i = hostIndex(host)
+    val delays = Array(100L, 250L, 500L, 1000L)
+    // mega-host crawls fast (it must, to be a skew problem at all)
+    val delay = if (i == 0) 50L else delays(pmod(draw(seed ^ 0xB0B, i), delays.length).toInt)
+    val rules =
+      if (i % 3 == 2) Seq(RobotsRule(allow = false, "/private"), RobotsRule(allow = true, "/private/open"))
+      else Seq.empty
+    HostPolicy(host, delay, rules)
+  }
+
+  def seedUrls(n: Int): Seq[String] =
+    (0 until n).map { k =>
+      val h = pmod(draw(seed ^ 0x5EED, k), nHosts).toInt
+      val p = pmod(draw(seed ^ 0x5EED0 + 7, k), pagesOf(hostName(h))).toInt
+      s"http://${hostName(h)}/p/$p"
+    }
+
+  /** Generate the page for a canonical URL. Deterministic in the URL
+    * alone. Returns None for URLs outside the virtual web (404). */
+  def page(urlCanon: String): Option[String] = {
+    val host = UrlCanonicalizer.hostOf(urlCanon)
+    if (!host.endsWith(".example")) return None
+    val hi = hostIndex(host)
+    if (hi < 0 || hi >= nHosts) return None
+    val path = UrlCanonicalizer.pathOf(urlCanon)
+    val nPages = pagesOf(host)
+    val pageNo: Int =
+      if (path.startsWith("/p/")) {
+        val s = path.drop(3); if (s.nonEmpty && s.forall(_.isDigit)) s.toInt else return None
+      } else if (path.startsWith("/private/p/")) {
+        val s = path.drop(11); if (s.nonEmpty && s.forall(_.isDigit)) s.toInt else return None
+      } else return None
+    if (pageNo >= nPages) return None
+
+    val r = xxhash64(urlCanon)
+    val sb = new StringBuilder
+    val nSpans = 2 + pmod(draw(r, 1), 6).toInt
+    var k = 0
+    while (k < nSpans) {
+      val d = draw(r, 10 + k)
+      if (pmod(d, 10) < 7) {
+        sb.append("t:").append(textFor(d)).append('\n')
+      } else {
+        sb.append("m:media://").append(host).append("/asset/")
+          .append(pmod(d, 1000)).append('\n')
+      }
+      k += 1
+    }
+    val nLinks = 1 + pmod(draw(r, 2), 6).toInt
+    var j = 0
+    while (j < nLinks) {
+      val d = draw(r, 100 + j)
+      val pri = pmod(d, 10).toInt
+      val target =
+        if (pmod(d, 7) == 0) { // cross-host absolute link
+          val th = pmod(draw(d, 3), nHosts).toInt
+          val tp = pmod(draw(d, 4), pagesOf(hostName(th))).toInt
+          s"http://${hostName(th)}/p/$tp"
+        } else if (pmod(d, 11) == 1) { // link into robots-restricted area
+          s"/private/p/${pmod(draw(d, 5), nPages)}"
+        } else { // same-host relative link
+          s"/p/${pmod(draw(d, 6), nPages)}"
+        }
+      sb.append("l:").append(pri).append(':').append(target).append('\n')
+      j += 1
+    }
+    Some(sb.toString)
+  }
+
+  /** Deterministic transient fetch failure (exercises the retry path):
+    * fails on the first `retryCount` attempts for URLs whose hash hits
+    * the failure modulus. */
+  def fetchFails(urlCanon: String, retryCount: Int, cfg: CrawlConfig): Boolean = {
+    val h = xxhash64(urlCanon)
+    pmod(h, cfg.failureModulus) == 0 && retryCount == 0
+  }
+
+  private val words = Array(
+    "graph", "frontier", "crawl", "span", "media", "token", "page",
+    "host", "link", "queue", "delta", "index", "fetch", "robot")
+
+  private def textFor(d: Long): String = {
+    val n = 3 + pmod(draw(d, 8), 8).toInt
+    (0 until n).map(i => words(pmod(draw(d, 20 + i), words.length).toInt)).mkString(" ")
+  }
+}

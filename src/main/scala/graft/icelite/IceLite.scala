@@ -1,0 +1,115 @@
+package graft.icelite
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** IceLite — a thin Iceberg-style snapshot/manifest layer over Parquet
+  * (SURVEY.md §1.2 caveat: no Iceberg runtime jar exists in this
+  * zero-egress sandbox, so the "Iceberg tables" of BASELINE.json are
+  * satisfied by this self-written layer with the same commit semantics
+  * at sandbox scale: atomic rename-based snapshot commits, read-at-
+  * snapshot, append/replace, and snapshot properties for lineage).
+  *
+  * Layout per table:
+  * {{{
+  *   <root>/<table>/data/<label>-<uuid>/   parquet dirs (one per commit)
+  *   <root>/<table>/snapshot-<n>.json      manifest: file list + props
+  * }}}
+  *
+  * A manifest is committed by writing `snapshot-<n>.json.tmp` and
+  * atomically renaming it. Data dirs not referenced by any manifest are
+  * invisible (orphans) — a crash between data write and manifest rename
+  * leaves the previous snapshot intact (crash-safety is unit-tested).
+  */
+final class IceLite(rootDir: String) {
+  private val mapper = new ObjectMapper()
+  private def tableDir(table: String): Path = Paths.get(rootDir, table)
+
+  private val SnapRe = "snapshot-(\\d+)\\.json".r
+
+  def currentSnapshotId(table: String): Option[Long] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) None
+    else {
+      val ids = Files.list(dir).iterator().asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case SnapRe(n) => Some(n.toLong)
+          case _         => None
+        }
+      }.toSeq
+      if (ids.isEmpty) None else Some(ids.max)
+    }
+  }
+
+  final case class Manifest(snapshotId: Long, files: Seq[String], props: Map[String, String])
+
+  def manifest(table: String, snapshotId: Long): Manifest = {
+    val p = tableDir(table).resolve(s"snapshot-$snapshotId.json")
+    val node = mapper.readTree(Files.readString(p))
+    val files = node.get("files").elements().asScala.map(_.asText()).toSeq
+    val props = Option(node.get("props")).map { pn =>
+      pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+    Manifest(snapshotId, files, props)
+  }
+
+  def currentManifest(table: String): Option[Manifest] =
+    currentSnapshotId(table).map(manifest(table, _))
+
+  /** Write a DataFrame as a new data dir for `table` (NOT yet visible —
+    * call commit). Returns the data dir path. */
+  def writeData(df: DataFrame, table: String, label: String,
+      partitionCols: Seq[String] = Nil): String = {
+    val dir = tableDir(table).resolve("data")
+      .resolve(s"$label-${UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(dir.getParent)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dir.toString)
+    dir.toString
+  }
+
+  /** Atomically commit a new snapshot. `append=true` carries forward the
+    * previous snapshot's file list; `append=false` replaces it. */
+  def commit(table: String, newFiles: Seq[String], append: Boolean,
+      props: Map[String, String] = Map.empty): Long = {
+    val dir = tableDir(table)
+    Files.createDirectories(dir)
+    val prev = currentManifest(table)
+    val id = prev.map(_.snapshotId + 1).getOrElse(0L)
+    val files = (if (append) prev.map(_.files).getOrElse(Nil) else Nil) ++ newFiles
+    val node: ObjectNode = mapper.createObjectNode()
+    node.put("snapshot", id)
+    prev.foreach(m => node.put("parent", m.snapshotId))
+    val fa = node.putArray("files"); files.foreach(fa.add)
+    val pn = node.putObject("props"); props.foreach { case (k, v) => pn.put(k, v) }
+    val tmp = dir.resolve(s"snapshot-$id.json.tmp")
+    Files.writeString(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    Files.move(tmp, dir.resolve(s"snapshot-$id.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  /** Convenience: writeData + commit in one step. */
+  def writeCommit(df: DataFrame, table: String, label: String, append: Boolean,
+      props: Map[String, String] = Map.empty,
+      partitionCols: Seq[String] = Nil): Long = {
+    val f = writeData(df, table, label, partitionCols)
+    commit(table, Seq(f), append, props)
+  }
+
+  /** Read a table at a snapshot (default: current). None if the table
+    * has no snapshot or the snapshot is empty. */
+  def read(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None): Option[DataFrame] = {
+    val m = snapshotId.map(manifest(table, _)).orElse(currentManifest(table))
+    m.filter(_.files.nonEmpty).map(mm => spark.read.parquet(mm.files: _*))
+  }
+
+  def props(table: String): Map[String, String] =
+    currentManifest(table).map(_.props).getOrElse(Map.empty)
+}

@@ -1,0 +1,137 @@
+package graft.sim
+
+import scala.collection.mutable
+import graft.core._
+import graft.core.Hashing.xxhash64
+
+/** Single-threaded reference simulator (SURVEY.md §5.2 item 1).
+  *
+  * Implements the documented node-crawler scheduling semantics under the
+  * logical-clock model, with NO Spark and NO code shared with the
+  * engine's scheduler — only the pure content functions
+  * (canonicalize / robots / fetch / extract) are shared, per the
+  * SURVEY.md §5.2 contract. Its outputs (crawl order, final URL-seen
+  * set, span rows) are the golden fixtures the Spark engine must match
+  * (BASELINE.json:6).
+  *
+  * Semantics:
+  *  - per-host priority queues: priority asc, FIFO by discovered_seq,
+  *    final tie-break url_hash (node-crawler limiter queues [PK:high])
+  *  - logical-clock politeness: host serves ≤ quota(roundMs/crawl_delay)
+  *    per BSP round
+  *  - global per-round cap (analog of `maxConnections`) applied on the
+  *    total order (priority, discovered_seq, url_hash)
+  *  - seen-dedup at enqueue time (seenreq semantics [PK:med]); robots
+  *    checked before enqueue; within-round duplicate discoveries resolve
+  *    to the minimum discovered_seq (unique by construction)
+  *  - transient failures retried with backoff due_round = r + 1 + retry,
+  *    dropped past maxRetries
+  */
+object RefSimulator {
+
+  final case class SimEntry(
+      urlCanon: String,
+      urlHash: Long,
+      host: String,
+      priority: Int,
+      seq: Long,
+      var retryCount: Int,
+      var dueRound: Long,
+      var state: String)
+
+  final case class RoundStats(
+      round: Long, candidates: Long, admitted: Long, fetchedOk: Long,
+      failed: Long, discovered: Long, enqueued: Long)
+
+  final case class SimResult(
+      crawlOrder: Vector[String],
+      seenSet: Set[Long],
+      docs: Vector[Doc],
+      rounds: Int,
+      stats: Vector[RoundStats],
+      finalEntries: Vector[SimEntry])
+
+  def run(web: SyntheticWeb, seeds: Seq[String], cfg: CrawlConfig): SimResult = {
+    val entries = mutable.LinkedHashMap.empty[Long, SimEntry]
+    val crawlOrder = Vector.newBuilder[String]
+    val docs = Vector.newBuilder[Doc]
+    val stats = Vector.newBuilder[RoundStats]
+    val policyCache = mutable.Map.empty[String, HostPolicy]
+    def policyOf(host: String): HostPolicy =
+      policyCache.getOrElseUpdate(host, web.policy(host))
+
+    // candidate discovery: (canonUrl, hash, host, priority, seq)
+    final case class Cand(canon: String, hash: Long, host: String, priority: Int, seq: Long)
+
+    def toCand(raw: String, priority: Int, seq: Long): Option[Cand] =
+      UrlCanonicalizer.canonicalize(raw).flatMap { canon =>
+        val host = UrlCanonicalizer.hostOf(canon)
+        val path = UrlCanonicalizer.pathOf(canon)
+        if (!RobotsMatcher.allows(policyOf(host).rules, path)) None
+        else Some(Cand(canon, xxhash64(canon), host, priority, seq))
+      }
+
+    def enqueue(cands: Seq[Cand], due: Long): Long = {
+      // min-seq wins per hash (seqs are unique by construction)
+      var added = 0L
+      cands.groupBy(_.hash).foreach { case (h, group) =>
+        if (!entries.contains(h)) {
+          val c = group.minBy(_.seq)
+          entries(h) = SimEntry(c.canon, h, c.host, c.priority, c.seq, 0, due, FrontierEntry.Pending)
+          added += 1
+        }
+      }
+      added
+    }
+
+    enqueue(seeds.zipWithIndex.flatMap { case (u, i) => toCand(u, 5, i.toLong) }, due = 0L)
+
+    var r = 0L
+    var roundsRun = 0
+    while (r < cfg.maxRounds && entries.values.exists(_.state == FrontierEntry.Pending)) {
+      val candidates = entries.values
+        .filter(e => e.state == FrontierEntry.Pending && e.dueRound <= r).toVector
+      // per-host priority dequeue under politeness quota
+      val admitted = candidates
+        .groupBy(_.host)
+        .iterator
+        .flatMap { case (host, es) =>
+          val quota = policyOf(host).quota(cfg.roundMs)
+          es.sortBy(e => (e.priority, e.seq, e.urlHash)).take(quota)
+        }
+        .toVector
+        .sortBy(e => (e.priority, e.seq, e.urlHash))
+      val capped = cfg.maxPerRound.fold(admitted)(k => admitted.take(k))
+
+      var ok = 0L; var failed = 0L; var discovered = 0L
+      val roundCands = Vector.newBuilder[Cand]
+      capped.foreach { e =>
+        crawlOrder += e.urlCanon
+        val res = Fetcher.fetch(web, e.urlCanon, e.retryCount, cfg)
+        if (!res.ok) {
+          failed += 1
+          e.retryCount += 1
+          if (e.retryCount > cfg.maxRetries) e.state = FrontierEntry.Dropped
+          else e.dueRound = r + 1 + e.retryCount
+        } else {
+          ok += 1
+          e.state = FrontierEntry.Done
+          if (res.spans.nonEmpty || res.links.nonEmpty) docs += Doc(e.urlCanon, res.spans)
+          res.links.zipWithIndex.foreach { case (link, k) =>
+            discovered += 1
+            UrlCanonicalizer.resolve(e.urlCanon, link.url).foreach { abs =>
+              roundCands ++= toCand(abs, link.priority, e.seq * 64L + 1L + k)
+            }
+          }
+        }
+      }
+      val enq = enqueue(roundCands.result(), due = r + 1)
+      stats += RoundStats(r, candidates.size, capped.size, ok, failed, discovered, enq)
+      r += 1
+      roundsRun += 1
+    }
+
+    SimResult(crawlOrder.result(), entries.keySet.toSet, docs.result(),
+      roundsRun, stats.result(), entries.values.toVector)
+  }
+}

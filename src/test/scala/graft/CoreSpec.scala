@@ -1,0 +1,157 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.core._
+
+class CoreSpec extends AnyFunSuite {
+  import GenCheck.forAllGen
+
+  // ---- canonicalizer -------------------------------------------------
+
+  test("canonicalize: lowercases scheme+host, strips fragment/default port") {
+    assert(UrlCanonicalizer.canonicalize("HTTP://Example.COM:80/A/b#frag")
+      === Some("http://example.com/A/b"))
+    assert(UrlCanonicalizer.canonicalize("https://h.example:443/")
+      === Some("https://h.example/"))
+    assert(UrlCanonicalizer.canonicalize("https://h.example:8443/x")
+      === Some("https://h.example:8443/x"))
+  }
+
+  test("canonicalize: path normalization") {
+    assert(UrlCanonicalizer.canonicalize("http://h/a//b/./c/../d")
+      === Some("http://h/a/b/d"))
+    assert(UrlCanonicalizer.canonicalize("http://h") === Some("http://h/"))
+    assert(UrlCanonicalizer.canonicalize("http://h/a/") === Some("http://h/a"))
+  }
+
+  test("canonicalize: query keys stable-sorted") {
+    assert(UrlCanonicalizer.canonicalize("http://h/p?b=2&a=1&c=3")
+      === Some("http://h/p?a=1&b=2&c=3"))
+    assert(UrlCanonicalizer.canonicalize("http://h/p?")
+      === Some("http://h/p"))
+  }
+
+  test("canonicalize: rejects non-http and junk") {
+    assert(UrlCanonicalizer.canonicalize("ftp://h/x") === None)
+    assert(UrlCanonicalizer.canonicalize("not a url") === None)
+    assert(UrlCanonicalizer.canonicalize("http://") === None)
+  }
+
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https")
+    host <- Gen.oneOf("H0.Example", "a.b.c", "x.example")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.listOfN(3, Gen.oneOf("a", "B", "..", ".", "")).map(_.mkString("/", "/", ""))
+    q <- Gen.oneOf("", "?b=2&a=1", "?z=9")
+    frag <- Gen.oneOf("", "#f")
+  } yield s"$scheme://$host$port$path$q$frag"
+
+  test("canonicalize is idempotent (property)") {
+    forAllGen(urlGen) { u =>
+      UrlCanonicalizer.canonicalize(u).foreach { c =>
+        assert(UrlCanonicalizer.canonicalize(c) === Some(c))
+      }
+    }
+  }
+
+  test("resolve: absolute, protocol-relative, root-relative, dir-relative") {
+    val base = "http://h.example/a/b"
+    assert(UrlCanonicalizer.resolve(base, "http://x/y") === Some("http://x/y"))
+    assert(UrlCanonicalizer.resolve(base, "//x/y") === Some("http://x/y"))
+    assert(UrlCanonicalizer.resolve(base, "/p/1") === Some("http://h.example/p/1"))
+    assert(UrlCanonicalizer.resolve(base, "c") === Some("http://h.example/a/c"))
+  }
+
+  test("hostOf / pathOf") {
+    assert(UrlCanonicalizer.hostOf("http://h.example:8080/a?q=1") === "h.example")
+    assert(UrlCanonicalizer.pathOf("http://h.example/a/b?q=1") === "/a/b")
+    assert(UrlCanonicalizer.pathOf("http://h.example") === "/")
+  }
+
+  // ---- robots --------------------------------------------------------
+
+  test("robots: longest prefix wins, tie prefers allow, default allow") {
+    val rules = Seq(
+      RobotsRule(allow = false, "/private"),
+      RobotsRule(allow = true, "/private/open"))
+    assert(RobotsMatcher.allows(rules, "/public"))
+    assert(!RobotsMatcher.allows(rules, "/private/x"))
+    assert(RobotsMatcher.allows(rules, "/private/open/x"))
+    assert(RobotsMatcher.allows(Nil, "/anything"))
+  }
+
+  test("robots: parse") {
+    val txt =
+      """# comment
+        |User-agent: *
+        |Disallow: /tmp
+        |Allow: /tmp/ok
+        |Disallow:
+        |""".stripMargin
+    val rules = RobotsMatcher.parse(txt)
+    assert(rules === Seq(RobotsRule(false, "/tmp"), RobotsRule(true, "/tmp/ok")))
+  }
+
+  // ---- hashing agrees with Spark SQL ---------------------------------
+
+  test("Hashing.xxhash64 matches Spark's xxhash64; hostBucket matches pmod") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val samples = Seq("http://h0.example/p/1", "abc", "", "ünïcode-€")
+    val rows = samples.toDF("s")
+      .select(xxhash64($"s").as("h"), pmod(xxhash64($"s"), lit(32)).as("b"))
+      .collect()
+    samples.zip(rows).foreach { case (s, r) =>
+      assert(Hashing.xxhash64(s) === r.getLong(0), s"hash for '$s'")
+      assert(Hashing.hostBucket(s, 32).toLong === r.getLong(1), s"bucket for '$s'")
+    }
+  }
+
+  // ---- extractor + synthetic web -------------------------------------
+
+  test("SpanExtractor: interleaved spans keep offsets; links parsed with priority") {
+    val page = "t:hello world\nm:media://h/asset/1\nl:3:/p/7\nt:bye\nl:9:http://x/y\n"
+    val (spans, links) = SpanExtractor.extract(page)
+    assert(spans === Seq(
+      Span("text", "hello world", null, 0),
+      Span("media", null, "media://h/asset/1", 1),
+      Span("text", "bye", null, 2)))
+    assert(links === Seq(DiscoveredLink("/p/7", 3), DiscoveredLink("http://x/y", 9)))
+  }
+
+  test("SyntheticWeb: pages deterministic; out-of-web URLs 404") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5)
+    val u = "http://h0001.example/p/3"
+    assert(web.page(u) === web.page(u))
+    assert(web.page(u).isDefined)
+    assert(web.page("http://h0099.example/p/1") === None)
+    assert(web.page("http://other.com/x") === None)
+    assert(web.page("http://h0001.example/p/999") === None)
+  }
+
+  test("SyntheticWeb: policy deterministic, quota floor 1") {
+    val web = SyntheticWeb()
+    val p = web.policy("h0002.example")
+    assert(p === web.policy("h0002.example"))
+    assert(p.quota(1L) === 1)
+    assert(web.policy("h0000.example").quota(1000L) === 20) // mega-host, 50ms
+  }
+
+  // ---- bloom ---------------------------------------------------------
+
+  test("Bloom: no false negatives; OR merges; fp rate sane") {
+    import graft.engine.Bloom
+    val bits = Bloom.sizeFor(1000)
+    val a = Bloom.empty(bits); val b = Bloom.empty(bits)
+    val keysA = (0L until 500L).map(Hashing.splitmix64)
+    val keysB = (1000L until 1500L).map(Hashing.splitmix64)
+    keysA.foreach(Bloom.add(a, _)); keysB.foreach(Bloom.add(b, _))
+    val m = Bloom.or(a, b)
+    (keysA ++ keysB).foreach(k => assert(Bloom.mightContain(m, k)))
+    val fp = (5000L until 15000L).map(Hashing.splitmix64)
+      .count(Bloom.mightContain(m, _))
+    assert(fp < 500, s"false positives too high: $fp/10000")
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.engine.CrawlEngine
+import graft.sim.RefSimulator
+
+/** Golden end-to-end equality: the Spark engine must reproduce the
+  * reference simulator's crawl order, final URL-seen set, and per-row
+  * span sequences (BASELINE.json:6,15; SURVEY.md §5.2 item 2). */
+class EngineGoldenSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def runBoth(web: SyntheticWeb, nSeeds: Int, cfg: CrawlConfig) = {
+    val seeds = web.seedUrls(nSeeds)
+    val sim = RefSimulator.run(web, seeds, cfg)
+    val dir = Files.createTempDirectory("graft-golden").toString
+    val eng = new CrawlEngine(spark, web, cfg, dir)
+    eng.init(seeds)
+    val stats = eng.run()
+    (sim, eng, stats)
+  }
+
+  private def assertGolden(sim: RefSimulator.SimResult, eng: CrawlEngine): Unit = {
+    import eng.spark.implicits._
+    // 1. crawl order (total order: round, priority, discovered_seq, url_hash)
+    val engOrder = eng.crawlLog().select("url_canon").as[String].collect().toVector
+    assert(engOrder === sim.crawlOrder, "crawl order mismatch")
+    // 2. final URL-seen set = frontier key set
+    val engSeen = eng.frontier().select("url_hash").as[Long].collect().toSet
+    assert(engSeen === sim.seenSet, "seen set mismatch")
+    // 3. span sequences byte-equal per (kind, text, media_ref, order)
+    val engDocs = eng.documents().as[Doc].collect()
+      .map(d => d.doc_id -> d.spans.sortBy(_.offset)).toMap
+    val simDocs = sim.docs.map(d => d.doc_id -> d.spans).toMap
+    assert(engDocs.keySet === simDocs.keySet, "doc_id set mismatch")
+    engDocs.foreach { case (id, spans) =>
+      assert(spans === simDocs(id), s"span mismatch for $id")
+    }
+  }
+
+  test("golden equality on a small web (priorities, robots, retries)") {
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6)
+    val (sim, eng, _) = runBoth(web, 12, cfg)
+    assertGolden(sim, eng)
+  }
+
+  test("golden equality with a global per-round cap (maxConnections analog)") {
+    val web = SyntheticWeb(nHosts = 5, pagesPerHost = 6, megaFactor = 2)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 1000, maxRounds = 5,
+      maxPerRound = Some(7))
+    val (sim, eng, _) = runBoth(web, 10, cfg)
+    assertGolden(sim, eng)
+  }
+
+  test("golden equality with a skewed mega-host") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 6, megaFactor = 10)
+    val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 5)
+    val (sim, eng, _) = runBoth(web, 16, cfg)
+    assertGolden(sim, eng)
+  }
+
+  test("determinism under different partitioning (numBuckets / salt)") {
+    val web = SyntheticWeb(nHosts = 5, pagesPerHost = 6, megaFactor = 3)
+    val seeds = web.seedUrls(10)
+    val sim = RefSimulator.run(web, seeds, CrawlConfig(numBuckets = 2, roundMs = 500, maxRounds = 4))
+    Seq(2, 16).foreach { buckets =>
+      val cfg = CrawlConfig(numBuckets = buckets, roundMs = 500, maxRounds = 4)
+      val dir = Files.createTempDirectory(s"graft-part$buckets").toString
+      val eng = new CrawlEngine(spark, web, cfg, dir, saltFanout = if (buckets == 2) 1 else 8)
+      eng.init(seeds)
+      eng.run()
+      import spark.implicits._
+      val order = eng.crawlLog().select("url_canon").as[String].collect().toVector
+      assert(order === sim.crawlOrder, s"order differs at numBuckets=$buckets")
+    }
+  }
+
+  test("resume from snapshot reproduces the uninterrupted run") {
+    val web = SyntheticWeb(nHosts = 5, pagesPerHost = 6, megaFactor = 2)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6)
+    val seeds = web.seedUrls(10)
+    // uninterrupted
+    val d1 = Files.createTempDirectory("graft-uninterrupted").toString
+    val e1 = new CrawlEngine(spark, web, cfg, d1)
+    e1.init(seeds); e1.run()
+    // interrupted after 2 rounds, then resumed by a fresh engine instance
+    val d2 = Files.createTempDirectory("graft-resumed").toString
+    val e2a = new CrawlEngine(spark, web, cfg.copy(maxRounds = 2), d2)
+    e2a.init(seeds); e2a.run()
+    val e2b = new CrawlEngine(spark, web, cfg, d2)
+    assert(e2b.nextRound === 2)
+    e2b.run()
+    import spark.implicits._
+    def order(e: CrawlEngine) = e.crawlLog().select("url_canon").as[String].collect().toVector
+    def seen(e: CrawlEngine) = e.frontier().select("url_hash").as[Long].collect().toSet
+    assert(order(e2b) === order(e1))
+    assert(seen(e2b) === seen(e1))
+    assert(e2b.documents().count() === e1.documents().count())
+  }
+
+  test("lineage rows cover every active round with per-bucket metrics") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5, megaFactor = 2)
+    val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 4)
+    val (_, eng, stats) = runBoth(web, 8, cfg)
+    val lin = eng.lineage()
+    val perRound = lin.groupBy("round")
+      .agg(sum("admitted").as("admitted"), sum("enqueued").as("enqueued"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    stats.filter(s => s.admitted + s.enqueued > 0).foreach { s =>
+      val (adm, enq) = perRound(s.round)
+      assert(adm === s.admitted)
+      assert(enq === s.enqueued)
+    }
+  }
+}
