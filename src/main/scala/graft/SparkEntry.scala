@@ -1,13 +1,34 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator coverage surface (one entry per
+  * implemented operator from SURVEY.md §2 plus the training-data
+  * pipeline operators); `oracleSql` carries the DuckDB-equivalent SQL
+  * for every SQL-expressible entry. Column names and value types are
+  * aligned pairwise (the driver hash-compares after sorting columns by
+  * name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0: the crawl engine's per-host priority dequeue (W1)
+    * expressed over the neutral corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CrawlQueries.queries("q17_host_dequeue")(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ CrawlQueries.queries ++ TextOps.queries ++
+      VectorOps.queries ++ MultimodalOps.queries
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q27_simhash, q28_rolling_hash, q31_ann_lsh) → rows-only check. */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ CrawlQueries.oracles ++ TextOps.oracles ++
+      VectorOps.oracles ++ MultimodalOps.oracles
 }

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.UrlCanonicalizer
+
+/** Crawl-domain operators expressed over the neutral testdata corpus so
+  * the driver's DuckDB oracle can check them (SURVEY.md §5.2 item 5):
+  * URL canonicalization (P3), the per-host priority dequeue (W1) as a
+  * window query, seen-set anti-join (J1), and gap sessionization over
+  * the events stream (window/analytic coverage, §2.5).
+  */
+object CrawlQueries {
+
+  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  /** The engine's canonicalizer as a deterministic UDF (content
+    * function, identical to the one the crawl engine uses). */
+  val canonUdf = udf { (raw: String) =>
+    UrlCanonicalizer.canonicalize(raw).orNull
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P3: canonicalization over synthetic messy URLs built from doc_id.
+    "q16_url_canon" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id",
+          concat(lit("HTTP://Host"), $"doc_id" % 20,
+            lit(".Example:80/a/../p/"), $"doc_id", lit("?b=2&a=1#frag")).as("url_raw"))
+        .select($"doc_id", canonUdf($"url_raw").as("url_canon"))
+        .orderBy($"doc_id")
+    }),
+
+    // W1: per-host priority dequeue as row_number window + quota.
+    "q17_host_dequeue" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val f = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id",
+          concat(lit("h"), $"doc_id" % 13).as("host"),
+          ($"doc_id" % 10).as("priority"))
+      val w = Window.partitionBy($"host").orderBy($"priority", $"doc_id")
+      f.withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"host", $"doc_id", $"priority", $"rn")
+        .orderBy($"host", $"rn")
+    }),
+
+    // J1: seen-set left_anti equi-join.
+    "q18_seen_antijoin" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val cand = s.read.parquet(t(dir, "documents")).select($"doc_id")
+      val seen = s.read.parquet(t(dir, "events")).select($"user_id")
+      cand.join(seen, cand("doc_id") === seen("user_id"), "left_anti")
+        .orderBy($"doc_id")
+    }),
+
+    // gap sessionization: session breaks at >1h inactivity per user.
+    "q19_sessionize" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val withGap = s.read.parquet(t(dir, "events"))
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_session",
+          when($"prev_ts".isNull ||
+            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 3600, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum($"new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      withGap.groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"))
+        .orderBy($"user_id", $"session_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q16_url_canon" ->
+      """SELECT doc_id,
+        |  'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/' ||
+        |  CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url_canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_host_dequeue" ->
+      """SELECT host, doc_id, priority, rn FROM (
+        |  SELECT 'h' || CAST(doc_id % 13 AS VARCHAR) AS host, doc_id,
+        |    doc_id % 10 AS priority,
+        |    row_number() OVER (PARTITION BY 'h' || CAST(doc_id % 13 AS VARCHAR)
+        |      ORDER BY doc_id % 10, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 3 ORDER BY host, rn""".stripMargin,
+    "q18_seen_antijoin" ->
+      """SELECT doc_id FROM documents
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q19_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 3600
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+}

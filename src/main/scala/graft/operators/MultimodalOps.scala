@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (builder-prompt first-class requirement):
+  * media payloads as opaque `binary` columns with typed metadata, and
+  * per-partition batch "decode" / frame-sampling transforms.
+  *
+  * The container ships no image/audio libraries, so the decode step is
+  * a clearly-marked DETERMINISTIC STUB (`StubDecoder`) that reads fake
+  * header fields from the payload bytes; the Spark-side plumbing —
+  * binary schema, typed Dataset batch decode via mapPartitions,
+  * explode of sampled frames — is real and oracle-checked (payloads
+  * are built from `documents.text` bytes, so DuckDB can recompute the
+  * stub's outputs from the text with ascii()/substr arithmetic).
+  *
+  * In production the stub body is replaced by a real codec call with
+  * the same batch-per-partition shape (one decoder instance per
+  * partition, zero-copy byte access).
+  */
+object MultimodalOps {
+
+  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  /** Deterministic fake media decode: a real implementation would parse
+    * a container header; the stub derives metadata from payload bytes. */
+  object StubDecoder {
+    final case class Meta(n_bytes: Long, width: Long, height: Long, format: String)
+    def decode(payload: Array[Byte]): Meta = {
+      // ??? real codec goes here; deterministic fake below
+      val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+      val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+      Meta(payload.length.toLong, (b0 % 64).toLong * 16 + 64,
+        (b1 % 36).toLong * 16 + 64, if (b0 % 2 == 0) "fake_jpeg" else "fake_png")
+    }
+    /** Frame sampling stub: every 16th byte is a "frame". */
+    def sampleFrames(payload: Array[Byte], stride: Int): Seq[(Int, Int)] =
+      payload.indices.by(stride).map(i => (i / stride, payload(i) & 0xff))
+  }
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+      height: Long, format: String)
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_val: Int)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary payload + batch decode to typed metadata.
+    "q32_media_decode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[MediaRow]
+      media.mapPartitions { it =>
+        // one decoder per partition (batch shape a real codec needs)
+        it.map { m =>
+          val meta = StubDecoder.decode(m.payload)
+          MediaMeta(m.doc_id, meta.n_bytes, meta.width, meta.height, meta.format)
+        }
+      }.toDF().orderBy($"doc_id")
+    }),
+
+    // frame sampling: binary → exploded (frame_idx, frame_val) rows.
+    "q33_frame_sample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = s.read.parquet(t(dir, "documents"))
+        .filter($"doc_id" % 50 === 0)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[MediaRow]
+      media.flatMap(m => StubDecoder.sampleFrames(m.payload, 16)
+          .map { case (i, v) => Frame(m.doc_id, i, v) })
+        .toDF().orderBy($"doc_id", $"frame_idx")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // text is ascii, so utf-8 payload bytes == character codes.
+    "q32_media_decode" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST((ascii(substr(text, 1, 1)) % 64) * 16 + 64 AS BIGINT) AS width,
+        |  CAST((ascii(substr(text, 2, 1)) % 36) * 16 + 64 AS BIGINT) AS height,
+        |  CASE WHEN ascii(substr(text, 1, 1)) % 2 = 0
+        |    THEN 'fake_jpeg' ELSE 'fake_png' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text), 16)) AS i
+        |  FROM documents WHERE doc_id % 50 = 0)
+        |SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS frame_idx,
+        |  ascii(substr(text, CAST(i AS INTEGER), 1)) AS frame_val
+        |FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin)
+}

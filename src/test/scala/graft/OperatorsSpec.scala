@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Operator-surface smoke + semantics tests over the sf0.001 corpus.
+  * (Hash-level equality vs DuckDB is the driver's job; here we assert
+  * shapes, determinism, and algorithmic properties.) */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and returns a stable schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val n = df.count()
+      assert(n >= 0, s"$name failed")
+      // non-degenerate except the intentionally-filtered ones
+      if (!Set("q30_embed_neardup", "q25_ngram_jaccard").contains(name))
+        assert(n > 0, s"$name returned 0 rows at sf0.001")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("queries are deterministic across runs") {
+    for (name <- Seq("q24_minhash_lsh", "q29_cosine_topk", "q17_host_dequeue")) {
+      val fn = SparkEntry.queries(name)
+      val a = fn(spark, dir).collect().map(_.toString).toSeq
+      val b = fn(spark, dir).collect().map(_.toString).toSeq
+      assert(a === b, s"$name nondeterministic")
+    }
+  }
+
+  test("simhash: identical token lists agree; near-identical differ little") {
+    val t1 = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val h1 = TextOps.simhash(t1)
+    assert(h1 === TextOps.simhash(t1))
+    val h2 = TextOps.simhash(t1 :+ "eta")
+    val hamming = java.lang.Long.bitCount(h1 ^ h2)
+    assert(hamming <= 24, s"near-dup hamming too large: $hamming")
+    val h3 = TextOps.simhash(Seq("x1", "x2", "x3", "x4", "x5", "x6"))
+    assert(java.lang.Long.bitCount(h1 ^ h3) > hamming)
+  }
+
+  test("rolling hash: deterministic, order-sensitive, in [0, 2^61)") {
+    val a = TextOps.rollingHash("hello world")
+    assert(a === TextOps.rollingHash("hello world"))
+    assert(a !== TextOps.rollingHash("world hello"))
+    assert(a >= 0 && a < (1L << 61))
+  }
+
+  test("ANN LSH: recall@10 vs brute force is useful") {
+    import org.apache.spark.sql.functions._
+    val brute = VectorOps.queries("q29_cosine_topk")(spark, dir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).take(10).toSet
+    val ann = VectorOps.queries("q31_ann_lsh")(spark, dir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val recall = (brute & ann).size.toDouble / 10
+    assert(recall >= 0.3, s"recall@10 too low: $recall (ann=$ann)")
+  }
+
+  test("stub decoder: deterministic metadata and frame sampling") {
+    val payload = "abcdefghijklmnopqrstuvwxyz0123456789".getBytes("UTF-8")
+    val m = MultimodalOps.StubDecoder.decode(payload)
+    assert(m.n_bytes === payload.length.toLong)
+    assert(m === MultimodalOps.StubDecoder.decode(payload))
+    val frames = MultimodalOps.StubDecoder.sampleFrames(payload, 16)
+    assert(frames.map(_._1) === Seq(0, 1, 2))
+    assert(frames(1)._2 === payload(16).toInt)
+  }
+}
