@@ -28,7 +28,15 @@ final case class SyntheticWeb(
     seed: Long = 42L,
     nHosts: Int = 20,
     pagesPerHost: Int = 50,
-    megaFactor: Int = 8) {
+    megaFactor: Int = 8,
+    // page richness: spans per page in [spanBase, spanBase+spanRange),
+    // words per text span in [wordBase, wordBase+wordRange). Defaults
+    // give toy pages for fast unit fixtures; the bench uses realistic
+    // multi-KB pages.
+    spanBase: Int = 2,
+    spanRange: Int = 6,
+    wordBase: Int = 3,
+    wordRange: Int = 8) {
 
   def hostName(i: Int): String = f"h$i%04d.example"
 
@@ -76,7 +84,7 @@ final case class SyntheticWeb(
 
     val r = xxhash64(urlCanon)
     val sb = new StringBuilder
-    val nSpans = 2 + pmod(draw(r, 1), 6).toInt
+    val nSpans = spanBase + pmod(draw(r, 1), spanRange).toInt
     var k = 0
     while (k < nSpans) {
       val d = draw(r, 10 + k)
@@ -122,7 +130,7 @@ final case class SyntheticWeb(
     "host", "link", "queue", "delta", "index", "fetch", "robot")
 
   private def textFor(d: Long): String = {
-    val n = 3 + pmod(draw(d, 8), 8).toInt
+    val n = wordBase + pmod(draw(d, 8), wordRange).toInt
     (0 until n).map(i => words(pmod(draw(d, 20 + i), words.length).toInt)).mkString(" ")
   }
 }

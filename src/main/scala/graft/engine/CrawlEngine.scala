@@ -3,7 +3,6 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.storage.StorageLevel
 
 import graft.core._
 import graft.icelite.IceLite
@@ -53,8 +52,7 @@ final class CrawlEngine(
   import CrawlEngine.{Attempt, LinkCand}
 
   private val FRONTIER = "frontier"
-  private val DOCS = "documents"
-  private val CRAWL_LOG = "crawl_log"
+  private val ATTEMPTS = "attempts"
   private val LINEAGE = "lineage"
   private val BLOOM = "bloom"
 
@@ -71,8 +69,9 @@ final class CrawlEngine(
       .repartition(cfg.numBuckets, $"host_bucket")
     ice.writeCommit(df, FRONTIER, "seed", append = false, props = Map("round" -> "0"))
     // bloom over seed hashes
-    val blobs = buildBloomDeltas(spark.createDataset(entries.map(e => (e.host_bucket, e.url_hash))).toDF("host_bucket", "url_hash"))
-    commitBloom(mergeBloom(Map.empty, blobs))
+    val blobs = buildBloomDeltas(spark.createDataset(entries.map(e =>
+      (e.host_bucket, e.url_hash))).toDF("host_bucket", "url_hash"))
+    commitBloom(mergeBloom(Map.empty, blobs.map { case (b, (_, bits)) => b -> bits }))
   }
 
   def nextRound: Long = ice.props(FRONTIER).getOrElse("round", "0").toLong
@@ -92,7 +91,7 @@ final class CrawlEngine(
       val s = runRound(r)
       stats += s
       r += 1
-      if (s.candidates == 0 && s.enqueued == 0) {
+      if (s.admitted == 0 && s.enqueued == 0) {
         // drain probe: any pending left (e.g., retries due later)?
         draining = frontier().filter($"state" === FrontierEntry.Pending)
           .limit(1).count() == 0
@@ -104,23 +103,38 @@ final class CrawlEngine(
   def frontier(snapshotId: Option[Long] = None): DataFrame =
     ice.read(spark, FRONTIER, snapshotId).getOrElse(spark.emptyDataset[FrontierEntry].toDF())
 
+  /** The canonical interleaved documents table — a pruned projection
+    * of the attempts fact table (parquet reads only doc_id + spans). */
   def documents(): DataFrame =
-    ice.read(spark, DOCS).getOrElse(spark.emptyDataset[Doc].toDF())
+    ice.read(spark, ATTEMPTS)
+      .map(_.filter($"has_doc").select($"url_canon".as("doc_id"), $"spans"))
+      .getOrElse(spark.emptyDataset[Doc].toDF())
 
-  /** Crawl order as a DataFrame, totally ordered by
-    * (round, priority, discovered_seq, url_hash). */
+  /** Crawl order — a slim projection of the attempts fact table,
+    * totally ordered by (round, priority, discovered_seq, url_hash). */
   def crawlLog(): DataFrame =
-    ice.read(spark, CRAWL_LOG)
-      .map(_.orderBy($"round", $"priority", $"discovered_seq", $"url_hash"))
+    ice.read(spark, ATTEMPTS)
+      .map(_.select($"round", $"priority", $"discovered_seq", $"url_hash",
+        $"url_canon", $"retry_count")
+        .orderBy($"round", $"priority", $"discovered_seq", $"url_hash"))
       .getOrElse(spark.emptyDataFrame)
 
   def lineage(): DataFrame =
     ice.read(spark, LINEAGE).getOrElse(spark.emptyDataFrame)
 
+  private val timing = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
+  private def timed[T](label: String, r: Long)(f: => T): T = {
+    if (!timing) f else {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"[timing] r=$r $label%-18s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      out
+    }
+  }
+
   def runRound(r: Long): RoundStats = {
     val w = web; val c = cfg
-    val front = frontier().persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    val front = frontier()
       val cands = front.filter($"state" === FrontierEntry.Pending && $"due_round" <= r)
 
       // J3: politeness quota via broadcast join on the (small) host dim.
@@ -128,17 +142,28 @@ final class CrawlEngine(
         .map(h => (h, w.policy(h).quota(c.roundMs))).toDF("host", "quota")
       val joined = cands.join(broadcast(hosts), "host")
 
-      // W1: per-host priority dequeue, two-phase salted top-K.
+      // W1: per-host priority dequeue, two-phase salted top-K. The
+      // salting phase pays a full extra shuffle+sort, so it's worth it
+      // only when a mega-host's pending set is far larger than
+      // salt×quota (the 10^10-frontier case); saltFanout=1 selects the
+      // single-window plan. Results are identical either way (phase 2
+      // is definitive; a global top-q row is a top-q row of its salt).
       val ord = Seq($"priority", $"discovered_seq", $"url_hash")
-      val w1 = Window.partitionBy($"host", $"salt").orderBy(ord: _*)
       val w2 = Window.partitionBy($"host").orderBy(ord: _*)
-      val admitted = joined
-        .withColumn("salt", pmod($"url_hash", lit(saltFanout)))
-        .withColumn("rn1", row_number().over(w1))
-        .filter($"rn1" <= $"quota")
+      val preFiltered =
+        if (saltFanout <= 1) joined
+        else {
+          val w1 = Window.partitionBy($"host", $"salt").orderBy(ord: _*)
+          joined
+            .withColumn("salt", pmod($"url_hash", lit(saltFanout)))
+            .withColumn("rn1", row_number().over(w1))
+            .filter($"rn1" <= $"quota")
+            .drop("salt", "rn1")
+        }
+      val admitted = preFiltered
         .withColumn("rn", row_number().over(w2))
         .filter($"rn" <= $"quota")
-        .drop("salt", "rn1", "rn", "quota")
+        .drop("rn", "quota")
 
       // W2: global cap (maxConnections analog) — TakeOrderedAndProject.
       val capped = c.maxPerRound match {
@@ -146,10 +171,21 @@ final class CrawlEngine(
         case None    => admitted
       }
 
-      // S3+F6+F7: fetch + decode + extract, one pass per partition.
-      val attempts = capped
+      // S3+F6+F7: fetch + decode + extract — ONE pass over the admitted
+      // set, staged straight into the `attempts` fact table (columnar
+      // parquet). The documents table and the crawl log are *pruned
+      // projections* of this table (parquet column pruning makes them
+      // cheap), so the heavy nested span/link columns are shuffled
+      // never and written exactly once. No row-object caching: columnar
+      // scan beats a deserialized cache at every scale.
+      // rebalance the slim admitted rows by url_hash before the heavy
+      // fetch+encode stage: the window leaves host-hash partitioning,
+      // whose skew (mega-host) would otherwise become a straggler task
+      // in the most expensive stage of the round.
+      val attemptsOut = capped
         .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
           $"priority", $"discovered_seq", $"retry_count")
+        .repartition($"url_hash")
         .as[(String, String, Long, String, Int, Int, Long, Int)]
         .mapPartitions { it =>
           it.map { case (url, canon, hash, host, bucket, pri, seq, retry) =>
@@ -165,29 +201,25 @@ final class CrawlEngine(
               res.ok && (res.spans.nonEmpty || res.links.nonEmpty),
               res.spans, links)
           }
-        }.persist(StorageLevel.MEMORY_AND_DISK)
+        }.toDF().withColumn("round", lit(r))
+      val attemptsFile = timed("fetch_stage", r) {
+        ice.writeData(attemptsOut, ATTEMPTS, s"r$r")
+      }
+      val attempts = spark.read.parquet(attemptsFile)
 
-      val nAdmitted = attempts.count()
-      val nOk = attempts.filter($"ok").count()
+      // one slim-column job for all attempt-side stats.
+      val statsRow = timed("stats_agg", r) { attempts.agg(
+        count(lit(1)), sum(when($"ok", 1L).otherwise(0L)),
+        sum(size($"links"))).head() }
+      val nAdmitted = statsRow.getLong(0)
+      val nOk = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+      val nDiscovered = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
       val nFailed = nAdmitted - nOk
-      val nCandidates = cands.count()
+      val nCandidates = -1L // derivable but not worth a frontier scan
 
-      // S4: documents sink (append) — canonical interleaved span table.
-      val docsDf = attempts.filter($"has_doc")
-        .select($"url_canon".as("doc_id"), $"spans")
-      val docFiles =
-        if (nOk > 0) Seq(ice.writeData(docsDf, DOCS, s"r$r")) else Nil
-
-      // crawl log (append): the total order reconstructs fetch order.
-      val logFiles =
-        if (nAdmitted > 0)
-          Seq(ice.writeData(
-            attempts.select(lit(r).as("round"), $"priority", $"discovered_seq",
-              $"url_hash", $"url_canon", $"retry_count"), CRAWL_LOG, s"r$r"))
-        else Nil
-
-      // link discovery: flatten, min-seq dedup within the round,
-      // bloom-prefilter, exact left_anti against the frontier key set.
+      // link discovery: flatten (links column only), min-seq dedup
+      // within the round, bloom-prefilter, exact left_anti against the
+      // frontier key set (J1/J2/A2).
       val flat = attempts.select(explode($"links").as("l")).select("l.*")
       val roundDedup = flat
         .groupBy($"url_hash")
@@ -195,7 +227,6 @@ final class CrawlEngine(
           $"host_bucket")).as("m"))
         .select($"url_hash", $"m.url_canon", $"m.host", $"m.host_bucket",
           $"m.priority", $"m.discovered_seq")
-      val nDiscovered = flat.count()
 
       val bloomMap = spark.sparkContext.broadcast(readBloom())
       val maybeSeen = roundDedup.filter(
@@ -209,10 +240,9 @@ final class CrawlEngine(
           $"host_bucket", $"priority", $"discovered_seq",
           lit(0).as("retry_count"), lit(r + 1).as("due_round"),
           lit(FrontierEntry.Pending).as("state"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nEnqueued = newEntries.count()
 
-      // frontier update: retire attempted rows, merge outcomes + new.
+      // frontier update: retire attempted rows, merge outcomes + new —
+      // all materialized by the single frontier write below.
       val newRetry = when($"ok", $"retry_count").otherwise($"retry_count" + 1)
       val updates = attempts.select(
         $"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
@@ -231,57 +261,78 @@ final class CrawlEngine(
         .unionByName(updates)
         .unionByName(newEntries.select(cols: _*))
         .repartition(c.numBuckets, $"host_bucket")
+      val frontierFile = timed("frontier_write", r) {
+        ice.writeData(newFrontier, FRONTIER, s"r$r")
+      }
 
-      val frontierFile = ice.writeData(newFrontier, FRONTIER, s"r$r")
+      // newly enqueued rows, read back from the written frontier file
+      // (unique signature: pending, due r+1, no retries) — ONE job
+      // computes the bloom deltas, the per-bucket enqueued counts, and
+      // the total enqueued count (no second dedup-pipeline execution).
+      val written = spark.read.parquet(frontierFile)
+      val newRows = written.filter($"state" === FrontierEntry.Pending &&
+        $"due_round" === (r + 1) && $"retry_count" === 0)
+      val deltas = timed("bloom_enq", r) {
+        buildBloomDeltas(newRows.select($"host_bucket", $"url_hash"))
+      }
+      val nEnqueued = deltas.valuesIterator.map(_._1).sum
+      if (nEnqueued > 0)
+        commitBloom(mergeBloom(readBloom(),
+          deltas.map { case (b, (_, bits)) => b -> bits }))
 
       // per-partition lineage + metrics (BASELINE.json:14).
+      val enqDf = spark.createDataset(
+        deltas.toSeq.map { case (b, (n, _)) => (b, n) })
+        .toDF("host_bucket", "enqueued")
       val lineageDf = attempts.groupBy($"host_bucket").agg(
         count(lit(1)).as("admitted"),
         sum(when($"ok", 1L).otherwise(0L)).as("fetched_ok"),
         sum(when(!$"ok", 1L).otherwise(0L)).as("failed"))
-        .join(newEntries.groupBy($"host_bucket")
-          .agg(count(lit(1)).as("enqueued")), Seq("host_bucket"), "full_outer")
+        .join(enqDf, Seq("host_bucket"), "full_outer")
         .na.fill(0L)
         .select(lit(r).as("round"), $"host_bucket", $"admitted", $"fetched_ok",
           $"failed", $"enqueued")
-      val lineageFiles =
+      val lineageFiles = timed("lineage_write", r) {
         if (nAdmitted + nEnqueued > 0) Seq(ice.writeData(lineageDf, LINEAGE, s"r$r"))
-        else Nil
-
-      // bloom delta for the newly enqueued keys.
-      if (nEnqueued > 0) {
-        val deltas = buildBloomDeltas(newEntries.select($"host_bucket", $"url_hash"))
-        commitBloom(mergeBloom(readBloom(), deltas))
-      }
+        else Nil }
 
       // atomic commit: everything becomes visible as snapshot r+1.
-      docFiles.foreach(f => ice.commit(DOCS, Seq(f), append = true, Map("round" -> (r + 1).toString)))
-      logFiles.foreach(f => ice.commit(CRAWL_LOG, Seq(f), append = true, Map("round" -> (r + 1).toString)))
-      lineageFiles.foreach(f => ice.commit(LINEAGE, Seq(f), append = true, Map("round" -> (r + 1).toString)))
+      if (nAdmitted > 0)
+        ice.commit(ATTEMPTS, Seq(attemptsFile), append = true,
+          Map("round" -> (r + 1).toString))
+      lineageFiles.foreach(f => ice.commit(LINEAGE, Seq(f), append = true,
+        Map("round" -> (r + 1).toString)))
       ice.commit(FRONTIER, Seq(frontierFile), append = false,
         Map("round" -> (r + 1).toString,
           "admitted" -> nAdmitted.toString, "enqueued" -> nEnqueued.toString))
 
-      attempts.unpersist()
-      newEntries.unpersist()
       RoundStats(r, nCandidates, nAdmitted, nOk, nFailed, nDiscovered, nEnqueued)
-    } finally front.unpersist()
   }
 
   // ---- bloom sidecar -------------------------------------------------
 
-  private def bloomBits: Int = Bloom.sizeFor(
-    web.nHosts.toLong * web.pagesPerHost * web.megaFactor / math.max(1, cfg.numBuckets))
+  // expected URLs per bucket: (nHosts-1) ordinary hosts + one mega-host
+  private def bloomBits: Int = {
+    val totalPages = (web.nHosts - 1).toLong * web.pagesPerHost +
+      web.pagesPerHost.toLong * web.megaFactor
+    Bloom.sizeFor(math.max(1L, totalPages / math.max(1, cfg.numBuckets)))
+  }
 
-  private def buildBloomDeltas(bucketHash: DataFrame): Map[Int, Array[Byte]] = {
+  // bloom blobs live on the driver between rounds (tiny: ~10 bits/URL);
+  // the parquet copy exists only for checkpoint/resume.
+  @transient private var bloomCache: Option[Map[Int, Array[Byte]]] = None
+
+  /** One job: per-bucket bloom delta AND per-bucket enqueued count. */
+  private def buildBloomDeltas(bucketHash: DataFrame): Map[Int, (Long, Array[Byte])] = {
     val bits = bloomBits
     bucketHash.as[(Int, Long)]
       .groupByKey(_._1)
       .mapGroups { (bucket, it) =>
         val arr = Bloom.empty(bits)
-        it.foreach { case (_, h) => Bloom.add(arr, h) }
-        (bucket, arr)
-      }.collect().toMap
+        var n = 0L
+        it.foreach { case (_, h) => Bloom.add(arr, h); n += 1 }
+        (bucket, n, arr)
+      }.collect().map(t => t._1 -> (t._2, t._3)).toMap
   }
 
   private def mergeBloom(old: Map[Int, Array[Byte]],
@@ -298,12 +349,16 @@ final class CrawlEngine(
   private def commitBloom(m: Map[Int, Array[Byte]]): Unit = {
     val df = spark.createDataset(m.toSeq).toDF("host_bucket", "bits")
     ice.writeCommit(df, BLOOM, "bloom", append = false)
+    bloomCache = Some(m)
   }
 
-  private def readBloom(): Map[Int, Array[Byte]] =
-    ice.read(spark, BLOOM)
+  private def readBloom(): Map[Int, Array[Byte]] = bloomCache.getOrElse {
+    val m = ice.read(spark, BLOOM)
       .map(_.as[(Int, Array[Byte])].collect().toMap)
       .getOrElse(Map.empty)
+    bloomCache = Some(m)
+    m
+  }
 }
 
 object CrawlEngine {

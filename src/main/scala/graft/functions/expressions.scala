@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.UrlCanonicalizer
+import graft.operators.TextOps
+
+/** Native Catalyst expressions for the crawl/text domain
+  * (SURVEY.md §2.8): unlike Scala UDFs these operate on Catalyst's
+  * internal representation directly (UTF8String in, UTF8String out —
+  * no Row encode/decode per call) and stay null-safe inside codegen'd
+  * stages. The bodies are non-trivial string algorithms, so they use
+  * CodegenFallback: the surrounding stage still whole-stage-codegens,
+  * and only the call itself is interpreted — the same trade Spark's own
+  * `ParseUrl` makes.
+  */
+
+/** `url_canonicalize(str)`: the engine's URL canonicalization as an
+  * expression. NULL for unparsable/non-http input. */
+case class UrlCanonicalizeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    UrlCanonicalizer.canonicalize(s)
+      .map(UTF8String.fromString).orNull
+  }
+  override protected def withNewChildInternal(c: Expression): UrlCanonicalizeExpr = copy(c)
+  override def prettyName: String = "url_canonicalize"
+}
+
+/** `simhash64(array<string>)`: 64-bit SimHash over a token array
+  * (xxhash64 per-token bit votes). */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val tokens = (0 until arr.numElements()).map { i =>
+      if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+    }
+    TextOps.simhash(tokens)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.graftshim.ColumnShim
+
+  def url_canonicalize(c: Column): Column =
+    ColumnShim.column(UrlCanonicalizeExpr(ColumnShim.expression(c)))
+  def simhash64(c: Column): Column =
+    ColumnShim.column(SimHash64Expr(ColumnShim.expression(c)))
+
+  /** Register for SQL use in an existing session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "url_canonicalize", es => UrlCanonicalizeExpr(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", es => SimHash64Expr(es.head), "scala_udf")
+  }
+}
+
+/** SparkSessionExtensions entry point: enable with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * — registers the graft functions in every session of the cluster
+  * (the idiomatic deployment for a shared Spark platform). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("url_canonicalize"),
+      new ExpressionInfo(classOf[UrlCanonicalizeExpr].getName, "url_canonicalize"),
+      (es: Seq[Expression]) => UrlCanonicalizeExpr(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64Expr(es.head)))
+  }
+}

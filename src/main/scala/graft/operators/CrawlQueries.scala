@@ -15,11 +15,13 @@ object CrawlQueries {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
-  /** The engine's canonicalizer as a deterministic UDF (content
-    * function, identical to the one the crawl engine uses). */
+  /** The engine's canonicalizer as a native Catalyst expression (no
+    * per-row Row encode/decode, unlike a Scala UDF); the UDF form is
+    * kept for comparison/tests. */
   val canonUdf = udf { (raw: String) =>
     UrlCanonicalizer.canonicalize(raw).orNull
   }
+  import graft.functions.GraftFunctions.url_canonicalize
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P3: canonicalization over synthetic messy URLs built from doc_id.
@@ -29,7 +31,7 @@ object CrawlQueries {
         .select($"doc_id",
           concat(lit("HTTP://Host"), $"doc_id" % 20,
             lit(".Example:80/a/../p/"), $"doc_id", lit("?b=2&a=1#frag")).as("url_raw"))
-        .select($"doc_id", canonUdf($"url_raw").as("url_canon"))
+        .select($"doc_id", url_canonicalize($"url_raw").as("url_canon"))
         .orderBy($"doc_id")
     }),
 

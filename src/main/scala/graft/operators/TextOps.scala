@@ -143,12 +143,14 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
-    // SimHash (64-bit, xxhash64 token bits) — rows-only check; the
-    // reference implementation is unit-tested in TextOpsSpec.
+    // SimHash (64-bit, xxhash64 token bits) via the native Catalyst
+    // expression (graft.functions.SimHash64Expr) — rows-only check;
+    // the algorithm is unit-tested in OperatorsSpec.
     "q27_simhash" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       s.read.parquet(t(dir, "documents"))
-        .select($"doc_id", TextOps.simhashUdf(split($"text", " ")).as("simhash"))
+        .select($"doc_id",
+          graft.functions.GraftFunctions.simhash64(split($"text", " ")).as("simhash"))
         .orderBy($"doc_id")
     }),
 

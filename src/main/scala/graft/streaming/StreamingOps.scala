@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** Structured Streaming façade over the crawl primitives
+  * (SURVEY.md §2.9): the BSP round loop stays the primary engine, but
+  * each streaming-native concern is exercised here as idiomatic
+  * Structured Streaming — `readStream` sources, stateful seen-set
+  * dedup (`dropDuplicates`), per-host politeness admission
+  * (`flatMapGroupsWithState`), and watermarked windowed aggregation.
+  * `Trigger.AvailableNow` replays a bounded input deterministically.
+  */
+object StreamingOps {
+
+  /** A streaming seed source: text files of URLs under `dir`,
+    * canonicalized, hashed, robots-gated — the streaming analog of
+    * CrawlEngine.init's S1 seed ingestion. */
+  def seedStream(spark: SparkSession, dir: String, web: SyntheticWeb): DataFrame = {
+    import spark.implicits._
+    val w = web
+    spark.readStream
+      .format("text")
+      .load(dir)
+      .as[String]
+      .flatMap { raw =>
+        UrlCanonicalizer.canonicalize(raw).flatMap { canon =>
+          val host = UrlCanonicalizer.hostOf(canon)
+          val path = UrlCanonicalizer.pathOf(canon)
+          if (!RobotsMatcher.allows(w.policy(host).rules, path)) None
+          else Some((canon, Hashing.xxhash64(canon), host))
+        }
+      }
+      .toDF("url_canon", "url_hash", "host")
+  }
+
+  /** Streaming seen-set dedup: at-most-once per url_hash across the
+    * whole stream (state backed by the state store — the streaming
+    * form of the J1 anti-join + A2 bloom). */
+  def dedupedSeeds(spark: SparkSession, dir: String, web: SyntheticWeb): DataFrame =
+    seedStream(spark, dir, web).dropDuplicates("url_hash")
+
+  /** Per-host politeness state for the streaming admitter. */
+  final case class HostAdmitState(admittedTotal: Long)
+  final case class Admission(host: String, url_canon: String, url_hash: Long,
+      batch_rank: Int, admitted_total: Long)
+
+  /** Streaming per-host politeness admission: within each trigger, a
+    * host may admit at most `quotaPerBatch`; the running total per host
+    * survives across triggers in GroupState (the streaming analog of
+    * the W1 window dequeue + politeness bucket, node-crawler's
+    * rate-limiter semantics under a logical clock). Deterministic:
+    * candidates are sorted by (url_hash) inside each group. */
+  def politeAdmitter(spark: SparkSession, candidates: DataFrame,
+      quotaPerBatch: Int): Dataset[Admission] = {
+    import spark.implicits._
+    candidates
+      .select($"url_canon", $"url_hash", $"host")
+      .as[(String, Long, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (host: String, it: Iterator[(String, Long, String)],
+         state: GroupState[HostAdmitState]) => {
+          val prev = state.getOption.getOrElse(HostAdmitState(0L))
+          val batch = it.toSeq.sortBy(_._2).take(quotaPerBatch)
+          state.update(HostAdmitState(prev.admittedTotal + batch.size))
+          batch.zipWithIndex.iterator.map { case ((canon, hash, h), i) =>
+            Admission(h, canon, hash, i, prev.admittedTotal + i + 1)
+          }
+        })
+  }
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked windowed aggregation over a parquet file stream of
+    * events: count + sum(value) per (1h window, event_type). */
+  def eventWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value").as("sum_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"n", $"sum_value")
+  }
+}

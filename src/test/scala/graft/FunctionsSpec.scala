@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.UrlCanonicalizer
+import graft.functions.{BloomAggregator, GraftFunctions}
+import graft.engine.Bloom
+
+/** Native expressions + typed aggregator (SURVEY.md §2.8). */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("url_canonicalize expression matches the pure function; null-safe") {
+    import spark.implicits._
+    val raws = Seq(
+      "HTTP://Example.COM:80/A/b#frag",
+      "http://h/p?b=2&a=1",
+      "not a url",
+      null)
+    val out = raws.toDF("raw")
+      .select(GraftFunctions.url_canonicalize($"raw").as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out(0) === UrlCanonicalizer.canonicalize(raws(0)))
+    assert(out(1) === Some("http://h/p?a=1&b=2"))
+    assert(out(2) === None)
+    assert(out(3) === None)
+  }
+
+  test("url_canonicalize registered for SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT url_canonicalize('HTTP://H.Example:80/x/../y#f') AS c").head()
+    assert(r.getString(0) === "http://h.example/y")
+    val h = spark.sql("SELECT simhash64(array('a','b','c')) AS h").head()
+    assert(h.getLong(0) === graft.operators.TextOps.simhash(Seq("a", "b", "c")))
+  }
+
+  test("simhash64 expression equals the Scala implementation") {
+    import spark.implicits._
+    val texts = Seq("alpha beta gamma delta", "one two three four five six")
+    val out = texts.toDF("t")
+      .select(GraftFunctions.simhash64(split($"t", " ")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(out.toSeq === texts.map(t => graft.operators.TextOps.simhash(t.split(" ").toSeq)))
+  }
+
+  test("BloomAggregator: partial-merge build, no false negatives") {
+    import spark.implicits._
+    val keys = (0L until 2000L).map(graft.core.Hashing.splitmix64)
+    val bits = Bloom.sizeFor(2000)
+    val agg = new BloomAggregator(bits)
+    val blob = keys.toDS().repartition(8)
+      .select(udaf(agg).apply($"value").as("bloom"))
+      .head().getAs[Array[Byte]](0)
+    keys.foreach(k => assert(Bloom.mightContain(blob, k)))
+    val fp = (100000L until 110000L).map(graft.core.Hashing.splitmix64)
+      .count(Bloom.mightContain(blob, _))
+    assert(fp < 500)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.Trigger
+import graft.core.{Hashing, SyntheticWeb, UrlCanonicalizer}
+import graft.streaming.StreamingOps
+
+/** Structured Streaming façade tests (SURVEY.md §2.9): bounded replay
+  * via Trigger.AvailableNow into memory sinks. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def writeSeeds(urls: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft-seeds")
+    Files.write(dir.resolve("seeds.txt"),
+      urls.mkString("\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  test("streaming seed ingest canonicalizes, dedups, and robots-gates") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 10)
+    val urls = Seq(
+      "HTTP://h0001.example:80/p/3#frag",   // canonicalizes
+      "http://h0001.example/p/3",            // duplicate of the above
+      "http://h0002.example/private/p/1",    // robots-disallowed (host 2)
+      "ftp://junk",                           // non-http
+      "http://h0003.example/p/5?b=2&a=1")
+    val dir = writeSeeds(urls)
+    val cp = Files.createTempDirectory("graft-cp").toString
+    val q = StreamingOps.dedupedSeeds(spark, dir, web)
+      .writeStream.format("memory").queryName("seeds_t")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql("SELECT url_canon FROM seeds_t").collect()
+      .map(_.getString(0)).sorted
+    assert(rows === Array(
+      "http://h0001.example/p/3",
+      "http://h0003.example/p/5?a=1&b=2"))
+  }
+
+  test("streaming polite admitter enforces per-host quota with state") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 50)
+    val urls = (0 until 12).map(i => s"http://h0001.example/p/$i") ++
+      (0 until 3).map(i => s"http://h0003.example/p/$i")
+    val dir = writeSeeds(urls)
+    val cp = Files.createTempDirectory("graft-cp2").toString
+    val cands = StreamingOps.seedStream(spark, dir, web)
+    val q = StreamingOps.politeAdmitter(spark, cands, quotaPerBatch = 5)
+      .writeStream.format("memory").queryName("admit_t")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val byHost = spark.sql("SELECT host, count(*) FROM admit_t GROUP BY host")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byHost("h0001.example") === 5) // quota-capped
+    assert(byHost("h0003.example") === 3) // under quota
+    // deterministic pick: the 5 smallest url_hash values win
+    val admitted = spark.sql(
+      "SELECT url_hash FROM admit_t WHERE host = 'h0001.example'")
+      .collect().map(_.getLong(0)).toSet
+    val expected = (0 until 12)
+      .map(i => Hashing.xxhash64(s"http://h0001.example/p/$i"))
+      .sorted.take(5).toSet
+    assert(admitted === expected)
+  }
+
+  test("watermarked windowed aggregation over the events file stream") {
+    val cp = Files.createTempDirectory("graft-cp3").toString
+    val q = StreamingOps.eventWindowCounts(spark, "/root/testdata/sf0.001")
+      .writeStream.format("memory").queryName("win_t")
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val total = spark.sql("SELECT CAST(SUM(n) AS BIGINT) FROM win_t").collect()(0)
+    // append mode emits only windows older than the watermark; the tail
+    // may be withheld, so compare against a recomputed batch aggregate
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batchTotal = batch.count()
+    assert(!total.isNullAt(0) && total.getLong(0) > 0)
+    assert(total.getLong(0) <= batchTotal)
+    val perType = spark.sql("SELECT event_type, SUM(n) FROM win_t GROUP BY event_type")
+    assert(perType.count() >= 3)
+  }
+}
