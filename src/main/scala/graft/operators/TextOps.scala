@@ -160,6 +160,37 @@ object TextOps {
       s.read.parquet(t(dir, "documents"))
         .select($"doc_id", TextOps.rollingHashUdf($"text").as("rabin64"))
         .orderBy($"doc_id")
+    }),
+
+    // BPE-ish regex tokenization: letter runs / digit runs / single
+    // punctuation, the pre-tokenizer shape BPE vocabularies use.
+    "q34_token_bpe" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id",
+          size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          (length($"text") - length(replaceCol($"text", " ")) + 1).cast("long")
+            .as("n_ws_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // charset sniff + decode (F6): payload bytes -> detected charset +
+    // decoded length, via the CharsetSniffer heuristic per partition.
+    "q35_charset_decode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val cs = graft.core.CharsetSniffer.sniff(bytes)
+            val decoded = graft.core.CharsetSniffer.decode(bytes)
+            (id, cs.name(), decoded.length.toLong)
+          }
+        }
+        .toDF("doc_id", "charset", "decoded_len")
+        .orderBy($"doc_id")
     }))
 
   /** 64-bit SimHash over tokens: per-token xxhash64, bitwise vote. */
@@ -276,5 +307,16 @@ object TextOps {
     "q26_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp16,
         |  CAST(length(text) AS INTEGER) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q34_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_charset_decode" ->
+      """SELECT doc_id, 'UTF-8' AS charset,
+        |  CAST(length(text) AS BIGINT) AS decoded_len
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Hashing
 
 /** Similarity search over the `embeddings` table (builder-prompt
@@ -79,6 +80,36 @@ object VectorOps {
         .select($"vec_id", cosine($"embedding", $"qv").as("cos"))
         .orderBy($"cos".desc, $"vec_id")
         .limit(10)
+    }),
+
+    // ANN, IVF variant: coarse quantizer = the first 8 vectors as
+    // centroids (deterministic "training"); every vector is assigned
+    // to its nearest centroid (one broadcast pass — at scale this is
+    // the partitioning key, so a probe touches 2/8 of the data);
+    // query probes its 2 nearest cells and re-ranks exactly.
+    "q36_ann_ivf" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val cents = emb.filter($"vec_id" < 8)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"))
+      val dist = dot($"embedding", $"embedding") -
+        lit(2.0) * dot($"embedding", $"ce") + dot($"ce", $"ce")
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"d", $"cid")
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding", $"cid", dist.as("d"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"cid")
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val probeCells = cents.crossJoin(broadcast(q))
+        .select($"cid", (dot($"qv", $"qv") - lit(2.0) * dot($"qv", $"ce") +
+          dot($"ce", $"ce")).as("d"))
+        .orderBy($"d", $"cid").limit(2).select($"cid")
+      assigned.join(broadcast(probeCells), "cid")
+        .crossJoin(broadcast(q))
+        .select($"vec_id", cosine($"embedding", $"qv").as("cos"))
+        .orderBy($"cos".desc, $"vec_id")
+        .limit(10)
     }))
 
   /** 16-bit random-hyperplane signature; plane components are ±1 drawn
@@ -124,5 +155,26 @@ object VectorOps {
         |  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.25
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q36_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.cv)
+        |          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        |    FROM e CROSS JOIN c) t WHERE rn = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cid FROM c CROSS JOIN q
+        |  ORDER BY list_dot_product(qv, qv) - 2*list_dot_product(qv, cv)
+        |    + list_dot_product(cv, cv), cid
+        |  LIMIT 2)
+        |SELECT vec_id,
+        |  list_dot_product(v, qv)
+        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
+        |FROM assigned JOIN probe USING (cid) CROSS JOIN q
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
 }

@@ -67,6 +67,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall@10 too low: $recall (ann=$ann)")
   }
 
+  test("ANN IVF: returns 10 rows and the query vector itself tops the list") {
+    import org.apache.spark.sql.functions._
+    val rows = VectorOps.queries("q36_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.length === 10)
+    assert(rows.head._1 === 0L) // vec 0 matches itself, cos ~ 1
+    assert(rows.head._2 > 0.999)
+  }
+
+  test("charset sniffer: BOMs, content-type, meta, fallback") {
+    import graft.core.CharsetSniffer
+    import java.nio.charset.StandardCharsets._
+    assert(CharsetSniffer.sniff("plain ascii".getBytes(UTF_8)) === UTF_8)
+    assert(CharsetSniffer.sniff(Array(0xEF, 0xBB, 0xBF, 'a').map(_.toByte)) === UTF_8)
+    assert(CharsetSniffer.sniff("x".getBytes(UTF_8), Some("text/html; charset=ISO-8859-1")) === ISO_8859_1)
+    assert(CharsetSniffer.sniff(
+      "<html><meta charset=\"utf-8\"></html>".getBytes(UTF_8)) === UTF_8)
+    val latin1 = Array(0xE9, 0x20, 0xE8).map(_.toByte) // invalid UTF-8
+    assert(CharsetSniffer.sniff(latin1) === ISO_8859_1)
+    assert(CharsetSniffer.decode(latin1) === "é è")
+    assert(CharsetSniffer.decode("héllo wörld".getBytes(UTF_8)) === "héllo wörld")
+  }
+
   test("stub decoder: deterministic metadata and frame sampling") {
     val payload = "abcdefghijklmnopqrstuvwxyz0123456789".getBytes("UTF-8")
     val m = MultimodalOps.StubDecoder.decode(payload)

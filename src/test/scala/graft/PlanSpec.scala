@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Physical-plan shape assertions — the `.explain("formatted")` audit
+  * as executable checks, so plan regressions fail CI rather than decay
+  * silently (builder prompt: pushdown, pruning, broadcast, codegen).
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count() // materialize so AQE finalizes the plan (codegen visible)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: filters pushed to the parquet scan; columns pruned") {
+    val p = planOf("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate filter not pushed")
+    // ReadSchema must NOT include unprojected columns like l_partkey
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_tax"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q4: dimension joins execute as broadcast hash joins") {
+    val p = planOf("q4_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1: partial aggregation (map-side combine) + whole-stage codegen") {
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum"), "no partial aggregate")
+    // AQE never surfaces WholeStageCodegen wrappers in plan strings
+    // (they're added per-stage at execution); verify with AQE off,
+    // where codegen'd operators print with `*(n)` markers.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df2 = SparkEntry.queries("q1_agg")(spark, dir)
+      df2.count()
+      val p2 = df2.queryExecution.executedPlan.toString
+      assert(p2.contains("*(1)"), s"no WholeStageCodegen spans:\n${p2.take(1500)}")
+      assert(p2.contains("*(2) HashAggregate") || p2.contains("*(1) HashAggregate"),
+        "final aggregate not codegen'd")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q6: anti join does not degenerate to a cartesian/nested loop") {
+    val p = planOf("q6_anti_join")
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q12: global top-k runs as TakeOrderedAndProject (no full sort shuffle)") {
+    val p = planOf("q12_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q29: the embeddings scan prunes to the projected columns") {
+    val p = planOf("q29_cosine_topk")
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.isEmpty)
+    assert(p.contains("TakeOrderedAndProject"), "top-k should not global-sort")
+  }
+
+  test("documents view of the crawl engine prunes to doc_id+spans") {
+    import java.nio.file.Files
+    import graft.core.{CrawlConfig, SyntheticWeb}
+    import graft.engine.CrawlEngine
+    val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
+    val cfg = CrawlConfig(numBuckets = 2, roundMs = 1000, maxRounds = 2)
+    val d = Files.createTempDirectory("plan-docs").toString
+    val eng = new CrawlEngine(spark, web, cfg, d)
+    eng.init(web.seedUrls(4))
+    eng.run()
+    val p = eng.documents().queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("spans") && readSchema.contains("url_canon"))
+    assert(!readSchema.contains("links"),
+      s"documents view must not read the links column: $readSchema")
+  }
+}
