@@ -181,6 +181,41 @@ object RelationalQueries {
         .orderBy($"nationkey")
     }),
 
+    // A3: approx_count_distinct telemetry — the oracle asserts the
+    // accuracy contract (HLL++ within 5% of exact) rather than the
+    // sketch value, which is engine-specific.
+    "q37_approx_distinct" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "lineitem"))
+        .agg(
+          countDistinct($"l_partkey").as("n_exact"),
+          (abs(approx_count_distinct($"l_partkey") - countDistinct($"l_partkey"))
+            .cast("double") / countDistinct($"l_partkey") <= 0.05).as("approx_within_5pct"))
+    }),
+
+    // SO3: intersect — nations present among both customers+suppliers.
+    "q38_intersect" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val c = s.read.parquet(t(dir, "customer")).select($"c_nationkey".as("nationkey"))
+      val sup = s.read.parquet(t(dir, "supplier")).select($"s_nationkey".as("nationkey"))
+      c.intersect(sup).orderBy($"nationkey")
+    }),
+
+    // P1: per-task option merge — defaults coalesced over a left join
+    // (node-crawler merges task options over crawler globals).
+    "q39_option_merge" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val o = s.read.parquet(t(dir, "orders"))
+      val big = o.filter($"o_totalprice" > 400000)
+        .select($"o_custkey".as("k"), $"o_orderpriority".as("vip_priority"))
+        .groupBy($"k").agg(min($"vip_priority").as("vip_priority"))
+      s.read.parquet(t(dir, "customer"))
+        .join(big, $"c_custkey" === $"k", "left")
+        .select($"c_custkey",
+          coalesce($"vip_priority", lit("3-DEFAULT")).as("effective_priority"))
+        .orderBy($"c_custkey")
+    }),
+
     "q15_grouping_sets" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       // GROUPING SETS via cube, filtered to the two sets of interest —
@@ -275,6 +310,23 @@ object RelationalQueries {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  UNION ALL SELECT s_nationkey FROM supplier) t
         |ORDER BY nationkey""".stripMargin,
+    "q37_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem""".stripMargin,
+    "q38_intersect" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+    "q39_option_merge" ->
+      """WITH big AS (
+        |  SELECT o_custkey AS k, MIN(o_orderpriority) AS vip_priority
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        |SELECT c_custkey,
+        |  COALESCE(vip_priority, '3-DEFAULT') AS effective_priority
+        |FROM customer LEFT JOIN big ON c_custkey = k
+        |ORDER BY c_custkey""".stripMargin,
     "q15_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n

@@ -81,6 +81,22 @@ class CoreSpec extends AnyFunSuite {
     assert(RobotsMatcher.allows(Nil, "/anything"))
   }
 
+  test("robots: fixture files parse to expected rules (FIXTURES.md A4)") {
+    def load(name: String): String =
+      new String(getClass.getResourceAsStream(s"/robots/$name").readAllBytes(), "UTF-8")
+    val r2 = RobotsMatcher.parse(load("h0002.example.txt"))
+    assert(r2 === Seq(
+      RobotsRule(false, "/private"), RobotsRule(true, "/private/open"),
+      RobotsRule(false, "/tmp")))
+    assert(!RobotsMatcher.allows(r2, "/private/x"))
+    assert(RobotsMatcher.allows(r2, "/private/open/y"))
+    assert(!RobotsMatcher.allows(r2, "/tmp/z"))
+    assert(RobotsMatcher.allows(r2, "/public"))
+    val r5 = RobotsMatcher.parse(load("h0005.example.txt"))
+    assert(r5 === Nil) // empty Disallow = allow all
+    assert(RobotsMatcher.allows(r5, "/anything"))
+  }
+
   test("robots: parse") {
     val txt =
       """# comment
