@@ -76,7 +76,7 @@ object Bench {
     val tStart = System.nanoTime()
     def remaining: Double = budgetS - (System.nanoTime() - tStart) / 1e9
     def repsFor(costS: Double): Int = if (remaining > 2.2 * costS) 2 else 1
-    val (tput32, wall32) = CrawlLevelBench.spawn(32, rounds, reps = 1, heapGb = 48)
+    val (tput32, wall32) = CrawlLevelBench.spawn(32, rounds, reps = repsFor(80), heapGb = 48)
     val (tput8, wall8) =
       if (skipScaling) (0.0, 0.0)
       else CrawlLevelBench.spawn(8, rounds, reps = repsFor(90), heapGb = 32)

@@ -12,11 +12,13 @@ object Fetcher {
     * `ok=true` with empty spans+links models a 404/out-of-web URL. */
   def fetch(web: SyntheticWeb, urlCanon: String, retryCount: Int, cfg: CrawlConfig): FetchResult = {
     if (web.fetchFails(urlCanon, retryCount, cfg)) FetchResult(ok = false, Nil, Nil)
-    else web.page(urlCanon) match {
+    else web.content(urlCanon) match {
       case None => FetchResult(ok = true, Nil, Nil)
-      case Some(p) =>
-        val (spans, links) = SpanExtractor.extract(p)
-        FetchResult(ok = true, spans, links)
+      case Some((spans, links)) =>
+        // content() IS the page (the textual format is a render of it;
+        // SpanExtractor.extract(page(u)) == content(u) is property-
+        // tested), so the hot path skips the render+reparse round-trip.
+        FetchResult(ok = true, spans, links.take(SpanExtractor.MaxLinksPerPage))
     }
   }
 }

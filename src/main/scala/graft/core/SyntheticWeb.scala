@@ -65,9 +65,12 @@ final case class SyntheticWeb(
       s"http://${hostName(h)}/p/$p"
     }
 
-  /** Generate the page for a canonical URL. Deterministic in the URL
-    * alone. Returns None for URLs outside the virtual web (404). */
-  def page(urlCanon: String): Option[String] = {
+  /** Generate page CONTENT for a canonical URL — the source of truth.
+    * Deterministic in the URL alone; None for URLs outside the web
+    * (404). The textual page format (`page`) is a render of this, so
+    * direct consumers (the fetch hot path) and parse consumers (the
+    * SpanExtractor tests) agree by construction. */
+  def content(urlCanon: String): Option[(IndexedSeq[Span], IndexedSeq[DiscoveredLink])] = {
     val host = UrlCanonicalizer.hostOf(urlCanon)
     if (!host.endsWith(".example")) return None
     val hi = hostIndex(host)
@@ -83,20 +86,18 @@ final case class SyntheticWeb(
     if (pageNo >= nPages) return None
 
     val r = xxhash64(urlCanon)
-    val sb = new StringBuilder
     val nSpans = spanBase + pmod(draw(r, 1), spanRange).toInt
+    val spans = new Array[Span](nSpans)
     var k = 0
     while (k < nSpans) {
       val d = draw(r, 10 + k)
-      if (pmod(d, 10) < 7) {
-        sb.append("t:").append(textFor(d)).append('\n')
-      } else {
-        sb.append("m:media://").append(host).append("/asset/")
-          .append(pmod(d, 1000)).append('\n')
-      }
+      spans(k) =
+        if (pmod(d, 10) < 7) Span("text", textFor(d), null, k)
+        else Span("media", null, s"media://$host/asset/${pmod(d, 1000)}", k)
       k += 1
     }
     val nLinks = 1 + pmod(draw(r, 2), 6).toInt
+    val links = new Array[DiscoveredLink](nLinks)
     var j = 0
     while (j < nLinks) {
       val d = draw(r, 100 + j)
@@ -111,10 +112,25 @@ final case class SyntheticWeb(
         } else { // same-host relative link
           s"/p/${pmod(draw(d, 6), nPages)}"
         }
-      sb.append("l:").append(pri).append(':').append(target).append('\n')
+      links(j) = DiscoveredLink(target, pri)
       j += 1
     }
-    Some(sb.toString)
+    Some((spans, links))
+  }
+
+  /** Render the textual page format (FIXTURES.md A6) from `content` —
+    * used by the parse-path tests and any consumer that wants bytes. */
+  def page(urlCanon: String): Option[String] = content(urlCanon).map {
+    case (spans, links) =>
+      val sb = new StringBuilder
+      spans.foreach { s =>
+        if (s.kind == "text") sb.append("t:").append(s.text).append('\n')
+        else sb.append("m:").append(s.media_ref).append('\n')
+      }
+      links.foreach { l =>
+        sb.append("l:").append(l.priority).append(':').append(l.url).append('\n')
+      }
+      sb.toString
   }
 
   /** Deterministic transient fetch failure (exercises the retry path):

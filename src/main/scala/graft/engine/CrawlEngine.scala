@@ -181,27 +181,24 @@ final class CrawlEngine(
       // rebalance the slim admitted rows by url_hash before the heavy
       // fetch+encode stage: the window leaves host-hash partitioning,
       // whose skew (mega-host) would otherwise become a straggler task
-      // in the most expensive stage of the round.
+      // in the most expensive stage of the round. The fetch itself is
+      // the native FetchExtractExpr expression — Catalyst internal rows
+      // end-to-end, no case-class/encoder layer (SURVEY.md §2.8).
+      import org.apache.spark.sql.graftshim.ColumnShim
+      val fetchCol = ColumnShim.column(graft.functions.FetchExtractExpr(
+        ColumnShim.expression($"url_canon"),
+        ColumnShim.expression($"retry_count"),
+        ColumnShim.expression($"discovered_seq"), w, c))
       val attemptsOut = capped
         .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
           $"priority", $"discovered_seq", $"retry_count")
         .repartition($"url_hash")
-        .as[(String, String, Long, String, Int, Int, Long, Int)]
-        .mapPartitions { it =>
-          it.map { case (url, canon, hash, host, bucket, pri, seq, retry) =>
-            val res = Fetcher.fetch(w, canon, retry, c)
-            val links = if (!res.ok) Nil else res.links.zipWithIndex.flatMap {
-              case (link, k) =>
-                UrlCanonicalizer.resolve(canon, link.url).flatMap { abs =>
-                  CrawlEngine.toCand(w, abs, link.priority, seq * 64L + 1L + k,
-                    c.numBuckets)
-                }
-            }
-            Attempt(url, canon, hash, host, bucket, pri, seq, retry, res.ok,
-              res.ok && (res.spans.nonEmpty || res.links.nonEmpty),
-              res.spans, links)
-          }
-        }.toDF().withColumn("round", lit(r))
+        .withColumn("f", fetchCol)
+        .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
+          $"priority", $"discovered_seq", $"retry_count",
+          $"f.ok".as("ok"), $"f.has_doc".as("has_doc"),
+          $"f.spans".as("spans"), $"f.links".as("links"))
+        .withColumn("round", lit(r))
       val attemptsFile = timed("fetch_stage", r) {
         ice.writeData(attemptsOut, ATTEMPTS, s"r$r")
       }

@@ -137,6 +137,19 @@ class CoreSpec extends AnyFunSuite {
     assert(links === Seq(DiscoveredLink("/p/7", 3), DiscoveredLink("http://x/y", 9)))
   }
 
+  test("SyntheticWeb: parse path agrees with direct content (render round-trip)") {
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 10, megaFactor = 3)
+    web.seedUrls(40).flatMap(UrlCanonicalizer.canonicalize).distinct.foreach { u =>
+      (web.content(u), web.page(u)) match {
+        case (Some((spans, links)), Some(page)) =>
+          val (pSpans, pLinks) = SpanExtractor.extract(page)
+          assert(pSpans === spans.toSeq, s"span mismatch for $u")
+          assert(pLinks === links.toSeq.take(SpanExtractor.MaxLinksPerPage), s"link mismatch for $u")
+        case (a, b) => assert(a.isDefined === b.isDefined)
+      }
+    }
+  }
+
   test("SyntheticWeb: pages deterministic; out-of-web URLs 404") {
     val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5)
     val u = "http://h0001.example/p/3"
