@@ -74,7 +74,8 @@ object CrawlLevelBench {
       CrawlConfig(numBuckets = 64, roundMs = 5000L, maxRounds = 2), seeds = 20000)
     (1 to reps).map { _ =>
       runCrawl(spark, measuredWeb,
-        CrawlConfig(numBuckets = 64, roundMs = roundMs, maxRounds = rounds),
+        CrawlConfig(numBuckets = 64, roundMs = roundMs, maxRounds = rounds,
+          retainSnapshots = Some(2)),
         seeds = seeds)
     }.maxBy(_._1)
   }

@@ -70,8 +70,10 @@ case class CrawlConfig(
     maxPerRound: Option[Int] = None,
     maxRounds: Int = 64,
     maxRetries: Int = 2,
-    failureModulus: Long = 17L // deterministic transient-failure injection
-)
+    failureModulus: Long = 17L, // deterministic transient-failure injection
+    // GC frontier snapshots older than the N most recent after each
+    // round (IceLite expire_snapshots); None keeps full history.
+    retainSnapshots: Option[Int] = None)
 
 /** Result of fetching+extracting one page (shared shape between engine
   * and simulator; produced by the pure `Fetcher`/`SpanExtractor`). */

@@ -67,7 +67,8 @@ final class CrawlEngine(
     }.groupBy(_.url_hash).map { case (_, g) => g.minBy(_.discovered_seq) }.toSeq
     val df = spark.createDataset(entries).toDF()
       .repartition(cfg.numBuckets, $"host_bucket")
-    ice.writeCommit(df, FRONTIER, "seed", append = false, props = Map("round" -> "0"))
+    ice.writeCommit(df, FRONTIER, "seed", append = false,
+      props = Map("round" -> "0"), partitionCols = Seq("state"))
     // bloom over seed hashes
     val blobs = buildBloomDeltas(spark.createDataset(entries.map(e =>
       (e.host_bucket, e.url_hash))).toDF("host_bucket", "url_hash"))
@@ -258,8 +259,13 @@ final class CrawlEngine(
         .unionByName(updates)
         .unionByName(newEntries.select(cols: _*))
         .repartition(c.numBuckets, $"host_bucket")
+      // Hive-style state=<s>/ partitioning: the admission scan's
+      // `state = 'pending'` predicate becomes a PartitionFilter, so the
+      // done/dropped majority (at steady state, almost everything) is
+      // never read during scheduling — only the url_hash column of all
+      // partitions is touched, by the dedup anti-join.
       val frontierFile = timed("frontier_write", r) {
-        ice.writeData(newFrontier, FRONTIER, s"r$r")
+        ice.writeData(newFrontier, FRONTIER, s"r$r", partitionCols = Seq("state"))
       }
 
       // newly enqueued rows, read back from the written frontier file
@@ -302,6 +308,9 @@ final class CrawlEngine(
       ice.commit(FRONTIER, Seq(frontierFile), append = false,
         Map("round" -> (r + 1).toString,
           "admitted" -> nAdmitted.toString, "enqueued" -> nEnqueued.toString))
+      // snapshot GC: the frontier is replace-mode, so expired rounds'
+      // data dirs become unreferenced and are physically deleted.
+      c.retainSnapshots.foreach(k => ice.expireSnapshots(FRONTIER, k))
 
       RoundStats(r, nCandidates, nAdmitted, nOk, nFailed, nDiscovered, nEnqueued)
   }

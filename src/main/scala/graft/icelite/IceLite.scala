@@ -112,4 +112,43 @@ final class IceLite(rootDir: String) {
 
   def props(table: String): Map[String, String] =
     currentManifest(table).map(_.props).getOrElse(Map.empty)
+
+  /** Expire snapshots older than the `keepLast` most recent (Iceberg's
+    * expire_snapshots): removes their manifest files and deletes data
+    * dirs no longer referenced by any retained snapshot. Also removes
+    * orphan data dirs (written but never committed — e.g. a crash
+    * between write and commit). Returns (#snapshots expired,
+    * #data dirs deleted). */
+  def expireSnapshots(table: String, keepLast: Int): (Int, Int) = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return (0, 0)
+    val ids = Files.list(dir).iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case SnapRe(n) => Some(n.toLong)
+        case _         => None
+      }
+    }.toSeq.sorted
+    val (expire, keep) = ids.splitAt(math.max(0, ids.size - math.max(1, keepLast)))
+    val referenced = keep.flatMap(id => manifest(table, id).files).toSet
+    // delete expired manifests first (atomic per file)
+    expire.foreach(id => Files.deleteIfExists(dir.resolve(s"snapshot-$id.json")))
+    // then any data dir not referenced by a retained snapshot
+    val dataRoot = dir.resolve("data")
+    var deleted = 0
+    if (Files.isDirectory(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala.toSeq.foreach { d =>
+        if (!referenced.contains(d.toString)) {
+          deleteRecursively(d)
+          deleted += 1
+        }
+      }
+    }
+    (expire.size, deleted)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
 }

@@ -47,6 +47,23 @@ class IceLiteSpec extends AnyFunSuite {
     assert(ice2.read(spark, "t").get.count() === 3)
   }
 
+  test("expireSnapshots removes old manifests, unreferenced + orphan data") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("icelite4").toString
+    val ice = new IceLite(root)
+    ice.writeCommit(Seq(1).toDF("x"), "t", "a", append = false)
+    ice.writeCommit(Seq(2).toDF("x"), "t", "b", append = false) // replaces
+    ice.writeCommit(Seq(3).toDF("x"), "t", "c", append = false) // replaces
+    ice.writeData(Seq(9).toDF("x"), "t", "orphan") // never committed
+    val (expired, deleted) = ice.expireSnapshots("t", keepLast = 1)
+    assert(expired === 2)
+    assert(deleted === 3) // two expired replace-dirs + one orphan
+    assert(ice.currentSnapshotId("t") === Some(2L))
+    assert(ice.read(spark, "t").get.collect().map(_.getInt(0)).toSeq === Seq(3))
+    // expired snapshots are gone
+    intercept[Exception](ice.manifest("t", 0L))
+  }
+
   test("empty table reads as None") {
     val root = Files.createTempDirectory("icelite3").toString
     val ice = new IceLite(root)

@@ -74,7 +74,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("documents view of the crawl engine prunes to doc_id+spans") {
     import java.nio.file.Files
-    import graft.core.{CrawlConfig, SyntheticWeb}
+    import graft.core.{CrawlConfig, SyntheticWeb, FrontierEntry}
     import graft.engine.CrawlEngine
     val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
     val cfg = CrawlConfig(numBuckets = 2, roundMs = 1000, maxRounds = 2)
@@ -87,5 +87,12 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("spans") && readSchema.contains("url_canon"))
     assert(!readSchema.contains("links"),
       s"documents view must not read the links column: $readSchema")
+    // the admission scan prunes whole state=done/dropped partitions
+    import org.apache.spark.sql.functions.col
+    val cands = eng.frontier().filter(col("state") === FrontierEntry.Pending)
+    val cp = cands.queryExecution.executedPlan.toString
+    assert(cp.contains("PartitionFilters: [") &&
+      cp.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(state"),
+      s"state filter is not a PartitionFilter:\n${cp.take(1200)}")
   }
 }
