@@ -102,6 +102,42 @@ class EngineGoldenSpec extends AnyFunSuite {
     assert(e2b.documents().count() === e1.documents().count())
   }
 
+  test("engine politeness invariant: per (round, host) fetches <= quota") {
+    import spark.implicits._
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 5)
+    val (_, eng, _) = runBoth(web, 12, cfg)
+    val perRoundHost = eng.crawlLog()
+      .select($"round", $"url_canon")
+      .as[(Long, String)].collect()
+      .groupBy { case (r, u) => (r, graft.core.UrlCanonicalizer.hostOf(u)) }
+      .view.mapValues(_.length)
+    perRoundHost.foreach { case ((r, host), n) =>
+      val quota = web.policy(host).quota(cfg.roundMs)
+      assert(n <= quota, s"round $r host $host fetched $n > quota $quota")
+    }
+  }
+
+  test("resume works under snapshot GC (retainSnapshots=1)") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5, megaFactor = 2)
+    val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 2,
+      retainSnapshots = Some(1))
+    val seeds = web.seedUrls(8)
+    val dir = Files.createTempDirectory("graft-gc").toString
+    val e1 = new CrawlEngine(spark, web, cfg, dir)
+    e1.init(seeds); e1.run()
+    val e2 = new CrawlEngine(spark, web, cfg.copy(maxRounds = 4), dir)
+    assert(e2.nextRound === 2)
+    e2.run()
+    // matches an uninterrupted run with the same GC setting
+    val dirU = Files.createTempDirectory("graft-gc-u").toString
+    val eu = new CrawlEngine(spark, web, cfg.copy(maxRounds = 4), dirU)
+    eu.init(seeds); eu.run()
+    import spark.implicits._
+    def order(e: CrawlEngine) = e.crawlLog().select("url_canon").as[String].collect().toVector
+    assert(order(e2) === order(eu))
+  }
+
   test("lineage rows cover every active round with per-bucket metrics") {
     val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5, megaFactor = 2)
     val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 4)
