@@ -72,7 +72,7 @@ object Bench {
     // threads (see CrawlLevelBench): N=2 cores/8g, 4N=8 cores/32g,
     // headline 32 cores/48g. reps shrink if the wall-clock budget runs
     // low (better a 1-rep number than a killed bench).
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toInt
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "360").toInt
     val tStart = System.nanoTime()
     def remaining: Double = budgetS - (System.nanoTime() - tStart) / 1e9
     def repsFor(costS: Double): Int = if (remaining > 2.2 * costS) 2 else 1
