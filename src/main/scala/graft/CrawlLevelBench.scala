@@ -75,7 +75,7 @@ object CrawlLevelBench {
     (1 to reps).map { _ =>
       runCrawl(spark, measuredWeb,
         CrawlConfig(numBuckets = 64, roundMs = roundMs, maxRounds = rounds,
-          retainSnapshots = Some(2)),
+          retainSnapshots = Some(2), packedSpans = true),
         seeds = seeds)
     }.maxBy(_._1)
   }

@@ -105,10 +105,21 @@ final class CrawlEngine(
     ice.read(spark, FRONTIER, snapshotId).getOrElse(spark.emptyDataset[FrontierEntry].toDF())
 
   /** The canonical interleaved documents table — a pruned projection
-    * of the attempts fact table (parquet reads only doc_id + spans). */
+    * of the attempts fact table (parquet reads only doc_id + spans).
+    * With packedSpans the stored binary cell is unpacked back to the
+    * normative array<struct> schema here (byte-equal by codec). */
   def documents(): DataFrame =
     ice.read(spark, ATTEMPTS)
-      .map(_.filter($"has_doc").select($"url_canon".as("doc_id"), $"spans"))
+      .map { df =>
+        import org.apache.spark.sql.graftshim.ColumnShim
+        import org.apache.spark.sql.types.BinaryType
+        val spansCol =
+          if (df.schema("spans").dataType == BinaryType)
+            ColumnShim.column(graft.functions.UnpackSpansExpr(
+              ColumnShim.expression($"spans"))).as("spans")
+          else $"spans"
+        df.filter($"has_doc").select($"url_canon".as("doc_id"), spansCol)
+      }
       .getOrElse(spark.emptyDataset[Doc].toDF())
 
   /** Crawl order — a slim projection of the attempts fact table,
@@ -189,7 +200,7 @@ final class CrawlEngine(
       val fetchCol = ColumnShim.column(graft.functions.FetchExtractExpr(
         ColumnShim.expression($"url_canon"),
         ColumnShim.expression($"retry_count"),
-        ColumnShim.expression($"discovered_seq"), w, c))
+        ColumnShim.expression($"discovered_seq"), w, c, c.packedSpans))
       val attemptsOut = capped
         .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
           $"priority", $"discovered_seq", $"retry_count")

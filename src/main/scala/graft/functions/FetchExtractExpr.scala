@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,13 +30,15 @@ case class FetchExtractExpr(
     retryCount: Expression,
     discoveredSeq: Expression,
     web: SyntheticWeb,
-    cfg: CrawlConfig) extends TernaryExpression with CodegenFallback {
+    cfg: CrawlConfig,
+    packedSpans: Boolean = false) extends TernaryExpression with CodegenFallback {
 
   override def first: Expression = urlCanon
   override def second: Expression = retryCount
   override def third: Expression = discoveredSeq
 
-  override def dataType: DataType = FetchExtractExpr.schema
+  override def dataType: DataType =
+    if (packedSpans) FetchExtractExpr.packedSchema else FetchExtractExpr.schema
   override def nullable: Boolean = false
 
   @transient private lazy val TEXT = UTF8String.fromString("text")
@@ -48,16 +50,21 @@ case class FetchExtractExpr(
     val seq = seqAny.asInstanceOf[Long]
     val res = Fetcher.fetch(web, canon, retry, cfg)
 
-    val spanRows = new Array[Any](res.spans.length)
-    var i = 0
-    res.spans.foreach { s =>
-      spanRows(i) = InternalRow(
-        if (s.kind == "text") TEXT else MEDIA,
-        if (s.text == null) null else UTF8String.fromString(s.text),
-        if (s.media_ref == null) null else UTF8String.fromString(s.media_ref),
-        s.offset)
-      i += 1
-    }
+    val spansOut: Any =
+      if (packedSpans) SpanCodec.pack(res.spans)
+      else {
+        val spanRows = new Array[Any](res.spans.length)
+        var i = 0
+        res.spans.foreach { s =>
+          spanRows(i) = InternalRow(
+            if (s.kind == "text") TEXT else MEDIA,
+            if (s.text == null) null else UTF8String.fromString(s.text),
+            if (s.media_ref == null) null else UTF8String.fromString(s.media_ref),
+            s.offset)
+          i += 1
+        }
+        new GenericArrayData(spanRows)
+      }
 
     val linkRows = Array.newBuilder[Any]
     if (res.ok) {
@@ -74,7 +81,7 @@ case class FetchExtractExpr(
     InternalRow(
       res.ok,
       res.ok && (res.spans.nonEmpty || res.links.nonEmpty),
-      new GenericArrayData(spanRows),
+      spansOut,
       new GenericArrayData(links))
   }
 
@@ -124,4 +131,82 @@ object FetchExtractExpr {
     StructField("has_doc", BooleanType, nullable = false),
     StructField("spans", ArrayType(spanType, containsNull = false)),
     StructField("links", ArrayType(linkType, containsNull = false))))
+
+  /** Packed variant: spans as one binary cell (SpanCodec format). */
+  val packedSchema: StructType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("has_doc", BooleanType, nullable = false),
+    StructField("spans", BinaryType),
+    StructField("links", ArrayType(linkType, containsNull = false))))
+}
+
+/** Compact span-sequence codec: per span `kind:byte, len:int32(LE),
+  * payload:utf8-bytes` in offset order. One binary cell per page
+  * replaces ~55 nested rows + per-field UTF8String copies in the
+  * write path — the documents() view unpacks back to the normative
+  * array<struct> schema (byte-equal: the payload bytes are exactly the
+  * span text/media_ref; offsets are positional). */
+object SpanCodec {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  def pack(spans: Seq[graft.core.Span]): Array[Byte] = {
+    var size = 0
+    val payloads = new Array[Array[Byte]](spans.length)
+    var i = 0
+    spans.foreach { s =>
+      val p = (if (s.kind == "text") s.text else s.media_ref).getBytes(UTF_8)
+      payloads(i) = p
+      size += 5 + p.length
+      i += 1
+    }
+    val out = new Array[Byte](size)
+    var o = 0
+    i = 0
+    spans.foreach { s =>
+      out(o) = if (s.kind == "text") 0 else 1
+      val p = payloads(i)
+      out(o + 1) = (p.length & 0xFF).toByte
+      out(o + 2) = ((p.length >> 8) & 0xFF).toByte
+      out(o + 3) = ((p.length >> 16) & 0xFF).toByte
+      out(o + 4) = ((p.length >> 24) & 0xFF).toByte
+      System.arraycopy(p, 0, out, o + 5, p.length)
+      o += 5 + p.length
+      i += 1
+    }
+    out
+  }
+
+  /** Unpack to InternalRows matching FetchExtractExpr.spanType. */
+  def unpackRows(bytes: Array[Byte]): GenericArrayData = {
+    val TEXT = UTF8String.fromString("text")
+    val MEDIA = UTF8String.fromString("media")
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var o = 0
+    var k = 0
+    while (o < bytes.length) {
+      val isText = bytes(o) == 0
+      val len = (bytes(o + 1) & 0xFF) | ((bytes(o + 2) & 0xFF) << 8) |
+        ((bytes(o + 3) & 0xFF) << 16) | ((bytes(o + 4) & 0xFF) << 24)
+      val payload = UTF8String.fromBytes(bytes, o + 5, len)
+      rows += InternalRow(
+        if (isText) TEXT else MEDIA,
+        if (isText) payload else null,
+        if (isText) null else payload,
+        k)
+      o += 5 + len
+      k += 1
+    }
+    new GenericArrayData(rows.toArray)
+  }
+}
+
+/** `unpack_spans(binary)` → the normative spans array<struct>. */
+case class UnpackSpansExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(FetchExtractExpr.spanType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    SpanCodec.unpackRows(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): UnpackSpansExpr = copy(c)
+  override def prettyName: String = "unpack_spans"
 }

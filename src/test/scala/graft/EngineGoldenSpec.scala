@@ -48,6 +48,14 @@ class EngineGoldenSpec extends AnyFunSuite {
     assertGolden(sim, eng)
   }
 
+  test("golden equality with packed span storage (SpanCodec round-trip)") {
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6,
+      packedSpans = true)
+    val (sim, eng, _) = runBoth(web, 12, cfg)
+    assertGolden(sim, eng)
+  }
+
   test("golden equality with a global per-round cap (maxConnections analog)") {
     val web = SyntheticWeb(nHosts = 5, pagesPerHost = 6, megaFactor = 2)
     val cfg = CrawlConfig(numBuckets = 8, roundMs = 1000, maxRounds = 5,

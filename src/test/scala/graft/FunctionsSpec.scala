@@ -44,6 +44,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(out.toSeq === texts.map(t => graft.operators.TextOps.simhash(t.split(" ").toSeq)))
   }
 
+  test("SpanCodec: pack/unpack round-trips spans exactly (incl. unicode)") {
+    import graft.core.Span
+    import graft.functions.SpanCodec
+    val spans = Seq(
+      Span("text", "hello wörld — ünïcode €", null, 0),
+      Span("media", null, "media://h/asset/42", 1),
+      Span("text", "", null, 2))
+    val bytes = SpanCodec.pack(spans)
+    val arr = SpanCodec.unpackRows(bytes)
+    assert(arr.numElements() === 3)
+    (0 until 3).foreach { i =>
+      val r = arr.getStruct(i, 4)
+      assert(r.getUTF8String(0).toString === spans(i).kind)
+      assert(Option(r.getUTF8String(1)).map(_.toString).orNull === spans(i).text)
+      assert(Option(r.getUTF8String(2)).map(_.toString).orNull === spans(i).media_ref)
+      assert(r.getInt(3) === i)
+    }
+    assert(SpanCodec.pack(Nil).length === 0)
+    assert(SpanCodec.unpackRows(Array.emptyByteArray).numElements() === 0)
+  }
+
   test("BloomAggregator: partial-merge build, no false negatives") {
     import spark.implicits._
     val keys = (0L until 2000L).map(graft.core.Hashing.splitmix64)
