@@ -7,31 +7,39 @@ import graft.core.Hashing
 /** Training-data text pipeline operators over the `documents` table:
   * token counting, quality scoring, language-ID heuristic, document
   * fingerprinting, exact dedup, MinHash+LSH near-dup, character-n-gram
-  * Jaccard, and SimHash (builder-prompt first-class requirements).
+  * Jaccard, SimHash, and a rolling Rabin fingerprint (builder-prompt
+  * first-class requirements).
   *
-  * Everything except SimHash / rolling-hash has a DuckDB oracle built
-  * only from portable primitives (length/replace arithmetic, md5,
-  * generate_series) so results hash-match across engines. SimHash and
-  * the rolling Rabin fingerprint use xxhash64 bit tricks DuckDB lacks —
-  * those ship as rows-only checks plus Scala unit tests.
+  * EVERY query has a DuckDB oracle built only from portable primitives
+  * shared bit-for-bit by both engines: length/replace arithmetic, md5
+  * (identical lowercase hex), generate_series, 64-bit integer bit ops,
+  * and (for the Rabin hash) a sequential list fold. The engine-native
+  * xxhash64 SimHash variant (`GraftFunctions.simhash64`) stays as the
+  * production expression and is unit-tested against the pure Scala
+  * model; q27 exercises the same algorithm over a portable 32-bit
+  * md5-derived token hash so the oracle can verify it end-to-end.
   */
 object TextOps {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
-  /** #occurrences of `word` (space-delimited) via replace arithmetic —
-    * the one counting primitive both engines implement identically. */
-  private def occ(c: Column, word: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(" " + word + " "), ""))) /
-      lit(word.length + 2)).cast("long")
-
-  // NOTE: regexp_replace flavors differ across engines; for oracle
-  // parity we use plain `replace` semantics via translate-free exprs.
+  /** #occurrences of `pat` via replace arithmetic — the one counting
+    * primitive both engines implement identically. Spark's non-regex
+    * `StringReplace` (codegen'd, no regex engine) mirrors DuckDB's
+    * literal `replace`. */
   private def occPlain(c: Column, pat: String): Column =
     ((length(c) - length(replaceCol(c, pat))) / lit(pat.length)).cast("long")
 
   private def replaceCol(c: Column, pat: String): Column =
-    regexp_replace(c, java.util.regex.Pattern.quote(pat), "")
+    replace(c, lit(pat), lit(""))
+
+  /** Universal-hash parameters for the 32 minhash functions. aᵢ < 2²⁰
+    * keeps aᵢ·h + bᵢ < 2⁵³ for 32-bit h — no 64-bit overflow in either
+    * engine. Derived from a fixed multiplicative sequence (odd aᵢ). */
+  val MinhashP = 2147483647L // 2^31 − 1
+  def minhashParams(i: Int): (Long, Long) =
+    ((i.toLong * 0x9E37L + 0x79B9L) % 0xFFFFFL | 1L,
+      (i.toLong * 0x85EBL + 0xCA6BL) % MinhashP)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace tokens, per-language totals.
@@ -87,23 +95,47 @@ object TextOps {
         .orderBy($"keep_id")
     }),
 
-    // MinHash + LSH near-dup: 8-char shingles, 4 bands, md5 min-hash,
-    // band-bucket self-join → candidate pairs.
+    // MinHash + LSH near-dup with REAL banded signatures: 32 minhash
+    // functions, banded 8 bands × 4 rows — a candidate pair must agree
+    // on 4 independent minhashes (collision prob ≈ Jaccard⁴), so
+    // popular shingles can't create giant buckets the way a single raw
+    // minhash key does. ONE md5 per shingle (the only hash both
+    // engines share) parsed into 4 independent 32-bit ints; the 32
+    // functions are universal-hash transforms (aᵢ·h + bᵢ) mod 2³¹−1 of
+    // those ints — pure 64-bit-safe integer arithmetic, identical in
+    // DuckDB, and the 32 min-aggs run over longs, not strings.
+    // Shingles are 8-char windows sampled at stride 4 (half-overlap):
+    // the shingle set is 4× smaller than stride 1 with the same
+    // Jaccard behavior for near-dup detection. Scale shape: one
+    // shuffle of the shingle rows (map-side partial min-agg; min is
+    // duplicate-insensitive so no shingle distinct), then an equi-join
+    // on the compact (band, bkey) bucket key.
     "q24_minhash_lsh" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val sh = s.read.parquet(t(dir, "documents"))
         .select($"doc_id",
-          explode(sequence(lit(1), greatest(length($"text") - 7, lit(1)))).as("i"),
+          explode(sequence(lit(1), greatest(length($"text") - 7, lit(1)), lit(4))).as("i"),
           $"text")
         .select($"doc_id", expr("substr(text, i, 8)").as("sh"))
-        .distinct()
-      val mh = sh
-        .crossJoin(s.range(0, 4).select($"id".cast("int").as("band")))
-        .groupBy($"doc_id", $"band")
-        .agg(min(md5(concat($"band".cast("string"), $"sh"))).as("minh"))
-      val a = mh.select($"doc_id".as("doc_a"), $"band", $"minh")
-      val b = mh.select($"doc_id".as("doc_b"), $"band", $"minh")
-      a.join(b, Seq("band", "minh"))
+      // one md5 per shingle → 4 independent 32-bit base hashes
+      val withH = sh
+        .withColumn("m", md5($"sh"))
+        .select($"doc_id" +: (0 until 4).map(j =>
+          conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
+      val aggs = (0 until 32).map { i =>
+        val (a, b) = minhashParams(i)
+        min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")
+      }
+      val mh = withH.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      val bandCols = array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until 4).map(j =>
+            col(s"mh_${b * 4 + j}").cast("string")): _*).as("bkey"))): _*)
+      val bands = mh.select($"doc_id", explode(bandCols).as("bc"))
+        .select($"doc_id", $"bc.band", $"bc.bkey")
+      val a = bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
+      val b = bands.select($"doc_id".as("doc_b"), $"band", $"bkey")
+      a.join(b, Seq("band", "bkey"))
         .filter($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b")
         .distinct()
@@ -143,18 +175,31 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
-    // SimHash (64-bit, xxhash64 token bits) via the native Catalyst
-    // expression (graft.functions.SimHash64Expr) — rows-only check;
-    // the algorithm is unit-tested in OperatorsSpec.
+    // SimHash over tokens, oracle-checkable variant: 32-bit token hash
+    // = first 8 md5 hex chars (md5 is the one hash both engines share
+    // bit-for-bit), bitwise majority vote via 32 sum-aggregates —
+    // whole-stage-codegen end to end, no UDF. The production 64-bit
+    // xxhash64 variant is the native expression
+    // graft.functions.GraftFunctions.simhash64 (FunctionsSpec).
     "q27_simhash" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      s.read.parquet(t(dir, "documents"))
-        .select($"doc_id",
-          graft.functions.GraftFunctions.simhash64(split($"text", " ")).as("simhash"))
+      val tok = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", explode(split($"text", " ")).as("tk"))
+      val h = tok.select($"doc_id",
+        conv(substring(md5($"tk"), 1, 8), 16, 10).cast("long").as("h"))
+      val votes = (0 until 32).map(b =>
+        sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
+      val v = h.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+      val out = (0 until 32).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      v.select($"doc_id", out.cast("long").as("simhash32"))
         .orderBy($"doc_id")
     }),
 
-    // rolling Rabin fingerprint (mod 2^61-1) — rows-only check.
+    // rolling Rabin fingerprint (base 257, mod 2^61-1). The DuckDB
+    // oracle reproduces the identical sequential fold with a HUGEINT
+    // list_reduce over the codepoints (texts are ASCII, so UTF-16 code
+    // units == codepoints).
     "q28_rolling_hash" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       s.read.parquet(t(dir, "documents"))
@@ -267,22 +312,50 @@ object TextOps {
     "q23_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    "q24_minhash_lsh" ->
-      """WITH sh0 AS (
-        |  SELECT doc_id, text,
-        |    unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 8) AS sh
-        |  FROM sh0),
-        |mh AS (
-        |  SELECT doc_id, band, MIN(md5(CAST(band AS VARCHAR) || sh)) AS minh
-        |  FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b
-        |  GROUP BY doc_id, band)
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM mh a JOIN mh b ON a.band = b.band AND a.minh = b.minh
-        |  AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q24_minhash_lsh" -> {
+      val hCols = (0 until 4).map(j =>
+        s"('0x' || substr(m, ${j * 8 + 1}, 8))::BIGINT AS h$j").mkString(", ")
+      val mhCols = (0 until 32).map { i =>
+        val (a, b) = minhashParams(i)
+        s"min((h${i % 4} * $a + $b) % $MinhashP) AS mh_$i"
+      }.mkString(", ")
+      val bands = (0 until 8).map { b =>
+        val key = (0 until 4).map(j => s"CAST(mh_${b * 4 + j} AS VARCHAR)")
+          .mkString("||'|'||")
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) AS i
+         |  FROM documents),
+         |sh AS (SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 8)) AS m FROM sh0),
+         |h AS (SELECT doc_id, $hCols FROM sh),
+         |mh AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
+         |bands AS ($bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |  AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q27_simhash" -> {
+      val sums = (0 until 32).map(b =>
+        s"SUM(((h >> $b) & 1)*2 - 1) AS v$b").mkString(", ")
+      val recomb = (0 until 32).map(b =>
+        s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h FROM tok),
+         |v AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($recomb AS BIGINT) AS simhash32 FROM v
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q28_rolling_hash" ->
+      """SELECT doc_id, CAST(list_reduce(
+        |  list_prepend(0::HUGEINT,
+        |    list_transform(string_split(text, ''), c -> ord(c)::HUGEINT)),
+        |  (acc, x) -> (acc * 257 + x) % 2305843009213693951::HUGEINT) AS BIGINT)
+        |  AS rabin64
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q25_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
         |sh0 AS (

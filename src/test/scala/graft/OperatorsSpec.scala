@@ -57,14 +57,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a >= 0 && a < (1L << 61))
   }
 
-  test("ANN LSH: recall@10 vs brute force is useful") {
+  test("ANN LSH (multiprobe): recall@10 vs brute force >= 0.9") {
     import org.apache.spark.sql.functions._
     val brute = VectorOps.queries("q29_cosine_topk")(spark, dir)
       .select(col("vec_id")).collect().map(_.getLong(0)).take(10).toSet
     val ann = VectorOps.queries("q31_ann_lsh")(spark, dir)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     val recall = (brute & ann).size.toDouble / 10
-    assert(recall >= 0.3, s"recall@10 too low: $recall (ann=$ann)")
+    assert(recall >= 0.9, s"recall@10 too low: $recall (ann=$ann)")
+  }
+
+  test("ANN IVF (trained): recall@10 vs brute force >= 0.9 at sf0.01") {
+    // measured on the correctness-gate corpus (sf0.01, same scale the
+    // driver oracles at); sf0.001's vectors are pure noise where the
+    // true top-10 straddles cells for ANY coarse quantizer
+    import org.apache.spark.sql.functions._
+    val d01 = "/root/testdata/sf0.01"
+    val brute = VectorOps.queries("q29_cosine_topk")(spark, d01)
+      .select(col("vec_id")).collect().map(_.getLong(0)).take(10).toSet
+    val ivf = VectorOps.queries("q36_ann_ivf")(spark, d01)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val recall = (brute & ivf).size.toDouble / 10
+    assert(recall >= 0.9, s"recall@10 too low: $recall (ivf=$ivf)")
+  }
+
+  test("sign-band LSH: planted near-duplicates (cos >= 0.9) always collide") {
+    // near-dup detection operates at high cosine; plant near-dups by
+    // mixing real corpus vectors (v, 0.97v + 0.03w) and assert that
+    // every planted pair with cos >= 0.9 shares at least one band
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("embedding").limit(200).collect()
+      .map(_.getSeq[Float](0).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.indices.map(i => a(i).toDouble * b(i)).sum
+      d / math.sqrt(a.map(x => x * x.toDouble).sum) /
+        math.sqrt(b.map(x => x * x.toDouble).sum)
+    }
+    var planted = 0
+    (0 until 200 by 2).foreach { i =>
+      val v = emb(i)
+      val w = emb(i + 1)
+      val nd = v.indices.map(k => 0.97f * v(k) + 0.03f * w(k)).toArray
+      if (cos(v, nd) >= 0.9) {
+        planted += 1
+        val ca = VectorOps.signChunksOf(v.toSeq)
+        val cb = VectorOps.signChunksOf(nd.toSeq)
+        assert(ca.indices.exists(b => ca(b) == cb(b)),
+          s"planted near-dup pair $i missed by all bands")
+      }
+    }
+    assert(planted >= 50, s"too few planted high-cos pairs: $planted")
   }
 
   test("ANN IVF: returns 10 rows and the query vector itself tops the list") {

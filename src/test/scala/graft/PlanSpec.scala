@@ -72,6 +72,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k should not global-sort")
   }
 
+  test("q24/q30/q31: LSH candidate generation never degenerates to a cartesian") {
+    for (name <- Seq("q24_minhash_lsh", "q30_embed_neardup", "q31_ann_lsh")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$name: nested-loop join — candidates must equi-join on the bucket key")
+    }
+  }
+
+  test("q36: IVF probe join avoids a cartesian over the vectors") {
+    val p = planOf("q36_ann_ivf")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), "top-k should not global-sort")
+  }
+
   test("documents view of the crawl engine prunes to doc_id+spans") {
     import java.nio.file.Files
     import graft.core.{CrawlConfig, SyntheticWeb, FrontierEntry}
