@@ -64,7 +64,11 @@ object CharsetSniffer {
     try { if (name.isEmpty) None else Some(Charset.forName(name)) }
     catch { case _: Exception => None }
 
-  /** Strict UTF-8 validity scan (no allocation). */
+  /** Strict UTF-8 validity scan (no allocation), including the
+    * RFC 3629 second-byte range checks: rejects overlong 3/4-byte
+    * sequences (E0 80-9F, F0 80-8F), UTF-16 surrogates (ED A0-BF),
+    * code points above U+10FFFF (F4 90-BF), and F5-FF lead bytes —
+    * so e.g. ISO-8859-1 payloads aren't misclassified as UTF-8. */
   def isValidUtf8(b: Array[Byte]): Boolean = {
     var i = 0
     val n = b.length
@@ -75,14 +79,25 @@ object CharsetSniffer {
         if (i + 1 >= n || (b(i + 1) & 0xC0) != 0x80 || x < 0xC2) return false
         i += 2
       } else if ((x >> 4) == 0xE) { // 1110xxxx
-        if (i + 2 >= n || (b(i + 1) & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80)
-          return false
+        if (i + 2 >= n || (b(i + 2) & 0xC0) != 0x80) return false
+        val c1 = b(i + 1) & 0xFF
+        val (lo, hi) =
+          if (x == 0xE0) (0xA0, 0xBF) // reject overlong
+          else if (x == 0xED) (0x80, 0x9F) // reject surrogates
+          else (0x80, 0xBF)
+        if (c1 < lo || c1 > hi) return false
         i += 3
-      } else if ((x >> 3) == 0x1E) { // 11110xxx
-        if (i + 3 >= n || (b(i + 1) & 0xC0) != 0x80 || (b(i + 2) & 0xC0) != 0x80 ||
+      } else if (x >= 0xF0 && x <= 0xF4) { // 11110xxx up to U+10FFFF
+        if (i + 3 >= n || (b(i + 2) & 0xC0) != 0x80 ||
           (b(i + 3) & 0xC0) != 0x80) return false
+        val c1 = b(i + 1) & 0xFF
+        val (lo, hi) =
+          if (x == 0xF0) (0x90, 0xBF) // reject overlong
+          else if (x == 0xF4) (0x80, 0x8F) // reject > U+10FFFF
+          else (0x80, 0xBF)
+        if (c1 < lo || c1 > hi) return false
         i += 4
-      } else return false
+      } else return false // F5-FF and stray continuation bytes
     }
     true
   }

@@ -34,4 +34,16 @@ object Hashing {
 
   /** Non-negative modulus helper. */
   def pmod(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+
+  /** Child discovered_seq for the k-th link of a parent with sequence
+    * `parent`: the dense encoding parent*64 + 1 + k (≤ 63 links/page)
+    * while it fits in a Long (~10 discovery hops from a seed); past
+    * that depth, a SplitMix64 remix of (parent, k) masked to positive —
+    * still deterministic and parallelism-invariant, so the engine and
+    * the reference simulator stay in lockstep at any crawl depth.
+    * (Collisions in the deep regime are ~2⁻⁶³-rare and only perturb a
+    * tie-break; total order falls back to url_hash.) */
+  def childSeq(parent: Long, k: Int): Long =
+    if (parent < (Long.MaxValue - 64L) / 64L) parent * 64L + 1L + k
+    else splitmix64(parent ^ (k + 1L) * 0x9E3779B97F4A7C15L) & Long.MaxValue
 }

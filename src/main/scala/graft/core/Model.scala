@@ -24,7 +24,9 @@ case class Doc(doc_id: String, spans: Seq[Span])
   *
   * `discovered_seq` is parallelism-invariant: seeds are numbered by file
   * order; a link discovered at index k on a parent with sequence p gets
-  * `p * 64 + 1 + k` (≤63 links per page, enforced by the extractor).
+  * `Hashing.childSeq(p, k)` — `p * 64 + 1 + k` while that fits in a
+  * Long (≤63 links per page, enforced by the extractor), a
+  * deterministic SplitMix64 remix past ~10 hops of depth.
   * First-discovery wins: within a round the minimum candidate seq is
   * kept per url_hash. */
 case class FrontierEntry(

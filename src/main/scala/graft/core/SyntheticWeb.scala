@@ -43,12 +43,23 @@ final case class SyntheticWeb(
   def pagesOf(host: String): Int =
     if (host == hostName(0)) pagesPerHost * megaFactor else pagesPerHost
 
-  private def hostIndex(host: String): Int =
-    host.drop(1).takeWhile(_.isDigit).toInt
+  /** -1 for any host not shaped like h<digits>.example — out-of-web
+    * hosts get the permissive default policy below and 404 on fetch
+    * instead of crashing the job. */
+  private def hostIndex(host: String): Int = {
+    if (!host.startsWith("h") || !host.endsWith(".example")) return -1
+    val digits = host.substring(1, host.length - 8)
+    if (digits.nonEmpty && digits.length <= 9 && digits.forall(_.isDigit))
+      digits.toInt
+    else -1
+  }
 
-  /** Deterministic per-host politeness + robots config. */
+  /** Deterministic per-host politeness + robots config. Unknown
+    * (out-of-web) hosts get a permissive default — they fetch as 404s
+    * and retire, like any other dead URL. */
   def policy(host: String): HostPolicy = {
     val i = hostIndex(host)
+    if (i < 0) return HostPolicy(host, 500L, Seq.empty)
     val delays = Array(100L, 250L, 500L, 1000L)
     // mega-host crawls fast (it must, to be a skew problem at all)
     val delay = if (i == 0) 50L else delays(pmod(draw(seed ^ 0xB0B, i), delays.length).toInt)

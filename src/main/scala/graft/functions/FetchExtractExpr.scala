@@ -71,7 +71,7 @@ case class FetchExtractExpr(
       var k = 0
       res.links.foreach { link =>
         UrlCanonicalizer.resolve(canon, link.url).foreach { abs =>
-          CrawlEngine2.toCandRow(web, abs, link.priority, seq * 64L + 1L + k,
+          CrawlEngine2.toCandRow(web, abs, link.priority, Hashing.childSeq(seq, k),
             cfg.numBuckets).foreach(linkRows += _)
         }
         k += 1

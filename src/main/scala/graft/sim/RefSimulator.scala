@@ -120,7 +120,7 @@ object RefSimulator {
           res.links.zipWithIndex.foreach { case (link, k) =>
             discovered += 1
             UrlCanonicalizer.resolve(e.urlCanon, link.url).foreach { abs =>
-              roundCands ++= toCand(abs, link.priority, e.seq * 64L + 1L + k)
+              roundCands ++= toCand(abs, link.priority, Hashing.childSeq(e.seq, k))
             }
           }
         }

@@ -168,6 +168,47 @@ class CoreSpec extends AnyFunSuite {
     assert(web.policy("h0000.example").quota(1000L) === 20) // mega-host, 50ms
   }
 
+  test("SyntheticWeb: out-of-web hosts get the permissive default policy") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5)
+    // must not throw NumberFormatException (ADVICE r1)
+    for (h <- Seq("example.com", "h.example", "hx9.example",
+        "h99999999999999.example", "")) {
+      val p = web.policy(h)
+      assert(p.rules.isEmpty && p.crawl_delay_ms === 500L, s"host $h")
+    }
+    // in-web hosts unchanged
+    assert(web.policy("h0000.example").crawl_delay_ms === 50L)
+  }
+
+  test("Hashing.childSeq: dense while it fits, deterministic past the depth cap") {
+    // dense regime: parent*64 + 1 + k
+    assert(Hashing.childSeq(0L, 0) === 1L)
+    assert(Hashing.childSeq(5L, 63) === 5L * 64 + 64)
+    // deep regime: no overflow, stays positive, deterministic, k-distinct
+    val deep = Long.MaxValue / 64 + 17
+    val s1 = Hashing.childSeq(deep, 3)
+    assert(s1 === Hashing.childSeq(deep, 3))
+    assert(s1 >= 0L)
+    assert(s1 !== Hashing.childSeq(deep, 4))
+    // a ~10-hop chain never goes negative (the old p*64+1+k overflowed)
+    var p = 62L // last seed seq of a 63-seed list
+    (0 until 40).foreach { hop => p = Hashing.childSeq(p, 63); assert(p >= 0L, s"hop $hop") }
+  }
+
+  test("isValidUtf8: rejects overlongs, surrogates, >U+10FFFF, F5-FF leads") {
+    import graft.core.CharsetSniffer.isValidUtf8
+    def bs(xs: Int*) = xs.map(_.toByte).toArray
+    assert(isValidUtf8("héllo — 日本語 👍".getBytes("UTF-8")))
+    assert(!isValidUtf8(bs(0xE0, 0x80, 0x80)))       // overlong 3-byte
+    assert(!isValidUtf8(bs(0xED, 0xA0, 0x80)))       // UTF-16 surrogate
+    assert(!isValidUtf8(bs(0xF0, 0x80, 0x80, 0x80))) // overlong 4-byte
+    assert(!isValidUtf8(bs(0xF4, 0x90, 0x80, 0x80))) // > U+10FFFF
+    assert(!isValidUtf8(bs(0xF5, 0x80, 0x80, 0x80))) // invalid lead
+    assert(!isValidUtf8(bs(0x80)))                    // stray continuation
+    assert(isValidUtf8(bs(0xE0, 0xA0, 0x80)))        // smallest legal 3-byte
+    assert(isValidUtf8(bs(0xF4, 0x8F, 0xBF, 0xBF)))  // U+10FFFF
+  }
+
   // ---- bloom ---------------------------------------------------------
 
   test("Bloom: no false negatives; OR merges; fp rate sane") {
