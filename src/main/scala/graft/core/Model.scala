@@ -76,6 +76,9 @@ case class CrawlConfig(
     // GC frontier snapshots older than the N most recent after each
     // round (IceLite expire_snapshots); None keeps full history.
     retainSnapshots: Option[Int] = None,
+    // squash the bloom sidecar's per-round delta rows into one blob per
+    // bucket every N rounds (merge-on-read stays cheap in between).
+    bloomCompactEvery: Int = 8,
     // store spans as one packed binary cell per page instead of
     // array<struct> (SpanCodec); documents() unpacks to the normative
     // schema on read. Cuts write-path allocation ~10x on rich pages.

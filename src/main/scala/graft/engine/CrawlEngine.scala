@@ -1,8 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 import graft.core._
 import graft.icelite.IceLite
@@ -18,8 +19,17 @@ import graft.icelite.IceLite
   *
   * Scale design (the sandbox runs local[32]; the plan is sized for a
   * 10^10-URL frontier on a 1000-executor cluster):
-  *  - frontier hash-partitioned by `host_bucket` = pmod(xxhash64(host),
+  *  - the frontier is SPLIT BY LIFECYCLE: `frontier` holds only
+  *    pending rows and is rewritten each round (O(|pending|), which
+  *    shrinks as the crawl matures); `retired` holds done/dropped rows
+  *    and is APPEND-ONLY (per-round delta = the round's attempts), so
+  *    per-round frontier I/O is independent of the total URL-seen set;
+  *  - both are hash-partitioned by `host_bucket` = pmod(xxhash64(host),
   *    numBuckets) so per-host politeness decisions co-locate;
+  *  - per-host politeness quota is a pure function of the host name,
+  *    computed by a native expression (HostQuotaExpr) on the candidate
+  *    rows — no per-round host-dim distinct/broadcast job, nothing that
+  *    grows with the number of distinct hosts;
   *  - the per-host priority dequeue is a two-phase top-K window:
   *    phase 1 ranks within (host, salt) — explicit salting so a
   *    mega-host's pending rows spread over `saltFanout` tasks — and
@@ -30,13 +40,24 @@ import graft.icelite.IceLite
   *  - the global per-round cap is orderBy(total order).limit(k) which
   *    Spark executes as TakeOrderedAndProject (per-partition top-k +
   *    driver merge — no global sort shuffle);
-  *  - the seen set IS the frontier key set (every discovered URL gets a
-  *    frontier row in state pending/done/dropped), so dedup is one
-  *    left_anti join on url_hash, prefiltered by per-bucket bloom
-  *    sketches so definitely-new URLs skip the join entirely;
+  *  - the seen set IS the frontier key set (pending ∪ retired), so
+  *    dedup is one left_anti join on url_hash, prefiltered by
+  *    per-bucket bloom sketches held in an IceLite side TABLE and
+  *    applied EXECUTOR-SIDE (cogroup on host_bucket) — the driver
+  *    never holds or broadcasts filter bits, so the design scales to
+  *    the ~12 GB of bloom bits a 10^10-URL frontier needs. Deltas are
+  *    appended per round (merge-on-read by bitwise OR inside the
+  *    cogroup) and compacted every `bloomCompactEvery` rounds;
   *  - all ordering keys form a total order (priority, discovered_seq,
   *    url_hash) with parallelism-invariant discovered_seq, so results
-  *    are invariant to the number of partitions/cores (property-tested).
+  *    are invariant to the number of partitions/cores (property-tested);
+  *  - ROUND ATOMICITY across the five tables: side tables (attempts,
+  *    retired, lineage, bloom) commit first, then the frontier commit —
+  *    the LAST write — pins their snapshot ids in its props. Readers
+  *    and resume go through the pins, so a crash between commits leaves
+  *    orphan side-table snapshots that are simply never referenced;
+  *    re-running the round appends relative to the pinned parents
+  *    (IceLite commit parentId) and cannot duplicate rows.
   */
 final class CrawlEngine(
     val spark: SparkSession,
@@ -49,12 +70,19 @@ final class CrawlEngine(
 
   val ice = new IceLite(rootDir)
 
-  import CrawlEngine.{Attempt, LinkCand}
-
-  private val FRONTIER = "frontier"
+  private val FRONTIER = "frontier" // pending rows only (replace per round)
+  private val RETIRED = "retired"   // done/dropped rows (append-only)
   private val ATTEMPTS = "attempts"
   private val LINEAGE = "lineage"
-  private val BLOOM = "bloom"
+  private val BLOOM = "bloom"       // (host_bucket, n, bits) deltas
+
+  // ---- pinned reads (the frontier commit is the atomic round root) ---
+
+  private def pin(table: String): Option[Long] =
+    ice.props(FRONTIER).get(s"${table}_snap").map(_.toLong).filter(_ >= 0)
+
+  private def readPinned(table: String): Option[DataFrame] =
+    pin(table).flatMap(id => ice.read(spark, table, Some(id)))
 
   // ---- initialization ------------------------------------------------
 
@@ -67,12 +95,14 @@ final class CrawlEngine(
     }.groupBy(_.url_hash).map { case (_, g) => g.minBy(_.discovered_seq) }.toSeq
     val df = spark.createDataset(entries).toDF()
       .repartition(cfg.numBuckets, $"host_bucket")
-    ice.writeCommit(df, FRONTIER, "seed", append = false,
-      props = Map("round" -> "0"), partitionCols = Seq("state"))
-    // bloom over seed hashes
-    val blobs = buildBloomDeltas(spark.createDataset(entries.map(e =>
-      (e.host_bucket, e.url_hash))).toDF("host_bucket", "url_hash"))
-    commitBloom(mergeBloom(Map.empty, blobs.map { case (b, (_, bits)) => b -> bits }))
+    val pendFile = ice.writeData(df, FRONTIER, "seed")
+    val seedRows = spark.read.parquet(pendFile)
+    val bloomFile = ice.writeData(
+      bloomDelta(seedRows.select($"host_bucket", $"url_hash")), BLOOM, "seed")
+    val bloomSnap = ice.commit(BLOOM, Seq(bloomFile), append = false)
+    ice.commit(FRONTIER, Seq(pendFile), append = false,
+      props = Map("round" -> "0", "bloom_snap" -> bloomSnap.toString,
+        "attempts_snap" -> "-1", "retired_snap" -> "-1", "lineage_snap" -> "-1"))
   }
 
   def nextRound: Long = ice.props(FRONTIER).getOrElse("round", "0").toLong
@@ -94,22 +124,30 @@ final class CrawlEngine(
       r += 1
       if (s.admitted == 0 && s.enqueued == 0) {
         // drain probe: any pending left (e.g., retries due later)?
-        draining = frontier().filter($"state" === FrontierEntry.Pending)
-          .limit(1).count() == 0
+        draining = pending().limit(1).count() == 0
       }
     }
     stats.result()
   }
 
-  def frontier(snapshotId: Option[Long] = None): DataFrame =
-    ice.read(spark, FRONTIER, snapshotId).getOrElse(spark.emptyDataset[FrontierEntry].toDF())
+  /** The pending frontier (the scheduling working set). */
+  def pending(): DataFrame =
+    ice.read(spark, FRONTIER).getOrElse(spark.emptyDataset[FrontierEntry].toDF())
+
+  /** The retired (done/dropped) frontier rows — append-only history. */
+  def retired(): DataFrame =
+    readPinned(RETIRED).getOrElse(spark.emptyDataset[FrontierEntry].toDF())
+
+  /** The full frontier view (pending ∪ retired); its key set IS the
+    * URL-seen set. */
+  def frontier(): DataFrame = pending().unionByName(retired())
 
   /** The canonical interleaved documents table — a pruned projection
     * of the attempts fact table (parquet reads only doc_id + spans).
     * With packedSpans the stored binary cell is unpacked back to the
     * normative array<struct> schema here (byte-equal by codec). */
   def documents(): DataFrame =
-    ice.read(spark, ATTEMPTS)
+    readPinned(ATTEMPTS)
       .map { df =>
         import org.apache.spark.sql.graftshim.ColumnShim
         import org.apache.spark.sql.types.BinaryType
@@ -125,14 +163,14 @@ final class CrawlEngine(
   /** Crawl order — a slim projection of the attempts fact table,
     * totally ordered by (round, priority, discovered_seq, url_hash). */
   def crawlLog(): DataFrame =
-    ice.read(spark, ATTEMPTS)
+    readPinned(ATTEMPTS)
       .map(_.select($"round", $"priority", $"discovered_seq", $"url_hash",
         $"url_canon", $"retry_count")
         .orderBy($"round", $"priority", $"discovered_seq", $"url_hash"))
       .getOrElse(spark.emptyDataFrame)
 
   def lineage(): DataFrame =
-    ice.read(spark, LINEAGE).getOrElse(spark.emptyDataFrame)
+    readPinned(LINEAGE).getOrElse(spark.emptyDataFrame)
 
   private val timing = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
   private def timed[T](label: String, r: Long)(f: => T): T = {
@@ -146,187 +184,232 @@ final class CrawlEngine(
 
   def runRound(r: Long): RoundStats = {
     val w = web; val c = cfg
-    val front = frontier()
-      val cands = front.filter($"state" === FrontierEntry.Pending && $"due_round" <= r)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val pend = pending()
+    val cands = pend.filter($"due_round" <= r)
 
-      // J3: politeness quota via broadcast join on the (small) host dim.
-      val hosts = cands.select($"host").distinct().as[String]
-        .map(h => (h, w.policy(h).quota(c.roundMs))).toDF("host", "quota")
-      val joined = cands.join(broadcast(hosts), "host")
+    // J3→F: politeness quota is a pure function of the host name —
+    // computed in place by a native expression. No distinct(), no
+    // broadcast, no extra job, no bound on the number of hosts.
+    val quotaCol = ColumnShim.column(graft.functions.HostQuotaExpr(
+      ColumnShim.expression($"host"), w, c.roundMs))
+    val joined = cands.withColumn("quota", quotaCol)
 
-      // W1: per-host priority dequeue, two-phase salted top-K. The
-      // salting phase pays a full extra shuffle+sort, so it's worth it
-      // only when a mega-host's pending set is far larger than
-      // salt×quota (the 10^10-frontier case); saltFanout=1 selects the
-      // single-window plan. Results are identical either way (phase 2
-      // is definitive; a global top-q row is a top-q row of its salt).
-      val ord = Seq($"priority", $"discovered_seq", $"url_hash")
-      val w2 = Window.partitionBy($"host").orderBy(ord: _*)
-      val preFiltered =
-        if (saltFanout <= 1) joined
-        else {
-          val w1 = Window.partitionBy($"host", $"salt").orderBy(ord: _*)
-          joined
-            .withColumn("salt", pmod($"url_hash", lit(saltFanout)))
-            .withColumn("rn1", row_number().over(w1))
-            .filter($"rn1" <= $"quota")
-            .drop("salt", "rn1")
-        }
-      val admitted = preFiltered
-        .withColumn("rn", row_number().over(w2))
-        .filter($"rn" <= $"quota")
-        .drop("rn", "quota")
-
-      // W2: global cap (maxConnections analog) — TakeOrderedAndProject.
-      val capped = c.maxPerRound match {
-        case Some(k) => admitted.orderBy(ord: _*).limit(k)
-        case None    => admitted
+    // W1: per-host priority dequeue, two-phase salted top-K. The
+    // salting phase pays a full extra shuffle+sort, so it's worth it
+    // only when a mega-host's pending set is far larger than
+    // salt×quota (the 10^10-frontier case); saltFanout=1 selects the
+    // single-window plan. Results are identical either way (phase 2
+    // is definitive; a global top-q row is a top-q row of its salt).
+    val ord = Seq($"priority", $"discovered_seq", $"url_hash")
+    val w2 = Window.partitionBy($"host").orderBy(ord: _*)
+    val preFiltered =
+      if (saltFanout <= 1) joined
+      else {
+        val w1 = Window.partitionBy($"host", $"salt").orderBy(ord: _*)
+        joined
+          .withColumn("salt", pmod($"url_hash", lit(saltFanout)))
+          .withColumn("rn1", row_number().over(w1))
+          .filter($"rn1" <= $"quota")
+          .drop("salt", "rn1")
       }
+    val admitted = preFiltered
+      .withColumn("rn", row_number().over(w2))
+      .filter($"rn" <= $"quota")
+      .drop("rn", "quota")
 
-      // S3+F6+F7: fetch + decode + extract — ONE pass over the admitted
-      // set, staged straight into the `attempts` fact table (columnar
-      // parquet). The documents table and the crawl log are *pruned
-      // projections* of this table (parquet column pruning makes them
-      // cheap), so the heavy nested span/link columns are shuffled
-      // never and written exactly once. No row-object caching: columnar
-      // scan beats a deserialized cache at every scale.
-      // rebalance the slim admitted rows by url_hash before the heavy
-      // fetch+encode stage: the window leaves host-hash partitioning,
-      // whose skew (mega-host) would otherwise become a straggler task
-      // in the most expensive stage of the round. The fetch itself is
-      // the native FetchExtractExpr expression — Catalyst internal rows
-      // end-to-end, no case-class/encoder layer (SURVEY.md §2.8).
-      import org.apache.spark.sql.graftshim.ColumnShim
-      val fetchCol = ColumnShim.column(graft.functions.FetchExtractExpr(
-        ColumnShim.expression($"url_canon"),
-        ColumnShim.expression($"retry_count"),
-        ColumnShim.expression($"discovered_seq"), w, c, c.packedSpans))
-      val attemptsOut = capped
-        .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
-          $"priority", $"discovered_seq", $"retry_count")
-        .repartition($"url_hash")
-        .withColumn("f", fetchCol)
-        .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
-          $"priority", $"discovered_seq", $"retry_count",
-          $"f.ok".as("ok"), $"f.has_doc".as("has_doc"),
-          $"f.spans".as("spans"), $"f.links".as("links"))
-        .withColumn("round", lit(r))
-      val attemptsFile = timed("fetch_stage", r) {
-        ice.writeData(attemptsOut, ATTEMPTS, s"r$r")
-      }
-      val attempts = spark.read.parquet(attemptsFile)
+    // W2: global cap (maxConnections analog) — TakeOrderedAndProject.
+    val capped = c.maxPerRound match {
+      case Some(k) => admitted.orderBy(ord: _*).limit(k)
+      case None    => admitted
+    }
 
-      // one slim-column job for all attempt-side stats.
-      val statsRow = timed("stats_agg", r) { attempts.agg(
-        count(lit(1)), sum(when($"ok", 1L).otherwise(0L)),
-        sum(size($"links"))).head() }
-      val nAdmitted = statsRow.getLong(0)
-      val nOk = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
-      val nDiscovered = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
-      val nFailed = nAdmitted - nOk
-      val nCandidates = -1L // derivable but not worth a frontier scan
+    // S3+F6+F7: fetch + decode + extract — ONE pass over the admitted
+    // set, staged straight into the `attempts` fact table (columnar
+    // parquet). The documents table and the crawl log are *pruned
+    // projections* of this table (parquet column pruning makes them
+    // cheap), so the heavy nested span/link columns are shuffled
+    // never and written exactly once. No row-object caching: columnar
+    // scan beats a deserialized cache at every scale.
+    // rebalance the slim admitted rows by url_hash before the heavy
+    // fetch+encode stage: the window leaves host-hash partitioning,
+    // whose skew (mega-host) would otherwise become a straggler task
+    // in the most expensive stage of the round. The fetch itself is
+    // the native FetchExtractExpr expression — Catalyst internal rows
+    // end-to-end, no case-class/encoder layer (SURVEY.md §2.8).
+    val fetchCol = ColumnShim.column(graft.functions.FetchExtractExpr(
+      ColumnShim.expression($"url_canon"),
+      ColumnShim.expression($"retry_count"),
+      ColumnShim.expression($"discovered_seq"), w, c, c.packedSpans))
+    val attemptsOut = capped
+      .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
+        $"priority", $"discovered_seq", $"retry_count")
+      .repartition($"url_hash")
+      .withColumn("f", fetchCol)
+      .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
+        $"priority", $"discovered_seq", $"retry_count",
+        $"f.ok".as("ok"), $"f.has_doc".as("has_doc"),
+        $"f.spans".as("spans"), $"f.links".as("links"))
+      .withColumn("round", lit(r))
+    val attemptsFile = timed("fetch_stage", r) {
+      ice.writeData(attemptsOut, ATTEMPTS, s"r$r")
+    }
+    val attempts = spark.read.parquet(attemptsFile)
 
-      // link discovery: flatten (links column only), min-seq dedup
-      // within the round, bloom-prefilter, exact left_anti against the
-      // frontier key set (J1/J2/A2).
-      val flat = attempts.select(explode($"links").as("l")).select("l.*")
-      val roundDedup = flat
-        .groupBy($"url_hash")
-        .agg(min(struct($"discovered_seq", $"priority", $"url_canon", $"host",
-          $"host_bucket")).as("m"))
-        .select($"url_hash", $"m.url_canon", $"m.host", $"m.host_bucket",
-          $"m.priority", $"m.discovered_seq")
+    // one slim-column job for all attempt-side stats.
+    val newRetry = when($"ok", $"retry_count").otherwise($"retry_count" + 1)
+    val statsRow = timed("stats_agg", r) { attempts.agg(
+      count(lit(1)), sum(when($"ok", 1L).otherwise(0L)),
+      sum(size($"links")),
+      sum(when($"ok" || newRetry > c.maxRetries, 1L).otherwise(0L))).head() }
+    val nAdmitted = statsRow.getLong(0)
+    val nOk = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val nDiscovered = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
+    val nRetired = if (statsRow.isNullAt(3)) 0L else statsRow.getLong(3)
+    val nFailed = nAdmitted - nOk
+    val nCandidates = -1L // derivable but not worth a frontier scan
 
-      val bloomMap = spark.sparkContext.broadcast(readBloom())
-      val maybeSeen = roundDedup.filter(
-        CrawlEngine.mightContainUdf(bloomMap)($"host_bucket", $"url_hash"))
-      val definitelyNew = roundDedup.filter(
-        !CrawlEngine.mightContainUdf(bloomMap)($"host_bucket", $"url_hash"))
-      val survivors = maybeSeen.join(
-        front.select($"url_hash"), Seq("url_hash"), "left_anti")
-      val newEntries = definitelyNew.unionByName(survivors)
-        .select($"url_canon".as("url"), $"url_canon", $"url_hash", $"host",
-          $"host_bucket", $"priority", $"discovered_seq",
-          lit(0).as("retry_count"), lit(r + 1).as("due_round"),
-          lit(FrontierEntry.Pending).as("state"))
+    // link discovery: flatten (links column only), min-seq dedup
+    // within the round, bloom-prefilter, exact left_anti against the
+    // frontier key set (J1/J2/A2).
+    val flat = attempts.select(explode($"links").as("l")).select("l.*")
+    val roundDedup = flat
+      .groupBy($"url_hash")
+      .agg(min(struct($"discovered_seq", $"priority", $"url_canon", $"host",
+        $"host_bucket")).as("m"))
+      .select($"url_hash", $"m.url_canon", $"m.host", $"m.host_bucket",
+        $"m.priority", $"m.discovered_seq")
 
-      // frontier update: retire attempted rows, merge outcomes + new —
-      // all materialized by the single frontier write below.
-      val newRetry = when($"ok", $"retry_count").otherwise($"retry_count" + 1)
-      val updates = attempts.select(
-        $"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
-        $"priority", $"discovered_seq",
-        newRetry.cast("int").as("retry_count"),
-        when($"ok", lit(r))
-          .when(newRetry > c.maxRetries, lit(r))
-          .otherwise(lit(r + 1) + newRetry).cast("long").as("due_round"),
-        when($"ok", FrontierEntry.Done)
-          .when(newRetry > c.maxRetries, FrontierEntry.Dropped)
-          .otherwise(FrontierEntry.Pending).as("state"))
-      val cols = updates.columns.map(col)
-      val newFrontier = front.select(cols: _*)
-        .join(updates.select($"url_hash"), Seq("url_hash"), "left_anti")
-        .select(cols: _*)
-        .unionByName(updates)
-        .unionByName(newEntries.select(cols: _*))
-        .repartition(c.numBuckets, $"host_bucket")
-      // Hive-style state=<s>/ partitioning: the admission scan's
-      // `state = 'pending'` predicate becomes a PartitionFilter, so the
-      // done/dropped majority (at steady state, almost everything) is
-      // never read during scheduling — only the url_hash column of all
-      // partitions is touched, by the dedup anti-join.
-      val frontierFile = timed("frontier_write", r) {
-        ice.writeData(newFrontier, FRONTIER, s"r$r", partitionCols = Seq("state"))
-      }
+    // J2/A2: EXECUTOR-SIDE bloom prefilter — candidates cogroup with
+    // the bloom delta table on host_bucket; each task ORs its buckets'
+    // delta blobs (merge-on-read) and tags candidates. No driver
+    // collect, no broadcast, no per-round serialization of filter bits.
+    val tagged = timed("bloom_tag", r) { bloomTag(roundDedup) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = tagged.filter(!$"maybe_seen")
+    // the exact check only runs for the bloom-positive minority; the
+    // seen-key columns come from a url_hash-only parquet read of
+    // pending ∪ retired
+    val seenKeys = pend.select($"url_hash")
+      .unionByName(retired().select($"url_hash"))
+    val survivors = tagged.filter($"maybe_seen")
+      .join(seenKeys, Seq("url_hash"), "left_anti")
+    val newEntries = definitelyNew.unionByName(survivors)
+      .select($"url_canon".as("url"), $"url_canon", $"url_hash", $"host",
+        $"host_bucket", $"priority", $"discovered_seq",
+        lit(0).as("retry_count"), lit(r + 1).as("due_round"),
+        lit(FrontierEntry.Pending).as("state"))
 
-      // newly enqueued rows, read back from the written frontier file
-      // (unique signature: pending, due r+1, no retries) — ONE job
-      // computes the bloom deltas, the per-bucket enqueued counts, and
-      // the total enqueued count (no second dedup-pipeline execution).
-      val written = spark.read.parquet(frontierFile)
-      val newRows = written.filter($"state" === FrontierEntry.Pending &&
-        $"due_round" === (r + 1) && $"retry_count" === 0)
-      val deltas = timed("bloom_enq", r) {
-        buildBloomDeltas(newRows.select($"host_bucket", $"url_hash"))
-      }
-      val nEnqueued = deltas.valuesIterator.map(_._1).sum
-      if (nEnqueued > 0)
-        commitBloom(mergeBloom(readBloom(),
-          deltas.map { case (b, (_, bits)) => b -> bits }))
+    // frontier update: attempted rows leave the pending set; retries
+    // come back with a bumped due_round; done/dropped append to the
+    // retired table. Per-round write = O(|pending| + |attempted|),
+    // NOT O(|seen set|).
+    val updates = attempts.select(
+      $"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
+      $"priority", $"discovered_seq",
+      newRetry.cast("int").as("retry_count"),
+      when($"ok", lit(r))
+        .when(newRetry > c.maxRetries, lit(r))
+        .otherwise(lit(r + 1) + newRetry).cast("long").as("due_round"),
+      when($"ok", FrontierEntry.Done)
+        .when(newRetry > c.maxRetries, FrontierEntry.Dropped)
+        .otherwise(FrontierEntry.Pending).as("state"))
+    val cols = updates.columns.map(col)
+    val newPending = pend.select(cols: _*)
+      .join(attempts.select($"url_hash"), Seq("url_hash"), "left_anti")
+      .select(cols: _*)
+      .unionByName(updates.filter($"state" === FrontierEntry.Pending))
+      .unionByName(newEntries.select(cols: _*))
+      .repartition(c.numBuckets, $"host_bucket")
+    val pendingFile = timed("frontier_write", r) {
+      ice.writeData(newPending, FRONTIER, s"r$r")
+    }
+    tagged.unpersist()
+    val retiredFile =
+      if (nRetired > 0)
+        Some(ice.writeData(updates.filter($"state" =!= FrontierEntry.Pending),
+          RETIRED, s"r$r"))
+      else None
 
-      // per-partition lineage + metrics (BASELINE.json:14).
-      val enqDf = spark.createDataset(
-        deltas.toSeq.map { case (b, (n, _)) => (b, n) })
-        .toDF("host_bucket", "enqueued")
-      val lineageDf = attempts.groupBy($"host_bucket").agg(
-        count(lit(1)).as("admitted"),
-        sum(when($"ok", 1L).otherwise(0L)).as("fetched_ok"),
-        sum(when(!$"ok", 1L).otherwise(0L)).as("failed"))
-        .join(enqDf, Seq("host_bucket"), "full_outer")
-        .na.fill(0L)
-        .select(lit(r).as("round"), $"host_bucket", $"admitted", $"fetched_ok",
-          $"failed", $"enqueued")
-      val lineageFiles = timed("lineage_write", r) {
-        if (nAdmitted + nEnqueued > 0) Seq(ice.writeData(lineageDf, LINEAGE, s"r$r"))
-        else Nil }
+    // newly enqueued rows, read back from the written pending file
+    // (unique signature: due r+1, no retries) — the bloom delta build
+    // is a per-partition fold (rows are already partitioned by
+    // host_bucket, so no shuffle), written as an append delta.
+    val written = spark.read.parquet(pendingFile)
+    val newRows = written.filter($"due_round" === (r + 1) && $"retry_count" === 0)
+    val deltaDf = bloomDelta(newRows.select($"host_bucket", $"url_hash"))
+    val bloomFile = timed("bloom_enq", r) {
+      ice.writeData(deltaDf, BLOOM, s"r$r")
+    }
+    val enqCounts = spark.read.parquet(bloomFile).select($"host_bucket", $"n")
+    val nEnqueued = enqCounts.agg(sum($"n")).head() match {
+      case row if row.isNullAt(0) => 0L
+      case row                    => row.getLong(0)
+    }
 
-      // atomic commit: everything becomes visible as snapshot r+1.
+    // per-partition lineage + metrics (BASELINE.json:14).
+    val lineageFile =
+      if (nAdmitted + nEnqueued > 0) {
+        val enqDf = enqCounts.groupBy($"host_bucket")
+          .agg(sum($"n").as("enqueued"))
+        val lineageDf = attempts.groupBy($"host_bucket").agg(
+          count(lit(1)).as("admitted"),
+          sum(when($"ok", 1L).otherwise(0L)).as("fetched_ok"),
+          sum(when(!$"ok", 1L).otherwise(0L)).as("failed"))
+          .join(enqDf, Seq("host_bucket"), "full_outer")
+          .na.fill(0L)
+          .select(lit(r).as("round"), $"host_bucket", $"admitted",
+            $"fetched_ok", $"failed", $"enqueued")
+        Some(timed("lineage_write", r) { ice.writeData(lineageDf, LINEAGE, s"r$r") })
+      } else None
+
+    // ---- commits: side tables first (parented at the pins), then the
+    // frontier commit — the single atomic round boundary — pins them.
+    val attemptsSnap =
       if (nAdmitted > 0)
         ice.commit(ATTEMPTS, Seq(attemptsFile), append = true,
-          Map("round" -> (r + 1).toString))
-      lineageFiles.foreach(f => ice.commit(LINEAGE, Seq(f), append = true,
-        Map("round" -> (r + 1).toString)))
-      ice.commit(FRONTIER, Seq(frontierFile), append = false,
-        Map("round" -> (r + 1).toString,
-          "admitted" -> nAdmitted.toString, "enqueued" -> nEnqueued.toString))
-      // snapshot GC: the frontier is replace-mode, so expired rounds'
-      // data dirs become unreferenced and are physically deleted.
-      c.retainSnapshots.foreach(k => ice.expireSnapshots(FRONTIER, k))
+          Map("round" -> (r + 1).toString), parentId = Some(pin(ATTEMPTS).getOrElse(-1L)))
+      else pin(ATTEMPTS).getOrElse(-1L)
+    val retiredSnap = retiredFile match {
+      case Some(f) => ice.commit(RETIRED, Seq(f), append = true,
+        Map("round" -> (r + 1).toString), parentId = Some(pin(RETIRED).getOrElse(-1L)))
+      case None => pin(RETIRED).getOrElse(-1L)
+    }
+    val lineageSnap = lineageFile match {
+      case Some(f) => ice.commit(LINEAGE, Seq(f), append = true,
+        Map("round" -> (r + 1).toString), parentId = Some(pin(LINEAGE).getOrElse(-1L)))
+      case None => pin(LINEAGE).getOrElse(-1L)
+    }
+    var bloomSnap =
+      if (nEnqueued > 0)
+        ice.commit(BLOOM, Seq(bloomFile), append = true,
+          Map("round" -> (r + 1).toString), parentId = Some(pin(BLOOM).getOrElse(-1L)))
+      else pin(BLOOM).getOrElse(-1L)
+    // compaction: squash the accumulated deltas into one blob per
+    // bucket so the merge-on-read OR stays O(1) per bucket
+    if (bloomSnap >= 0 && (r + 1) % c.bloomCompactEvery == 0)
+      bloomSnap = timed("bloom_compact", r) { compactBloom(bloomSnap) }
 
-      RoundStats(r, nCandidates, nAdmitted, nOk, nFailed, nDiscovered, nEnqueued)
+    ice.commit(FRONTIER, Seq(pendingFile), append = false,
+      Map("round" -> (r + 1).toString,
+        "admitted" -> nAdmitted.toString, "enqueued" -> nEnqueued.toString,
+        "attempts_snap" -> attemptsSnap.toString,
+        "retired_snap" -> retiredSnap.toString,
+        "lineage_snap" -> lineageSnap.toString,
+        "bloom_snap" -> bloomSnap.toString))
+    // snapshot GC: replaced frontier/bloom snapshots and crash orphans
+    // become unreferenced and their data dirs are physically deleted;
+    // append-table history stays valid because the latest manifest
+    // references all live files.
+    c.retainSnapshots.foreach { k =>
+      Seq(FRONTIER, BLOOM, ATTEMPTS, RETIRED, LINEAGE)
+        .foreach(t => ice.expireSnapshots(t, k))
+    }
+
+    RoundStats(r, nCandidates, nAdmitted, nOk, nFailed, nDiscovered, nEnqueued)
   }
 
-  // ---- bloom sidecar -------------------------------------------------
+  // ---- bloom sidecar (all executor-side) ------------------------------
 
   // expected URLs per bucket: (nHosts-1) ordinary hosts + one mega-host
   private def bloomBits: Int = {
@@ -335,56 +418,84 @@ final class CrawlEngine(
     Bloom.sizeFor(math.max(1L, totalPages / math.max(1, cfg.numBuckets)))
   }
 
-  // bloom blobs live on the driver between rounds (tiny: ~10 bits/URL);
-  // the parquet copy exists only for checkpoint/resume.
-  @transient private var bloomCache: Option[Map[Int, Array[Byte]]] = None
-
-  /** One job: per-bucket bloom delta AND per-bucket enqueued count. */
-  private def buildBloomDeltas(bucketHash: DataFrame): Map[Int, (Long, Array[Byte])] = {
+  /** Per-bucket bloom delta + enqueued count, built with a
+    * per-partition fold (the input is already hash-partitioned by
+    * host_bucket, so each bucket's rows live in one partition and no
+    * shuffle happens; if a reader ever splits a partition, duplicate
+    * partial rows per bucket are fine — the prefilter ORs all delta
+    * rows of a bucket anyway). Map-side bloom partials (BloomAggregator)
+    * are deliberately NOT used here: a 128 KB+ blob per (task, bucket)
+    * dwarfs the raw (bucket, hash) pairs at any realistic density. */
+  private def bloomDelta(bucketHash: DataFrame): DataFrame = {
     val bits = bloomBits
     bucketHash.as[(Int, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (bucket, it) =>
-        val arr = Bloom.empty(bits)
-        var n = 0L
-        it.foreach { case (_, h) => Bloom.add(arr, h); n += 1 }
-        (bucket, n, arr)
-      }.collect().map(t => t._1 -> (t._2, t._3)).toMap
-  }
-
-  private def mergeBloom(old: Map[Int, Array[Byte]],
-      delta: Map[Int, Array[Byte]]): Map[Int, Array[Byte]] =
-    (old.keySet ++ delta.keySet).map { b =>
-      (old.get(b), delta.get(b)) match {
-        case (Some(x), Some(y)) => b -> Bloom.or(x, y)
-        case (Some(x), None)    => b -> x
-        case (None, Some(y))    => b -> y
-        case _                  => b -> Bloom.empty(bloomBits)
+      .mapPartitions { it =>
+        val acc = new scala.collection.mutable.HashMap[Int, (Array[Byte], Long)]
+        it.foreach { case (b, h) =>
+          val (arr, n) = acc.getOrElseUpdate(b, (Bloom.empty(bits), 0L))
+          Bloom.add(arr, h)
+          acc(b) = (arr, n + 1)
+        }
+        acc.iterator.map { case (b, (arr, n)) => (b, n, arr) }
       }
-    }.toMap
-
-  private def commitBloom(m: Map[Int, Array[Byte]]): Unit = {
-    val df = spark.createDataset(m.toSeq).toDF("host_bucket", "bits")
-    ice.writeCommit(df, BLOOM, "bloom", append = false)
-    bloomCache = Some(m)
+      .toDF("host_bucket", "n", "bits")
   }
 
-  private def readBloom(): Map[Int, Array[Byte]] = bloomCache.getOrElse {
-    val m = ice.read(spark, BLOOM)
-      .map(_.as[(Int, Array[Byte])].collect().toMap)
-      .getOrElse(Map.empty)
-    bloomCache = Some(m)
-    m
+  /** Tag candidates with the bloom verdict, executor-side: cogroup on
+    * host_bucket with the pinned bloom table; each task ORs its
+    * buckets' delta blobs and probes. A bucket with no blobs yet tags
+    * everything definitely-new (correct: bloom has no false negatives
+    * and the exact anti-join remains the truth for positives). */
+  private def bloomTag(roundDedup: DataFrame): DataFrame = {
+    import CrawlEngine.{Cand, TaggedCand}
+    val candDs = roundDedup
+      .select($"url_hash", $"url_canon", $"host", $"host_bucket",
+        $"priority", $"discovered_seq")
+      .as[Cand]
+    val bloomDs = readPinned(BLOOM)
+      .map(_.select($"host_bucket", $"bits").as[(Int, Array[Byte])])
+      .getOrElse(spark.emptyDataset[(Int, Array[Byte])])
+    candDs.groupByKey(_.host_bucket)
+      .cogroup(bloomDs.groupByKey(_._1)) { (_, cit, bit) =>
+        val merged = bit.map(_._2).reduceOption(Bloom.or)
+        merged match {
+          case None => cit.map(c => TaggedCand(c.url_hash, c.url_canon,
+            c.host, c.host_bucket, c.priority, c.discovered_seq,
+            maybe_seen = false))
+          case Some(bits) => cit.map(c => TaggedCand(c.url_hash, c.url_canon,
+            c.host, c.host_bucket, c.priority, c.discovered_seq,
+            maybe_seen = Bloom.mightContain(bits, c.url_hash)))
+        }
+      }
+      .toDF()
+  }
+
+  /** Merge all delta rows into one blob per bucket and replace-commit. */
+  private def compactBloom(atSnap: Long): Long = {
+    val df = ice.read(spark, BLOOM, Some(atSnap))
+      .getOrElse(return atSnap)
+    val compacted = df.select($"host_bucket", $"n", $"bits")
+      .as[(Int, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .reduceGroups((a, b) => (a._1, a._2 + b._2, Bloom.or(a._3, b._3)))
+      .map(_._2)
+      .toDF("host_bucket", "n", "bits")
+    val f = ice.writeData(compacted, BLOOM, "compact")
+    ice.commit(BLOOM, Seq(f), append = false)
   }
 }
 
 object CrawlEngine {
-  import org.apache.spark.sql.expressions.UserDefinedFunction
-  import org.apache.spark.broadcast.Broadcast
 
   /** A discovered-link candidate (pre-dedup). */
   final case class LinkCand(url_canon: String, url_hash: Long, host: String,
       host_bucket: Int, priority: Int, discovered_seq: Long)
+
+  /** Candidate row shape for the executor-side bloom cogroup. */
+  final case class Cand(url_hash: Long, url_canon: String, host: String,
+      host_bucket: Int, priority: Int, discovered_seq: Long)
+  final case class TaggedCand(url_hash: Long, url_canon: String, host: String,
+      host_bucket: Int, priority: Int, discovered_seq: Long, maybe_seen: Boolean)
 
   /** A fetch attempt outcome (one row per admitted URL per round). */
   final case class Attempt(
@@ -414,10 +525,5 @@ object CrawlEngine {
       else Some(FrontierEntry(raw, canon, Hashing.xxhash64(canon), host,
         Hashing.hostBucket(host, cfg.numBuckets), priority, seq, 0, due,
         FrontierEntry.Pending))
-    }
-
-  def mightContainUdf(bm: Broadcast[Map[Int, Array[Byte]]]): UserDefinedFunction =
-    org.apache.spark.sql.functions.udf { (bucket: Int, hash: Long) =>
-      bm.value.get(bucket).exists(bits => Bloom.mightContain(bits, hash))
     }
 }

@@ -52,6 +52,22 @@ case class SimHash64Expr(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** `host_quota(host)`: per-host politeness quota for one BSP round —
+  * a pure function of the host name (policy is deterministic), so the
+  * engine computes it IN PLACE on candidate rows instead of building a
+  * distinct-host dimension and broadcasting a join every round. At
+  * 100M+ distinct hosts the dimension/broadcast would be a per-round
+  * job + memory wall; this is just a projected column. */
+case class HostQuotaExpr(child: Expression, web: graft.core.SyntheticWeb,
+    roundMs: Long) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(h: Any): Any =
+    web.policy(h.asInstanceOf[UTF8String].toString).quota(roundMs)
+  override protected def withNewChildInternal(c: Expression): HostQuotaExpr =
+    copy(child = c)
+  override def prettyName: String = "host_quota"
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.ColumnShim
 

@@ -74,13 +74,29 @@ final class IceLite(rootDir: String) {
   }
 
   /** Atomically commit a new snapshot. `append=true` carries forward the
-    * previous snapshot's file list; `append=false` replaces it. */
+    * base snapshot's file list; `append=false` replaces it.
+    *
+    * `parentId` selects the base snapshot for the append file list:
+    * None = the table's current snapshot (the default, single-writer
+    * semantics); Some(id ≥ 0) = that exact snapshot — the multi-table
+    * atomic-commit building block (a crash can leave a newer orphan
+    * snapshot on a side table; a resumed writer appends relative to the
+    * snapshot its root manifest pinned, so orphan files never leak into
+    * the recommitted lineage); Some(id < 0) = no base (fresh table).
+    * The new snapshot id is always current-max + 1, so ids stay
+    * monotonic even when the base is older. */
   def commit(table: String, newFiles: Seq[String], append: Boolean,
-      props: Map[String, String] = Map.empty): Long = {
+      props: Map[String, String] = Map.empty,
+      parentId: Option[Long] = None): Long = {
     val dir = tableDir(table)
     Files.createDirectories(dir)
-    val prev = currentManifest(table)
-    val id = prev.map(_.snapshotId + 1).getOrElse(0L)
+    val current = currentManifest(table)
+    val prev = parentId match {
+      case None                  => current
+      case Some(id) if id >= 0L  => Some(manifest(table, id))
+      case Some(_)               => None
+    }
+    val id = current.map(_.snapshotId + 1).getOrElse(0L)
     val files = (if (append) prev.map(_.files).getOrElse(Nil) else Nil) ++ newFiles
     val node: ObjectNode = mapper.createObjectNode()
     node.put("snapshot", id)

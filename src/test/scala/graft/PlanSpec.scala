@@ -102,12 +102,15 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("spans") && readSchema.contains("url_canon"))
     assert(!readSchema.contains("links"),
       s"documents view must not read the links column: $readSchema")
-    // the admission scan prunes whole state=done/dropped partitions
-    import org.apache.spark.sql.functions.col
-    val cands = eng.frontier().filter(col("state") === FrontierEntry.Pending)
-    val cp = cands.queryExecution.executedPlan.toString
-    assert(cp.contains("PartitionFilters: [") &&
-      cp.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(state"),
-      s"state filter is not a PartitionFilter:\n${cp.take(1200)}")
+    // lifecycle split: the admission scan reads ONLY the pending table —
+    // the retired majority (at steady state, almost everything) is in a
+    // separate append-only table whose files never appear in the scan
+    val cp = eng.pending().queryExecution.executedPlan.toString
+    assert(!cp.contains("/retired/"),
+      s"admission scan must not touch retired files:\n${cp.take(1200)}")
+    assert(eng.retired().count() > 0, "retired table should have rows after 2 rounds")
+    // and the seen set is the union of both tables' keys
+    assert(eng.frontier().count() ===
+      eng.pending().count() + eng.retired().count())
   }
 }
