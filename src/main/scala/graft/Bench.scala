@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main (driver contract + BASELINE.md protocol).
+/** Benchmark main (driver contract + BENCH/BASELINE.md protocol).
   *
   * Prints ONE JSON line:
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
@@ -11,12 +11,24 @@ import org.apache.spark.sql.SparkSession
   * Two parts:
   *  1. headline analytics queries on SPARK_GRAFT_SF_DIR at local[32]
   *     (each fully materialized via count()),
-  *  2. the crawl-engine frontier bench: the same seeded synthetic web
-  *     crawled for a fixed number of BSP rounds at local[32] and
-  *     local[8] — the sandbox proxy for the N vs 4N executor-cluster
-  *     scaling rule (no real cluster exists here; BASELINE.json:2,14).
-  *     Throughput = (URLs admitted + URLs deduped-enqueued) / wall sec;
-  *     efficiency = (tput32 / tput8) / 4.
+  *  2. the crawl-engine frontier bench, two parts:
+  *     - scaling pair: BASELINE.json's rule is "N and 4N executors on
+  *       a multi-executor cluster"; the sandbox proxy is Spark's
+  *       local-cluster mode — every executor is its OWN JVM (fixed
+  *       2 cores + 3g each, own heap/GC, netty shuffle between
+  *       processes), so cluster size N means N executor processes,
+  *       exactly like adding machines. Levels: 1 vs 4 executors
+  *       (c2/c8 = total cores), lean-page web (the north-rule metric
+  *       is frontier throughput — URLs scheduled + deduped / sec — so
+  *       pages carry links but minimal span payload). Best-of-2 per
+  *       level, interleaved, budget permitting; per-rep values are
+  *       reported so the driver snapshot is auditable.
+  *       Efficiency = (tput_4N / tput_N) / 4.
+  *     - headline c32: local[32], rich multi-KB pages, identical to
+  *       the BENCH_r01 protocol for round-over-round comparability.
+  *       (On this VM >8 cores REGRESSES for the crawl loop in every
+  *       geometry tested — see BENCH/BASELINE.md — so c32 measures
+  *       the content pipeline at full width, not the scaling story.)
   */
 object Bench {
 
@@ -24,8 +36,7 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-c$cores")
-      // 3x over-partitioning smooths stragglers in the skewed window
-      .config("spark.sql.shuffle.partitions", (cores * 3).toString)
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // only explicit broadcast() hints broadcast: a borderline-sized
       // auto-broadcast builds the relation single-threaded on the
@@ -60,51 +71,67 @@ object Bench {
       rs
     }
 
-    // part 2: crawl frontier bench. Headline throughput at local[32];
-    // the N-vs-4N scaling pair is local[2] vs local[8] — both below
-    // this single VM's memory-bandwidth saturation point (~8 threads
-    // for this shuffle-heavy workload; measured: warm local[8] equals
-    // warm local[32]). On a real cluster each added node brings its
-    // own memory bandwidth, so the 2→8 ratio is the honest proxy for
-    // N→4N executors (BASELINE.md protocol).
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
-    // each level runs in its own JVM with proportional heap + GC
-    // threads (see CrawlLevelBench): N=2 cores/8g, 4N=8 cores/32g,
-    // headline 32 cores/48g. reps shrink if the wall-clock budget runs
-    // low (better a 1-rep number than a killed bench).
-    // Measurement order & reps are chosen for the VM's noise profile:
-    // local[2] is stable (±10%) so one rep suffices; higher-parallelism
-    // runs hit an intermittent degraded mode (external interference
-    // throttles the VM), so local[8] gets as many reps as the budget
-    // allows (best-of-n estimates capability, not noise), then
-    // local[32] for the headline.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "300").toInt
+    // part 2: crawl frontier bench (multi-executor local-cluster).
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val seeds = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEEDS", "600000").toInt
+    val roundMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDMS", "80000").toLong
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toInt
     val tStart = System.nanoTime()
     def remaining: Double = budgetS - (System.nanoTime() - tStart) / 1e9
-    val seeds = 200000
-    val roundMs = 40000L
-    val (tput2, wall2) =
-      if (skipScaling) (0.0, 0.0)
-      else CrawlLevelBench.spawn(2, rounds, reps = 1, heapGb = 8,
-        seeds = seeds, roundMs = roundMs)
-    val c8reps = math.max(1, math.min(3, ((remaining - 110) / 40).toInt))
-    val (tput8, wall8) =
-      if (skipScaling) (0.0, 0.0)
-      else CrawlLevelBench.spawn(8, rounds, reps = c8reps, heapGb = 32,
-        seeds = seeds, roundMs = roundMs)
-    val c32reps = math.max(1, math.min(2, ((remaining - 50) / 50).toInt))
-    val (tput32, wall32) = CrawlLevelBench.spawn(32, rounds, reps = c32reps,
-      heapGb = 48, seeds = seeds, roundMs = roundMs)
+
+    def level(cores: Int, lean: Boolean, heapGb: Int): (Double, Double) =
+      CrawlLevelBench.spawn(cores, rounds, reps = 1, heapGb = heapGb,
+        seeds = seeds, roundMs = roundMs, lean = lean, cluster = true)
+
+    var reps2 = List.empty[Double]; var reps8 = List.empty[Double]
+    var reps32 = List.empty[Double]
+    var wall2 = 0.0; var wall8 = 0.0; var wall32 = 0.0
+    if (!skipScaling) {
+      // N = 1 executor (2 cores), 4N = 4 executors (8 cores);
+      // best-of-2 per level whenever the budget allows (the VM's
+      // interference mode is bimodal — single shots are not credible),
+      // interleaved c2/c8/c2/c8 so drift hits both levels alike
+      val (t2, w2) = level(2, lean = true, heapGb = 6)
+      reps2 ::= t2; wall2 = w2
+      val (t8, w8) = level(8, lean = true, heapGb = 6)
+      reps8 ::= t8; wall8 = w8
+      if (remaining > (wall2 + wall8) * 1.4 + 40) {
+        val (t2b, _) = level(2, lean = true, heapGb = 6)
+        reps2 ::= t2b
+        val (t8b, _) = level(8, lean = true, heapGb = 6)
+        reps8 ::= t8b
+      }
+    }
+    // headline continuity with BENCH_r01: local[32], rich multi-KB
+    // pages, same web/knobs as the round-1 protocol — measures the
+    // whole content pipeline at the VM's full width
+    val c32reps = math.max(1, math.min(2, ((remaining - 60) / 75).toInt))
+    (1 to c32reps).foreach { _ =>
+      if (reps32.isEmpty || remaining > 75) {
+        val (t, w) = CrawlLevelBench.spawn(32, 2, reps = 1, heapGb = 48,
+          seeds = 200000, roundMs = 40000, lean = false, cluster = false)
+        reps32 ::= t; wall32 = w
+      }
+    }
+
+    val tput2 = reps2.foldLeft(0.0)(math.max)
+    val tput8 = reps8.foldLeft(0.0)(math.max)
+    val tput32 = reps32.foldLeft(0.0)(math.max)
     val efficiency = if (tput2 > 0) (tput8 / tput2) / 4.0 else -1.0
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
+    def arr(xs: List[Double]) = xs.reverse.map(x => f"$x%.0f").mkString("[", ",", "]")
     val crawl =
       f"""{"tput_urls_per_s_c32":$tput32%.0f,"wall_s_c32":$wall32%.1f,""" +
         f""""tput_urls_per_s_c8":$tput8%.0f,"wall_s_c8":$wall8%.1f,""" +
         f""""tput_urls_per_s_c2":$tput2%.0f,"wall_s_c2":$wall2%.1f,""" +
-        f""""scaling_efficiency_n_to_4n":$efficiency%.3f,"n_cores":2,"rounds":$rounds}"""
+        f""""scaling_efficiency_n_to_4n":$efficiency%.3f,""" +
+        s""""reps_c2":${arr(reps2)},"reps_c8":${arr(reps8)},"reps_c32":${arr(reps32)},""" +
+        s""""pair_mode":"local-cluster 1 vs 4 executors x 2 cores, lean frontier workload",""" +
+        s""""c32_mode":"local[32] rich pages (BENCH_r01 headline protocol)",""" +
+        s""""seeds":$seeds,"rounds":$rounds}"""
     // single JSON line:
     val line = new StringBuilder
     line ++= f"""{"metric":"total","value":$total%.3f,"unit":"sec","""

@@ -14,6 +14,24 @@ import graft.engine.CrawlEngine
   *
   * Prints one line: `[levelbench] <tput_urls_per_s> <wall_s>`.
   */
+/** Diagnostic listener (SPARK_GRAFT_STAGEMETRICS=1): per-stage executor
+  * run vs cpu time — the gap is blocking (locks, I/O waits), which wall
+  * clocks alone can't show. */
+final class StageMetricsListener extends org.apache.spark.scheduler.SparkListener {
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val si = sc.stageInfo
+    val tm = si.taskMetrics
+    if (tm != null && tm.executorRunTime > 200)
+      println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%3d " +
+        f"run=${tm.executorRunTime / 1000.0}%6.1fs cpu=${tm.executorCpuTime / 1e9}%6.1fs " +
+        f"gc=${tm.jvmGCTime / 1000.0}%4.1fs " +
+        f"shufWr=${tm.shuffleWriteMetrics.writeTime / 1e9}%4.1fs " +
+        f"fetchWait=${tm.shuffleReadMetrics.fetchWaitTime / 1000.0}%4.1fs " +
+        si.name.take(44))
+  }
+}
+
 object CrawlLevelBench {
 
   private[graft] def benchTmp: java.nio.file.Path = {
@@ -22,12 +40,41 @@ object CrawlLevelBench {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
+  private[graft] def ExecCores: Int =
+    sys.env.get("SPARK_GRAFT_EXEC_CORES").map(_.toInt).getOrElse(2)
+
   private[graft] def newSession(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
+    // SPARK_GRAFT_CLUSTER=1: spin up a real multi-executor cluster
+    // (local-cluster mode — one separate executor JVM per `ExecCores`
+    // cores, netty shuffle between processes, own heap + GC per
+    // executor), the honest sandbox proxy for BASELINE.json's "N and
+    // 4N executors". Plain local[N] remains for unit-scale work.
+    val cluster = sys.env.get("SPARK_GRAFT_CLUSTER").contains("1")
+    val builder = SparkSession.builder()
       .appName(s"graft-bench-c$cores")
-      // 3x over-partitioning smooths stragglers in the skewed window
-      .config("spark.sql.shuffle.partitions", (cores * 3).toString)
+    if (cluster) {
+      val execs = math.max(1, cores / ExecCores)
+      val addOpens = jvmAddOpens.mkString(" ")
+      // executors start in their own work dir — the classpath must be
+      // absolute or app classes (and their serialized lambdas) vanish
+      val absCp = System.getProperty("java.class.path")
+        .split(java.io.File.pathSeparator)
+        .map(p => java.nio.file.Paths.get(p).toAbsolutePath.toString)
+        .mkString(java.io.File.pathSeparator)
+      builder
+        .master(s"local-cluster[$execs,$ExecCores,4096]")
+        .config("spark.executor.memory", "3g")
+        .config("spark.executor.extraClassPath", absCp)
+        .config("spark.executor.extraJavaOptions",
+          s"$addOpens -XX:+UseParallelGC -XX:ParallelGCThreads=$ExecCores")
+    } else builder.master(s"local[$cores]")
+    val s = builder
+      // one wave: stage-metrics profiling showed per-task fixed costs
+      // (writer init, codegen instances, task (de)serialization)
+      // inflating total executor-seconds ~2x at 3 waves — fewer,
+      // bigger tasks beat tail-smoothing here because the fetch stage
+      // is rebalanced by url_hash anyway
+      .config("spark.sql.shuffle.partitions", cores.toString)
       // AQE off for the bench loop: its per-stage driver re-planning is
       // pure serial overhead here (the loop's partition counts are
       // already tuned), measured at ~10% of c8 wall
@@ -49,6 +96,15 @@ object CrawlLevelBench {
     nHosts = 8000, pagesPerHost = 600, megaFactor = 12,
     spanBase = 40, spanRange = 30, wordBase = 8, wordRange = 10)
 
+  /** Lean-page variant of the same web: identical URL/link/frontier
+    * structure, minimal span payload — isolates the frontier
+    * scheduling machinery (window dequeue, dedup joins, bloom, state
+    * commits), which is what the north-rule metric counts (URLs
+    * scheduled+deduped/sec). */
+  private[graft] def leanWeb = SyntheticWeb(
+    nHosts = 8000, pagesPerHost = 600, megaFactor = 12,
+    spanBase = 2, spanRange = 4, wordBase = 3, wordRange = 4)
+
   private[graft] def runCrawl(spark: SparkSession, web: SyntheticWeb,
       cfg: CrawlConfig, seeds: Int): (Double, Double) = {
     val dir = Files.createTempDirectory(benchTmp, "graft-bench").toString
@@ -68,12 +124,18 @@ object CrawlLevelBench {
 
   /** warmup (JIT + codegen) then best-of-`reps` measured runs. */
   private[graft] def benchAt(spark: SparkSession, rounds: Int, reps: Int,
-      seeds: Int, roundMs: Long): (Double, Double) = {
-    runCrawl(spark, SyntheticWeb(nHosts = 400, pagesPerHost = 80, megaFactor = 4,
-      spanBase = 40, spanRange = 30, wordBase = 8, wordRange = 10),
-      CrawlConfig(numBuckets = 64, roundMs = 5000L, maxRounds = 2), seeds = 20000)
+      seeds: Int, roundMs: Long, lean: Boolean): (Double, Double) = {
+    val warmWeb = SyntheticWeb(nHosts = 400, pagesPerHost = 80, megaFactor = 4,
+      spanBase = if (lean) 2 else 40, spanRange = if (lean) 4 else 30,
+      wordBase = if (lean) 3 else 8, wordRange = if (lean) 4 else 10)
+    // warmup must use the SAME config knobs that shape codegen/plans
+    // (packedSpans schema, retention) so the measured rounds hit the
+    // generated-code cache instead of recompiling per stage
+    runCrawl(spark, warmWeb,
+      CrawlConfig(numBuckets = 64, roundMs = 5000L, maxRounds = 2,
+        retainSnapshots = Some(2), packedSpans = true), seeds = 20000)
     (1 to reps).map { _ =>
-      runCrawl(spark, measuredWeb,
+      runCrawl(spark, if (lean) leanWeb else measuredWeb,
         CrawlConfig(numBuckets = 64, roundMs = roundMs, maxRounds = rounds,
           retainSnapshots = Some(2), packedSpans = true),
         seeds = seeds)
@@ -86,38 +148,57 @@ object CrawlLevelBench {
     val reps = args(2).toInt
     val seeds = if (args.length > 3) args(3).toInt else 300000
     val roundMs = if (args.length > 4) args(4).toLong else 50000L
+    val lean = args.length > 5 && args(5) == "lean"
     val spark = newSession(cores)
-    val (tput, wall) = benchAt(spark, rounds, reps, seeds, roundMs)
+    if (sys.env.get("SPARK_GRAFT_STAGEMETRICS").contains("1"))
+      spark.sparkContext.addSparkListener(new StageMetricsListener)
+    val (tput, wall) = benchAt(spark, rounds, reps, seeds, roundMs, lean)
     spark.stop()
     println(f"[levelbench] $tput%.1f $wall%.2f")
   }
 
-  /** Spawn a fresh JVM for `cores` with proportional heap + GC threads.
-    * Returns (tput, wall). */
+  private[graft] def jvmAddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED")
+
+  /** Spawn a fresh driver JVM for `cores`. In `cluster` mode the JVM is
+    * a thin driver (executors are separate per-2-core JVMs spawned by
+    * local-cluster with 3g each); otherwise a local[cores] JVM with
+    * proportional GC threads. Returns (tput, wall). */
   def spawn(cores: Int, rounds: Int, reps: Int, heapGb: Int,
-      seeds: Int = 300000, roundMs: Long = 50000L): (Double, Double) = {
+      seeds: Int = 300000, roundMs: Long = 50000L,
+      lean: Boolean = false, cluster: Boolean = false): (Double, Double) = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val addOpens = jvmAddOpens.flatMap(s => {
+      val Array(k, v) = s.stripPrefix("--add-opens=").split("=")
+      Seq("--add-opens", s"$k=$v")
+    })
     val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx${heapGb}g",
       "-XX:+UseParallelGC",
-      s"-XX:ParallelGCThreads=${math.max(2, cores)}",
+      s"-XX:ParallelGCThreads=${math.max(2, if (cluster) 2 else cores)}",
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
       "graft.CrawlLevelBench", cores.toString, rounds.toString, reps.toString,
-      seeds.toString, roundMs.toString)
+      seeds.toString, roundMs.toString, if (lean) "lean" else "rich")
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    if (cluster) {
+      pb.environment().put("SPARK_GRAFT_CLUSTER", "1")
+      // the standalone launcher needs these to assemble executor JVMs
+      pb.environment().put("SPARK_HOME",
+        sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+      pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    }
     val out = new StringBuilder
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val proc = pb.start()
     val src = scala.io.Source.fromInputStream(proc.getInputStream)
     src.getLines().foreach { l => if (l.contains("[levelbench]")) out ++= l }
     proc.waitFor()

@@ -93,7 +93,12 @@ final class CrawlEngine(
     val entries = seeds.zipWithIndex.flatMap { case (u, i) =>
       CrawlEngine.toEntry(w, u, 5, i.toLong, due = 0L, c)
     }.groupBy(_.url_hash).map { case (_, g) => g.minBy(_.discovered_seq) }.toSeq
-    val df = spark.createDataset(entries).toDF()
+    // ship the seed list in slices (one giant createDataset closure hits
+    // the RPC task-size ceiling at ~1M+ seeds)
+    val slices = math.max(spark.sparkContext.defaultParallelism,
+      entries.size / 100000 + 1)
+    val df = spark.createDataset(
+      spark.sparkContext.parallelize(entries, slices)).toDF()
       .repartition(cfg.numBuckets, $"host_bucket")
     val pendFile = ice.writeData(df, FRONTIER, "seed")
     val seedRows = spark.read.parquet(pendFile)
@@ -255,36 +260,17 @@ final class CrawlEngine(
       ice.writeData(attemptsOut, ATTEMPTS, s"r$r")
     }
     val attempts = spark.read.parquet(attemptsFile)
-
-    // one slim-column job for all attempt-side stats.
+    // row-group metadata count — no data scan
+    val nAdmitted = attempts.count()
     val newRetry = when($"ok", $"retry_count").otherwise($"retry_count" + 1)
-    val statsRow = timed("stats_agg", r) { attempts.agg(
-      count(lit(1)), sum(when($"ok", 1L).otherwise(0L)),
-      sum(size($"links")),
-      sum(when($"ok" || newRetry > c.maxRetries, 1L).otherwise(0L))).head() }
-    val nAdmitted = statsRow.getLong(0)
-    val nOk = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
-    val nDiscovered = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
-    val nRetired = if (statsRow.isNullAt(3)) 0L else statsRow.getLong(3)
-    val nFailed = nAdmitted - nOk
     val nCandidates = -1L // derivable but not worth a frontier scan
 
-    // link discovery: flatten (links column only), min-seq dedup
-    // within the round, bloom-prefilter, exact left_anti against the
-    // frontier key set (J1/J2/A2).
+    // link discovery: flatten (links column only), then ONE shuffle on
+    // host_bucket does both the within-round min-seq dedup and the
+    // bloom prefilter — same-URL candidates share their host, hence
+    // their host_bucket, so they co-locate in the cogroup (J1/J2/A2).
     val flat = attempts.select(explode($"links").as("l")).select("l.*")
-    val roundDedup = flat
-      .groupBy($"url_hash")
-      .agg(min(struct($"discovered_seq", $"priority", $"url_canon", $"host",
-        $"host_bucket")).as("m"))
-      .select($"url_hash", $"m.url_canon", $"m.host", $"m.host_bucket",
-        $"m.priority", $"m.discovered_seq")
-
-    // J2/A2: EXECUTOR-SIDE bloom prefilter — candidates cogroup with
-    // the bloom delta table on host_bucket; each task ORs its buckets'
-    // delta blobs (merge-on-read) and tags candidates. No driver
-    // collect, no broadcast, no per-round serialization of filter bits.
-    val tagged = timed("bloom_tag", r) { bloomTag(roundDedup) }
+    val tagged = timed("bloom_tag", r) { bloomTag(flat) }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val definitelyNew = tagged.filter(!$"maybe_seen")
     // the exact check only runs for the bloom-positive minority; the
@@ -314,52 +300,109 @@ final class CrawlEngine(
       when($"ok", FrontierEntry.Done)
         .when(newRetry > c.maxRetries, FrontierEntry.Dropped)
         .otherwise(FrontierEntry.Pending).as("state"))
+    // the attempted-key set is quota-bounded (small next to the pending
+    // set at steady state) — broadcasting it turns the retire anti-join
+    // into a map-side hash probe, so the pending rewrite is a single
+    // shuffle-free pass: probe + union + write. Past the threshold
+    // (possible only with huge global caps) fall back to a shuffle join.
+    // Small admitted sets broadcast (map-side probe, no pending
+    // shuffle); large ones shuffle-join — the driver-side broadcast
+    // build is serial and linear in |admitted|, so past the threshold
+    // the parallel shuffle wins on wall clock. (At 10^10-frontier scale
+    // the endgame is a bucketed co-partitioned storage join; both forms
+    // here keep the exact same semantics.)
+    val bcastMax =
+      sys.env.get("SPARK_GRAFT_BCAST_MAX").map(_.toLong).getOrElse(500000L)
+    val attemptKeys =
+      if (nAdmitted <= bcastMax) broadcast(attempts.select($"url_hash"))
+      else attempts.select($"url_hash")
     val cols = updates.columns.map(col)
     val newPending = pend.select(cols: _*)
-      .join(attempts.select($"url_hash"), Seq("url_hash"), "left_anti")
+      .join(attemptKeys, Seq("url_hash"), "left_anti")
       .select(cols: _*)
       .unionByName(updates.filter($"state" === FrontierEntry.Pending))
       .unionByName(newEntries.select(cols: _*))
-      .repartition(c.numBuckets, $"host_bucket")
+
+    // independent jobs run CONCURRENTLY (Spark schedules them onto free
+    // cores): the attempt-side stats aggregate and the retired-delta
+    // write don't depend on the pending rewrite, and serializing them
+    // would leave the cluster idle between stage barriers — measured
+    // ~30% of wall at 8 cores was stage-tail/driver idle time.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = CrawlEngine.jobEc
+    val futStats = Future { timed("stats_agg", r) { attempts.agg(
+      sum(when($"ok", 1L).otherwise(0L)),
+      sum(size($"links")),
+      sum(when($"ok" || newRetry > c.maxRetries, 1L).otherwise(0L))).head() } }
+    // lineage's attempt-side per-bucket aggregate is independent of the
+    // pending rewrite — overlap it too; it's bucket-count-sized, so the
+    // final lineage table is assembled driver-side from two tiny sides
+    val futLinLeft = Future {
+      attempts.groupBy($"host_bucket").agg(
+        count(lit(1)).as("admitted"),
+        sum(when($"ok", 1L).otherwise(0L)).as("fetched_ok"),
+        sum(when(!$"ok", 1L).otherwise(0L)).as("failed"))
+        .collect()
+    }
+    val futRetired = Future {
+      if (nAdmitted > 0) {
+        val f = timed("retired_write", r) {
+          ice.writeData(updates.filter($"state" =!= FrontierEntry.Pending),
+            RETIRED, s"r$r")
+        }
+        val n = spark.read.parquet(f).count() // metadata count
+        if (n > 0) Some(f) else None
+      } else None
+    }
     val pendingFile = timed("frontier_write", r) {
       ice.writeData(newPending, FRONTIER, s"r$r")
     }
     tagged.unpersist()
-    val retiredFile =
-      if (nRetired > 0)
-        Some(ice.writeData(updates.filter($"state" =!= FrontierEntry.Pending),
-          RETIRED, s"r$r"))
-      else None
+    val statsRow = Await.result(futStats, Duration.Inf)
+    val nOk = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val nDiscovered = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val nFailed = nAdmitted - nOk
+    val retiredFile = Await.result(futRetired, Duration.Inf)
 
     // newly enqueued rows, read back from the written pending file
-    // (unique signature: due r+1, no retries) — the bloom delta build
-    // is a per-partition fold (rows are already partitioned by
-    // host_bucket, so no shuffle), written as an append delta.
+    // (unique signature: due r+1, no retries) as a slim 2-column scan,
+    // re-keyed by host_bucket (a shuffle of ONLY the new rows — the
+    // pending write itself stays shuffle-free), then folded into
+    // per-bucket bloom deltas.
     val written = spark.read.parquet(pendingFile)
+    // partition count = session parallelism, NOT numBuckets: the
+    // per-partition fold handles many buckets per task, and hashing on
+    // host_bucket still puts each bucket wholly inside one partition
     val newRows = written.filter($"due_round" === (r + 1) && $"retry_count" === 0)
-    val deltaDf = bloomDelta(newRows.select($"host_bucket", $"url_hash"))
+      .select($"host_bucket", $"url_hash")
+      .repartition($"host_bucket")
+    val deltaDf = bloomDelta(newRows)
     val bloomFile = timed("bloom_enq", r) {
       ice.writeData(deltaDf, BLOOM, s"r$r")
     }
-    val enqCounts = spark.read.parquet(bloomFile).select($"host_bucket", $"n")
-    val nEnqueued = enqCounts.agg(sum($"n")).head() match {
-      case row if row.isNullAt(0) => 0L
-      case row                    => row.getLong(0)
+    val enqRows = timed("enq_count", r) {
+      spark.read.parquet(bloomFile).select($"host_bucket", $"n").collect()
     }
+    val enqByBucket = enqRows.groupBy(_.getInt(0))
+      .map { case (b, rs) => b -> rs.map(_.getLong(1)).sum }
+    val nEnqueued = enqByBucket.valuesIterator.sum
 
-    // per-partition lineage + metrics (BASELINE.json:14).
+    // per-partition lineage + metrics (BASELINE.json:14): both sides
+    // are bucket-count-sized — assemble driver-side, one tiny write
     val lineageFile =
       if (nAdmitted + nEnqueued > 0) {
-        val enqDf = enqCounts.groupBy($"host_bucket")
-          .agg(sum($"n").as("enqueued"))
-        val lineageDf = attempts.groupBy($"host_bucket").agg(
-          count(lit(1)).as("admitted"),
-          sum(when($"ok", 1L).otherwise(0L)).as("fetched_ok"),
-          sum(when(!$"ok", 1L).otherwise(0L)).as("failed"))
-          .join(enqDf, Seq("host_bucket"), "full_outer")
-          .na.fill(0L)
-          .select(lit(r).as("round"), $"host_bucket", $"admitted",
-            $"fetched_ok", $"failed", $"enqueued")
+        val left = Await.result(futLinLeft, Duration.Inf)
+          .map(row => row.getInt(0) ->
+            (row.getLong(1), row.getLong(2), row.getLong(3))).toMap
+        val rows = (left.keySet ++ enqByBucket.keySet).toSeq.sorted.map { b =>
+          val (adm, ok, fl) = left.getOrElse(b, (0L, 0L, 0L))
+          (r, b, adm, ok, fl, enqByBucket.getOrElse(b, 0L))
+        }
+        val lineageDf = spark.createDataset(rows)
+          .toDF("round", "host_bucket", "admitted", "fetched_ok", "failed",
+            "enqueued")
+          .coalesce(1)
         Some(timed("lineage_write", r) { ice.writeData(lineageDf, LINEAGE, s"r$r") })
       } else None
 
@@ -401,9 +444,11 @@ final class CrawlEngine(
     // become unreferenced and their data dirs are physically deleted;
     // append-table history stays valid because the latest manifest
     // references all live files.
-    c.retainSnapshots.foreach { k =>
-      Seq(FRONTIER, BLOOM, ATTEMPTS, RETIRED, LINEAGE)
-        .foreach(t => ice.expireSnapshots(t, k))
+    timed("snapshot_gc", r) {
+      c.retainSnapshots.foreach { k =>
+        Seq(FRONTIER, BLOOM, ATTEMPTS, RETIRED, LINEAGE)
+          .foreach(t => ice.expireSnapshots(t, k))
+      }
     }
 
     RoundStats(r, nCandidates, nAdmitted, nOk, nFailed, nDiscovered, nEnqueued)
@@ -419,13 +464,13 @@ final class CrawlEngine(
   }
 
   /** Per-bucket bloom delta + enqueued count, built with a
-    * per-partition fold (the input is already hash-partitioned by
-    * host_bucket, so each bucket's rows live in one partition and no
-    * shuffle happens; if a reader ever splits a partition, duplicate
-    * partial rows per bucket are fine — the prefilter ORs all delta
-    * rows of a bucket anyway). Map-side bloom partials (BloomAggregator)
-    * are deliberately NOT used here: a 128 KB+ blob per (task, bucket)
-    * dwarfs the raw (bucket, hash) pairs at any realistic density. */
+    * per-partition fold over host_bucket-partitioned input (each
+    * bucket's rows live in one partition; if a caller ever passes
+    * split partitions, duplicate partial rows per bucket are fine —
+    * the prefilter ORs all delta rows of a bucket anyway). Map-side
+    * bloom partials (BloomAggregator) are deliberately NOT used here:
+    * a 128 KB+ blob per (task, bucket) dwarfs the raw (bucket, hash)
+    * pairs at any realistic density. */
   private def bloomDelta(bucketHash: DataFrame): DataFrame = {
     val bits = bloomBits
     bucketHash.as[(Int, Long)]
@@ -441,14 +486,20 @@ final class CrawlEngine(
       .toDF("host_bucket", "n", "bits")
   }
 
-  /** Tag candidates with the bloom verdict, executor-side: cogroup on
-    * host_bucket with the pinned bloom table; each task ORs its
-    * buckets' delta blobs and probes. A bucket with no blobs yet tags
+  /** Within-round dedup + bloom tag in ONE shuffle, executor-side:
+    * raw link candidates cogroup on host_bucket with the pinned bloom
+    * table. Same-URL duplicates necessarily share their host_bucket,
+    * so the first-discovery-wins rule (min (discovered_seq, priority)
+    * per url_hash — duplicates of a URL agree on every other field) is
+    * resolved inside the task; then each task ORs its buckets' delta
+    * blobs (merge-on-read) and probes. A bucket with no blobs yet tags
     * everything definitely-new (correct: bloom has no false negatives
-    * and the exact anti-join remains the truth for positives). */
-  private def bloomTag(roundDedup: DataFrame): DataFrame = {
+    * and the exact anti-join remains the truth for positives). No
+    * driver collect, no broadcast, no per-round serialization of
+    * filter bits. */
+  private def bloomTag(rawCands: DataFrame): DataFrame = {
     import CrawlEngine.{Cand, TaggedCand}
-    val candDs = roundDedup
+    val candDs = rawCands
       .select($"url_hash", $"url_canon", $"host", $"host_bucket",
         $"priority", $"discovered_seq")
       .as[Cand]
@@ -457,14 +508,20 @@ final class CrawlEngine(
       .getOrElse(spark.emptyDataset[(Int, Array[Byte])])
     candDs.groupByKey(_.host_bucket)
       .cogroup(bloomDs.groupByKey(_._1)) { (_, cit, bit) =>
+        val best = new scala.collection.mutable.HashMap[Long, Cand]
+        cit.foreach { c =>
+          best.get(c.url_hash) match {
+            case Some(b) if b.discovered_seq < c.discovered_seq ||
+              (b.discovered_seq == c.discovered_seq &&
+                b.priority <= c.priority) => ()
+            case _ => best(c.url_hash) = c
+          }
+        }
         val merged = bit.map(_._2).reduceOption(Bloom.or)
-        merged match {
-          case None => cit.map(c => TaggedCand(c.url_hash, c.url_canon,
-            c.host, c.host_bucket, c.priority, c.discovered_seq,
-            maybe_seen = false))
-          case Some(bits) => cit.map(c => TaggedCand(c.url_hash, c.url_canon,
-            c.host, c.host_bucket, c.priority, c.discovered_seq,
-            maybe_seen = Bloom.mightContain(bits, c.url_hash)))
+        best.valuesIterator.map { c =>
+          TaggedCand(c.url_hash, c.url_canon, c.host, c.host_bucket,
+            c.priority, c.discovered_seq,
+            maybe_seen = merged.exists(Bloom.mightContain(_, c.url_hash)))
         }
       }
       .toDF()
@@ -486,6 +543,18 @@ final class CrawlEngine(
 }
 
 object CrawlEngine {
+
+  /** Thread pool for concurrent same-round Spark job submission (the
+    * jobs are independent; Spark's scheduler interleaves their stages
+    * onto free cores). Small and daemon — only a handful of jobs per
+    * round overlap. */
+  lazy val jobEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-round-job")
+        t.setDaemon(true)
+        t
+      }))
 
   /** A discovered-link candidate (pre-dedup). */
   final case class LinkCand(url_canon: String, url_hash: Long, host: String,
