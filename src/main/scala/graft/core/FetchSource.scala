@@ -1,0 +1,82 @@
+package graft.core
+
+/** Pluggable fetch source (SURVEY.md §2.1 S3) — the production seam
+  * node-crawler fills with its HTTP client pool [PK:high].
+  *
+  * Lifecycle contract: ONE instance per partition per stage (created
+  * by the factory inside the task, closed when the partition ends), so
+  * an HTTP implementation owns a connection pool / DNS cache / rate
+  * limiter per task, exactly like node-crawler's per-worker agent. The
+  * zero-egress sandbox ships only the deterministic synthetic source;
+  * a production `HttpFetchSource` drops into the same seam:
+  *
+  * {{{
+  * final class HttpFetchSource(timeoutMs: Int) extends FetchSource {
+  *   private val pool = buildPooledClient(timeoutMs)   // per partition
+  *   def fetch(urlCanon: String, retryCount: Int): FetchResult = {
+  *     val resp = pool.get(urlCanon)                   // honors gzip etc.
+  *     if (!resp.is2xx) FetchResult(ok = false, Nil, Nil)
+  *     else {
+  *       val body = CharsetSniffer.decode(resp.bytes, resp.contentType)
+  *       val (spans, links) = HtmlSpanExtractor.extract(body)
+  *       FetchResult(ok = true, spans, links)
+  *     }
+  *   }
+  *   override def close(): Unit = pool.shutdown()
+  * }
+  * }}}
+  *
+  * The engine's hot path uses the native FetchExtractExpr for the
+  * synthetic source (no per-row encoder layer); `FetchSource.mapFetch`
+  * is the generic mapPartitions form any source (HTTP included) runs
+  * through, with the same output schema.
+  */
+trait FetchSource {
+  def fetch(urlCanon: String, retryCount: Int): FetchResult
+  def close(): Unit = ()
+}
+
+/** The sandbox source: deterministic synthetic web (shared with the
+  * reference simulator). */
+final class SyntheticFetchSource(web: SyntheticWeb, cfg: CrawlConfig)
+    extends FetchSource {
+  def fetch(urlCanon: String, retryCount: Int): FetchResult =
+    Fetcher.fetch(web, urlCanon, retryCount, cfg)
+}
+
+object FetchSource {
+
+  /** Per-partition fetch: one source per partition (pooled client
+    * lifecycle), closed even on failure. `factory` must be
+    * serializable; the source itself never leaves the task. */
+  def fetchPartition[T](
+      it: Iterator[(String, Int)],
+      factory: () => FetchSource)(
+      out: (String, Int, FetchResult) => T): Iterator[T] = {
+    val source = factory()
+    var closed = false
+    new Iterator[T] {
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { source.close(); closed = true }
+        h
+      }
+      def next(): T = {
+        val (url, retry) = it.next()
+        try out(url, retry, source.fetch(url, retry))
+        catch { case e: Throwable => source.close(); closed = true; throw e }
+      }
+    }
+  }
+
+  /** Generic Dataset fetch operator over (url_canon, retry_count)
+    * rows — the mapPartitions seam an HTTP source plugs into. */
+  def mapFetch(ds: org.apache.spark.sql.Dataset[(String, Int)],
+      factory: () => FetchSource):
+      org.apache.spark.sql.Dataset[(String, Boolean, Seq[Span], Seq[DiscoveredLink])] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      fetchPartition(it, factory)((url, _, r) => (url, r.ok, r.spans, r.links))
+    }
+  }
+}

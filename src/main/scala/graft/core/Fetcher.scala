@@ -12,7 +12,18 @@ object Fetcher {
     * `ok=true` with empty spans+links models a 404/out-of-web URL. */
   def fetch(web: SyntheticWeb, urlCanon: String, retryCount: Int, cfg: CrawlConfig): FetchResult = {
     if (web.fetchFails(urlCanon, retryCount, cfg)) FetchResult(ok = false, Nil, Nil)
-    else web.content(urlCanon) match {
+    else if (cfg.parseHtml) {
+      // production-shaped path: bytes → charset sniff → decode → HTML
+      // parse (byte-identical to the direct path by the round-trip
+      // property, HtmlSpec)
+      web.pageHtmlBytes(urlCanon) match {
+        case None => FetchResult(ok = true, Nil, Nil)
+        case Some(bytes) =>
+          val html = CharsetSniffer.decode(bytes)
+          val (spans, links) = HtmlSpanExtractor.extract(html)
+          FetchResult(ok = true, spans, links.take(SpanExtractor.MaxLinksPerPage))
+      }
+    } else web.content(urlCanon) match {
       case None => FetchResult(ok = true, Nil, Nil)
       case Some((spans, links)) =>
         // content() IS the page (the textual format is a render of it;

@@ -79,6 +79,11 @@ case class CrawlConfig(
     // squash the bloom sidecar's per-round delta rows into one blob per
     // bucket every N rounds (merge-on-read stays cheap in between).
     bloomCompactEvery: Int = 8,
+    // fetch via the full byte pipeline (HTML render → charset sniff →
+    // decode → HtmlSpanExtractor parse) instead of the direct content
+    // function; results are byte-identical by the round-trip property,
+    // so this exercises the production-shaped parse path end to end.
+    parseHtml: Boolean = false,
     // store spans as one packed binary cell per page instead of
     // array<struct> (SpanCodec); documents() unpacks to the normative
     // schema on read. Cuts write-path allocation ~10x on rich pages.

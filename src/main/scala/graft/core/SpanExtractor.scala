@@ -12,7 +12,7 @@ package graft.core
   * `discovered_seq = parent*64 + 1 + idx` encoding never overflows a
   * level (SURVEY.md §7.3 item 1).
   */
-object SpanExtractor {
+object SpanExtractor extends PageExtractor {
   val MaxLinksPerPage = 63
 
   def extract(page: String): (Seq[Span], Seq[DiscoveredLink]) = {

@@ -144,6 +144,15 @@ final case class SyntheticWeb(
       sb.toString
   }
 
+  /** The same page as HTML bytes (UTF-8 with a meta charset tag) — the
+    * fetch path input when CrawlConfig.parseHtml exercises the full
+    * decode+parse pipeline (CharsetSniffer → HtmlSpanExtractor). */
+  def pageHtmlBytes(urlCanon: String): Option[Array[Byte]] =
+    content(urlCanon).map { case (spans, links) =>
+      HtmlRenderer.render(urlCanon, spans, links)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+
   /** Deterministic transient fetch failure (exercises the retry path):
     * fails on the first `retryCount` attempts for URLs whose hash hits
     * the failure modulus. */

@@ -209,6 +209,38 @@ class CoreSpec extends AnyFunSuite {
     assert(isValidUtf8(bs(0xF4, 0x8F, 0xBF, 0xBF)))  // U+10FFFF
   }
 
+  test("FetchSource: per-partition lifecycle (one pool per task, closed at end)") {
+    val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
+    val cfg = CrawlConfig(numBuckets = 2)
+    val spark = SparkTestBase.spark
+    // task closures serialize per task even in local mode — count with
+    // accumulators, not driver-side objects
+    val opened = spark.sparkContext.longAccumulator("opened")
+    val closed = spark.sparkContext.longAccumulator("closed")
+    final class Counting extends FetchSource {
+      opened.add(1)
+      private val inner = new SyntheticFetchSource(web, cfg)
+      def fetch(u: String, r: Int): FetchResult = inner.fetch(u, r)
+      override def close(): Unit = closed.add(1)
+    }
+    import spark.implicits._
+    val urls = (0 until 3).flatMap(h => (0 until 4).map(p =>
+      (s"http://${web.hostName(h)}/p/$p", 0)))
+    val ds = spark.createDataset(urls).repartition(4)
+    val out = FetchSource.mapFetch(ds, () => new Counting).collect()
+    assert(out.length === 12)
+    assert(out.count(_._2) === urls.count { case (u, _) =>
+      !web.fetchFails(u, 0, cfg) })
+    // one source per non-empty partition, every one closed
+    assert(opened.value === closed.value)
+    assert(opened.value >= 1 && opened.value <= 4)
+    // content parity with the engine's native fetch path
+    val direct = urls.map { case (u, r) => Fetcher.fetch(web, u, r, cfg) }
+    assert(out.sortBy(_._1).map(_._3) ===
+      urls.sortBy(_._1).map { case (u, r) => Fetcher.fetch(web, u, r, cfg).spans })
+    assert(direct.nonEmpty)
+  }
+
   // ---- bloom ---------------------------------------------------------
 
   test("Bloom: no false negatives; OR merges; fp rate sane") {
