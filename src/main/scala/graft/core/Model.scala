@@ -39,7 +39,11 @@ case class FrontierEntry(
     discovered_seq: Long,
     retry_count: Int,
     due_round: Long,
-    state: String) // "pending" | "done" | "dropped"
+    state: String, // "pending" | "done" | "dropped"
+    // per-request opaque payload (node-crawler's `userData` [PK:high]):
+    // set at queue time, carried through scheduling untouched, surfaced
+    // on the attempt row. null for link-discovered URLs.
+    user_data: String = null)
 
 object FrontierEntry {
   val Pending = "pending"
@@ -100,3 +104,8 @@ case class FetchResult(
   * the priority the page assigns it (node-crawler: per-task `priority`,
   * 0..9, default 5). */
 case class DiscoveredLink(url: String, priority: Int)
+
+/** A queue request (node-crawler `queue({uri, priority, userData})`
+  * [PK:high]): URL plus per-request scheduling priority and an opaque
+  * payload that rides along to the attempt row. */
+case class SeedRequest(url: String, priority: Int = 5, userData: String = null)

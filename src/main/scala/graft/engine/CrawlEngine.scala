@@ -88,10 +88,17 @@ final class CrawlEngine(
 
   /** Seed the frontier (round 0). Seeds get priority 5 and
     * discovered_seq = position in the seed list (FIXTURES.md A3). */
-  def init(seeds: Seq[String]): Unit = {
+  def init(seeds: Seq[String]): Unit =
+    initRequests(seeds.map(SeedRequest(_)))
+
+  /** Seed with per-request options (node-crawler `queue()` [PK:high]):
+    * priority 0..9 and an opaque userData payload that is carried
+    * through scheduling and surfaced on the attempt row. */
+  def initRequests(reqs: Seq[SeedRequest]): Unit = {
     val w = web; val c = cfg
-    val entries = seeds.zipWithIndex.flatMap { case (u, i) =>
-      CrawlEngine.toEntry(w, u, 5, i.toLong, due = 0L, c)
+    val entries = reqs.zipWithIndex.flatMap { case (req, i) =>
+      CrawlEngine.toEntry(w, req.url, req.priority, i.toLong, due = 0L, c)
+        .map(_.copy(user_data = req.userData))
     }.groupBy(_.url_hash).map { case (_, g) => g.minBy(_.discovered_seq) }.toSeq
     // ship the seed list in slices (one giant createDataset closure hits
     // the RPC task-size ceiling at ~1M+ seeds)
@@ -170,7 +177,7 @@ final class CrawlEngine(
   def crawlLog(): DataFrame =
     readPinned(ATTEMPTS)
       .map(_.select($"round", $"priority", $"discovered_seq", $"url_hash",
-        $"url_canon", $"retry_count")
+        $"url_canon", $"retry_count", $"user_data")
         .orderBy($"round", $"priority", $"discovered_seq", $"url_hash"))
       .getOrElse(spark.emptyDataFrame)
 
@@ -248,11 +255,11 @@ final class CrawlEngine(
       ColumnShim.expression($"discovered_seq"), w, c, c.packedSpans))
     val attemptsOut = capped
       .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
-        $"priority", $"discovered_seq", $"retry_count")
+        $"priority", $"discovered_seq", $"retry_count", $"user_data")
       .repartition($"url_hash")
       .withColumn("f", fetchCol)
       .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
-        $"priority", $"discovered_seq", $"retry_count",
+        $"priority", $"discovered_seq", $"retry_count", $"user_data",
         $"f.ok".as("ok"), $"f.has_doc".as("has_doc"),
         $"f.spans".as("spans"), $"f.links".as("links"))
       .withColumn("round", lit(r))
@@ -284,7 +291,8 @@ final class CrawlEngine(
       .select($"url_canon".as("url"), $"url_canon", $"url_hash", $"host",
         $"host_bucket", $"priority", $"discovered_seq",
         lit(0).as("retry_count"), lit(r + 1).as("due_round"),
-        lit(FrontierEntry.Pending).as("state"))
+        lit(FrontierEntry.Pending).as("state"),
+        lit(null).cast("string").as("user_data"))
 
     // frontier update: attempted rows leave the pending set; retries
     // come back with a bumped due_round; done/dropped append to the
@@ -299,7 +307,8 @@ final class CrawlEngine(
         .otherwise(lit(r + 1) + newRetry).cast("long").as("due_round"),
       when($"ok", FrontierEntry.Done)
         .when(newRetry > c.maxRetries, FrontierEntry.Dropped)
-        .otherwise(FrontierEntry.Pending).as("state"))
+        .otherwise(FrontierEntry.Pending).as("state"),
+      $"user_data")
     // the attempted-key set is quota-bounded (small next to the pending
     // set at steady state) — broadcasting it turns the retire anti-join
     // into a map-side hash probe, so the pending rewrite is a single

@@ -51,7 +51,13 @@ object RefSimulator {
       stats: Vector[RoundStats],
       finalEntries: Vector[SimEntry])
 
-  def run(web: SyntheticWeb, seeds: Seq[String], cfg: CrawlConfig): SimResult = {
+  def run(web: SyntheticWeb, seeds: Seq[String], cfg: CrawlConfig): SimResult =
+    runRequests(web, seeds.map(SeedRequest(_)), cfg)
+
+  /** Per-request options form (node-crawler `queue()` semantics):
+    * per-seed priority + opaque userData. */
+  def runRequests(web: SyntheticWeb, reqs: Seq[SeedRequest],
+      cfg: CrawlConfig): SimResult = {
     val entries = mutable.LinkedHashMap.empty[Long, SimEntry]
     val crawlOrder = Vector.newBuilder[String]
     val docs = Vector.newBuilder[Doc]
@@ -84,7 +90,8 @@ object RefSimulator {
       added
     }
 
-    enqueue(seeds.zipWithIndex.flatMap { case (u, i) => toCand(u, 5, i.toLong) }, due = 0L)
+    enqueue(reqs.zipWithIndex.flatMap { case (q, i) =>
+      toCand(q.url, q.priority, i.toLong) }, due = 0L)
 
     var r = 0L
     var roundsRun = 0

@@ -196,6 +196,35 @@ class EngineGoldenSpec extends AnyFunSuite {
     assert(e2b.documents().count() === e1.documents().count())
   }
 
+  test("per-request options: seed priority drives order; userData rides to the attempt row") {
+    val web = SyntheticWeb(nHosts = 5, pagesPerHost = 6, megaFactor = 2)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 2000, maxRounds = 4)
+    val urls = web.seedUrls(8).distinct
+    val reqs = urls.zipWithIndex.map { case (u, i) =>
+      SeedRequest(u, priority = (9 - i) % 10, userData = s"""{"job":$i}""")
+    }
+    val sim = RefSimulator.runRequests(web, reqs, cfg)
+    val dir = Files.createTempDirectory("graft-opts").toString
+    val eng = new CrawlEngine(spark, web, cfg, dir)
+    eng.initRequests(reqs)
+    eng.run()
+    import spark.implicits._
+    val order = eng.crawlLog().select("url_canon").as[String].collect().toVector
+    assert(order === sim.crawlOrder, "per-seed priority order mismatch vs simulator")
+    // userData surfaces on the attempt row for seeds, null for discovered
+    val ud = eng.crawlLog().select($"url_canon", $"user_data")
+      .as[(String, String)].collect().toMap
+    reqs.foreach { q =>
+      val canon = graft.core.UrlCanonicalizer.canonicalize(q.url).get
+      if (ud.contains(canon)) assert(ud(canon) === q.userData, s"userData lost for $canon")
+    }
+    assert(reqs.map(q => graft.core.UrlCanonicalizer.canonicalize(q.url).get)
+      .count(ud.contains) > 0, "no seed was crawled")
+    val discovered = ud.keys.filterNot(
+      reqs.map(q => graft.core.UrlCanonicalizer.canonicalize(q.url).get).toSet)
+    discovered.foreach(u => assert(ud(u) == null, s"discovered $u must have null userData"))
+  }
+
   test("lineage rows cover every active round with per-bucket metrics") {
     val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5, megaFactor = 2)
     val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 4)
