@@ -98,9 +98,12 @@ object VectorOps {
 
   // ---- IVF parameters (shared by q36 and its oracle) ----
 
-  val IvfK = 32
-  val IvfIters = 2
-  val IvfProbes = 4
+  // nlist / train iterations / nprobe are env-configurable (the oracle
+  // SQL is generated from the same values, so parity holds for any
+  // setting chosen at JVM start)
+  val IvfK = sys.env.get("SPARK_GRAFT_IVF_NLIST").map(_.toInt).getOrElse(32)
+  val IvfIters = sys.env.get("SPARK_GRAFT_IVF_ITERS").map(_.toInt).getOrElse(2)
+  val IvfProbes = sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(4)
   val IvfRoundDp = 6
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -215,13 +218,15 @@ object VectorOps {
           .groupBy($"vec_id").agg(min_by($"dc.cid", $"dc").as("cid"))
       }
 
-      // materialize the trained centroids (k×dims doubles — tiny) so
-      // the final probe query doesn't recompute the k-means lineage
-      // once per consumer
-      val trained = (1 to IvfIters).foldLeft(initCents)((c, _) => lloyd(c))
-      val cents = s.createDataFrame(
-        trained.select($"cid", $"cv").as[(Int, Seq[Double])].collect().toSeq)
+      // materialize the centroids after EVERY iteration (k×dims doubles
+      // — tiny): each Lloyd job gets a shallow plan over literal
+      // centroids instead of re-optimizing a nested crossjoin lineage,
+      // and the final probe query never recomputes the training
+      def collected(df: DataFrame): DataFrame = s.createDataFrame(
+        df.select($"cid", $"cv").as[(Int, Seq[Double])].collect().toSeq)
         .toDF("cid", "cv")
+      val cents = (1 to IvfIters).foldLeft(collected(initCents))(
+        (c, _) => collected(lloyd(c)))
       val assigned = assign(emb, cents).join(emb, "vec_id")
       val q = emb.filter($"vec_id" === 0).select($"v".as("qv"))
       val probeCells = cents.crossJoin(broadcast(q))
