@@ -64,6 +64,27 @@ class EngineGoldenSpec extends AnyFunSuite {
     assertGolden(sim, eng)
   }
 
+  test("golden equality across bloom compaction boundaries (compactEvery=2)") {
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6,
+      bloomCompactEvery = 2)
+    val (sim, eng, _) = runBoth(web, 12, cfg)
+    assertGolden(sim, eng)
+    // compaction actually ran: the bloom table holds one blob per
+    // bucket per at-most-2-round window, not one delta file per round
+    val m = eng.ice.currentManifest("bloom").get
+    assert(m.files.size <= 2, s"bloom deltas not compacted: ${m.files}")
+    // and resume across a compacted snapshot still reproduces the run
+    val d2 = Files.createTempDirectory("graft-compact-resume").toString
+    val e2a = new CrawlEngine(spark, web, cfg.copy(maxRounds = 3), d2)
+    e2a.init(web.seedUrls(12)); e2a.run()
+    val e2b = new CrawlEngine(spark, web, cfg, d2)
+    e2b.run()
+    import spark.implicits._
+    val order = e2b.crawlLog().select("url_canon").as[String].collect().toVector
+    assert(order === sim.crawlOrder)
+  }
+
   test("golden equality with a skewed mega-host") {
     val web = SyntheticWeb(nHosts = 4, pagesPerHost = 6, megaFactor = 10)
     val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 5)
