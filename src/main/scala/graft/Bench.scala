@@ -105,7 +105,8 @@ object Bench {
     // headline continuity with BENCH_r01: local[32], rich multi-KB
     // pages, same web/knobs as the round-1 protocol — measures the
     // whole content pipeline at the VM's full width
-    val c32reps = math.max(1, math.min(2, ((remaining - 60) / 75).toInt))
+    val c32reps = if (skipScaling) 0
+      else math.max(1, math.min(2, ((remaining - 60) / 75).toInt))
     (1 to c32reps).foreach { _ =>
       if (reps32.isEmpty || remaining > 75) {
         val (t, w) = CrawlLevelBench.spawn(32, 2, reps = 1, heapGb = 48,
