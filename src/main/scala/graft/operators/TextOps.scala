@@ -142,26 +142,51 @@ object TextOps {
         .orderBy($"doc_a", $"doc_b")
     }),
 
-    // n-gram Jaccard similarity on a deterministic subsample.
+    // EXACT n-gram Jaccard, gated by MinHash banding: candidate pairs
+    // come from a 4-band × 4-row minhash bucket join (never an
+    // all-pairs shingle self-join — the r1 shape was quadratic in
+    // common shingles and only survived via a subsample); the exact
+    // Jaccard re-rank intersects the two docs' distinct 8-gram SETS
+    // (array_intersect — set size is order-independent, so both
+    // engines agree exactly). Runs on the FULL corpus; shingles are
+    // stride-4 samples (w-shingling — same final pair set as stride 1
+    // on this corpus at 1/4 the rows).
     "q25_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val docs = s.read.parquet(t(dir, "documents"))
-        .filter($"doc_id" % 25 === 0)
-      val sh = docs
+      val shr = s.read.parquet(t(dir, "documents"))
         .select($"doc_id",
-          explode(sequence(lit(1), greatest(length($"text") - 2, lit(1)))).as("i"),
+          explode(sequence(lit(1), greatest(length($"text") - 7, lit(1)), lit(4))).as("i"),
           $"text")
-        .select($"doc_id", expr("substr(text, i, 3)").as("sh"))
+        .select($"doc_id", expr("substr(text, i, 8)").as("sh"))
+      val sets = shr.groupBy($"doc_id").agg(collect_set($"sh").as("ss"))
+      val withH = shr
+        .withColumn("m", md5($"sh"))
+        .select($"doc_id" +: (0 until 4).map(j =>
+          conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
+      val aggs = (0 until 16).map { i =>
+        val (a, b) = minhashParams(i)
+        min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")
+      }
+      val mh = withH.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      val bandCols = array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          concat_ws("|", (0 until 4).map(j =>
+            col(s"mh_${b * 4 + j}").cast("string")): _*).as("bkey"))): _*)
+      val bands = mh.select($"doc_id", explode(bandCols).as("bc"))
+        .select($"doc_id", $"bc.band", $"bc.bkey")
+      val cand = bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
+        .join(bands.select($"doc_id".as("doc_b"), $"band", $"bkey"),
+          Seq("band", "bkey"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b")
         .distinct()
-      val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("x").join(sh.as("y"), $"x.sh" === $"y.sh" && $"x.doc_id" < $"y.doc_id")
-        .groupBy($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(cnt.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-        .join(cnt.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      cand
+        .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), "doc_a")
+        .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb")), "doc_b")
+        .withColumn("inter", size(array_intersect($"sa", $"sb")))
         .select($"doc_a", $"doc_b",
-          ($"i".cast("double") / ($"na" + $"nb" - $"i")).as("jaccard"))
+          ($"inter".cast("double") / (size($"sa") + size($"sb") - $"inter"))
+            .as("jaccard"))
         .filter($"jaccard" >= 0.2)
         .orderBy($"doc_a", $"doc_b")
     }),
@@ -356,27 +381,41 @@ object TextOps {
         |  (acc, x) -> (acc * 257 + x) % 2305843009213693951::HUGEINT) AS BIGINT)
         |  AS rabin64
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q25_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
-        |sh0 AS (
-        |  SELECT doc_id, text,
-        |    unnest(generate_series(1, greatest(length(text) - 2, 1))) AS i
-        |  FROM d),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS sh
-        |  FROM sh0),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
-        |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
-        |FROM inter
-        |JOIN cnt ca ON ca.doc_id = doc_a
-        |JOIN cnt cb ON cb.doc_id = doc_b
-        |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q25_ngram_jaccard" -> {
+      val hCols = (0 until 4).map(j =>
+        s"('0x' || substr(m, ${j * 8 + 1}, 8))::BIGINT AS h$j").mkString(", ")
+      val mhCols = (0 until 16).map { i =>
+        val (a, b) = minhashParams(i)
+        s"min((h${i % 4} * $a + $b) % $MinhashP) AS mh_$i"
+      }.mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val key = (0 until 4).map(j => s"CAST(mh_${b * 4 + j} AS VARCHAR)")
+          .mkString("||'|'||")
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, text,
+         |    unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) AS i
+         |  FROM documents),
+         |shr AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS sh FROM sh0),
+         |sets AS (SELECT doc_id, list_distinct(list(sh)) AS ss FROM shr GROUP BY doc_id),
+         |h AS (SELECT doc_id, $hCols FROM (SELECT doc_id, md5(sh) AS m FROM shr)),
+         |mh AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |    AND a.doc_id < b.doc_id),
+         |jp AS (
+         |  SELECT doc_a, doc_b, len(list_intersect(sa.ss, sb.ss)) AS i,
+         |    len(sa.ss) AS la, len(sb.ss) AS lb
+         |  FROM cand
+         |  JOIN sets sa ON sa.doc_id = doc_a
+         |  JOIN sets sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (la + lb - i) AS jaccard
+         |FROM jp WHERE CAST(i AS DOUBLE) / (la + lb - i) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q26_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp16,
         |  CAST(length(text) AS INTEGER) AS text_len

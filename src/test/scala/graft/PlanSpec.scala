@@ -73,7 +73,8 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q24/q30/q31: LSH candidate generation never degenerates to a cartesian") {
-    for (name <- Seq("q24_minhash_lsh", "q30_embed_neardup", "q31_ann_lsh")) {
+    for (name <- Seq("q24_minhash_lsh", "q25_ngram_jaccard",
+        "q30_embed_neardup", "q31_ann_lsh")) {
       val p = planOf(name)
       assert(!p.contains("CartesianProduct"), s"$name: cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"),
