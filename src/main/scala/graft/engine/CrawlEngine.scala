@@ -125,21 +125,62 @@ final class CrawlEngine(
       fetchedOk: Long, failed: Long, discovered: Long, enqueued: Long)
 
   /** Run until drain or `maxRounds` total rounds. Returns per-round
-    * stats. Resumable: picks up from the last committed snapshot. */
+    * stats. Resumable: picks up from the last committed snapshot.
+    *
+    * PIPELINED: round r's commit tail (bloom delta, lineage, snapshot
+    * commits, GC) runs concurrently with round r+1's admission window
+    * and fetch stage — the driver-floor work hides behind the next
+    * round's heavy stage. BSP cleanliness is preserved because (a) the
+    * next round reads its pending set from the very file the in-flight
+    * tail will commit, (b) the tail is awaited before the dedup cogroup
+    * touches the pinned bloom/retired tables, and (c) tails execute
+    * strictly one at a time, so commits still land in round order and a
+    * crash resumes from the last fully-committed round exactly as in
+    * the sequential loop. */
   def run(): Seq[RoundStats] = {
-    val stats = Seq.newBuilder[RoundStats]
+    val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
     var r = nextRound
     var draining = false
     while (r < cfg.maxRounds && !draining) {
-      val s = runRound(r)
+      val s = roundCore(r)
       stats += s
       r += 1
-      if (s.admitted == 0 && s.enqueued == 0) {
-        // drain probe: any pending left (e.g., retries due later)?
+      if (s.admitted == 0) {
+        // no attempts → no links → nothing enqueued this round; the
+        // drain probe needs the committed pending set, so sync first
+        awaitTail()
         draining = pending().limit(1).count() == 0
       }
     }
-    stats.result()
+    awaitTail()
+    stats.toSeq.map(s => s.copy(enqueued = tailEnqueued.getOrElse(s.round, 0L)))
+  }
+
+  // ---- pipelining machinery -------------------------------------------
+
+  /** What the deferred commit tail reports back. */
+  private final case class TailDone(round: Long, enqueued: Long)
+
+  /** The previous round's tail, still committing while this round's
+    * window+fetch run. At most one tail is ever in flight. */
+  @volatile private var tailInFlight: Option[scala.concurrent.Future[TailDone]] = None
+  /** (round, pendingFiles) written by the previous roundCore — readable
+    * before their commit lands, so the next round starts immediately. */
+  private var carriedPending: Option[(Long, Seq[String])] = None
+  private val tailEnqueued = scala.collection.mutable.Map[Long, Long]()
+
+  private def awaitTail(): Unit = tailInFlight.foreach { f =>
+    val d = scala.concurrent.Await.result(
+      f, scala.concurrent.duration.Duration.Inf)
+    tailEnqueued(d.round) = d.enqueued
+    tailInFlight = None
+  }
+
+  /** The pending set as round `r` must see it: the carried
+    * not-yet-committed file when pipelining, else the committed table. */
+  private def pendingView(r: Long): DataFrame = carriedPending match {
+    case Some((round, files)) if round == r => spark.read.parquet(files: _*)
+    case _ => awaitTail(); pending()
   }
 
   /** The pending frontier (the scheduling working set). */
@@ -194,10 +235,21 @@ final class CrawlEngine(
     }
   }
 
+  /** One fully-synchronous round (public API compatibility): compute,
+    * commit, and report. `run()` instead pipelines consecutive rounds
+    * via `roundCore`. */
   def runRound(r: Long): RoundStats = {
+    val s = roundCore(r)
+    awaitTail()
+    s.copy(enqueued = tailEnqueued.getOrElse(r, 0L))
+  }
+
+  /** Compute round r and hand its commit tail to a background future
+    * (stats reported with enqueued = -1 until the tail lands). */
+  private def roundCore(r: Long): RoundStats = {
     val w = web; val c = cfg
     import org.apache.spark.sql.graftshim.ColumnShim
-    val pend = pending()
+    val pend = pendingView(r)
     val cands = pend.filter($"due_round" <= r)
 
     // J3→F: politeness quota is a pure function of the host name —
@@ -231,9 +283,42 @@ final class CrawlEngine(
       .drop("rn", "quota")
 
     // W2: global cap (maxConnections analog) — TakeOrderedAndProject.
-    val capped = c.maxPerRound match {
+    // The admitted set is PERSISTED (slim scheduling columns only): the
+    // fetch stage, the keep-set rewrite (leg A, below) and the admitted
+    // count all consume it, and caching makes the three consistent by
+    // construction while letting leg A run CONCURRENTLY with the fetch.
+    val capped = (c.maxPerRound match {
       case Some(k) => admitted.orderBy(ord: _*).limit(k)
       case None    => admitted
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    // materializes the cache and fixes nAdmitted BEFORE the fetch — so
+    // the keep-set anti-join can pick broadcast vs shuffle and start
+    // immediately, overlapping the heavy fetch+extract stage
+    val nAdmitted = timed("admit_count", r) { capped.count() }
+
+    // leg A of the pending rewrite: rows NOT attempted this round keep
+    // their state. Independent of fetch outcomes, so it runs in
+    // parallel with the fetch stage. Small admitted sets broadcast
+    // (map-side probe, no pending shuffle); large ones shuffle-join —
+    // the driver-side broadcast build is serial and linear in
+    // |admitted|, so past the threshold the parallel shuffle wins.
+    // (At 10^10-frontier scale the endgame is a bucketed co-partitioned
+    // storage join; both forms keep the exact same semantics.)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec = CrawlEngine.jobEc
+    val bcastMax =
+      sys.env.get("SPARK_GRAFT_BCAST_MAX").map(_.toLong).getOrElse(500000L)
+    val cappedKeys0 = capped.select($"url_hash")
+    val cappedKeys =
+      if (nAdmitted <= bcastMax) broadcast(cappedKeys0) else cappedKeys0
+    val pendCols = spark.emptyDataset[FrontierEntry].toDF().columns.map(col)
+    val futLegA = Future {
+      timed("keep_write", r) {
+        ice.writeData(pend.select(pendCols: _*)
+          .join(cappedKeys, Seq("url_hash"), "left_anti")
+          .select(pendCols: _*), FRONTIER, s"r$r-keep")
+      }
     }
 
     // S3+F6+F7: fetch + decode + extract — ONE pass over the admitted
@@ -263,14 +348,69 @@ final class CrawlEngine(
         $"f.ok".as("ok"), $"f.has_doc".as("has_doc"),
         $"f.spans".as("spans"), $"f.links".as("links"))
       .withColumn("round", lit(r))
+    // round stats ride the write itself (Dataset.observe / CollectMetrics)
+    // — no follow-up count job, no separate stats aggregate job
+    val obs = org.apache.spark.sql.Observation(
+      s"attempts-r$r-${CrawlEngine.obsId.incrementAndGet()}")
+    val observed = attemptsOut.observe(obs,
+      sum(when($"ok", 1L).otherwise(0L)).as("n_ok"),
+      sum(size($"links")).as("n_links"))
     val attemptsFile = timed("fetch_stage", r) {
-      ice.writeData(attemptsOut, ATTEMPTS, s"r$r")
+      ice.writeData(observed, ATTEMPTS, s"r$r")
     }
+    val metrics = obs.get
+    def metric(k: String): Long = metrics.get(k) match {
+      case Some(v: Long) => v
+      case Some(v: Number) => v.longValue()
+      case _ => 0L
+    }
+    val nOk = metric("n_ok")
+    val nDiscovered = metric("n_links")
+    val nFailed = nAdmitted - nOk
     val attempts = spark.read.parquet(attemptsFile)
-    // row-group metadata count — no data scan
-    val nAdmitted = attempts.count()
     val newRetry = when($"ok", $"retry_count").otherwise($"retry_count" + 1)
     val nCandidates = -1L // derivable but not worth a frontier scan
+
+    // frontier update: attempted rows leave the pending set; retries
+    // come back with a bumped due_round; done/dropped append to the
+    // retired table. Per-round write = O(|pending| + |attempted|),
+    // NOT O(|seen set|).
+    val updates = attempts.select(
+      $"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
+      $"priority", $"discovered_seq",
+      newRetry.cast("int").as("retry_count"),
+      when($"ok", lit(r))
+        .when(newRetry > c.maxRetries, lit(r))
+        .otherwise(lit(r + 1) + newRetry).cast("long").as("due_round"),
+      when($"ok", FrontierEntry.Done)
+        .when(newRetry > c.maxRetries, FrontierEntry.Dropped)
+        .otherwise(FrontierEntry.Pending).as("state"),
+      $"user_data")
+
+    // jobs that read only this round's attempts file are independent of
+    // the previous round's commits — start them BEFORE awaiting the
+    // in-flight tail so they overlap it (and the frontier rewrite below)
+    val futLinLeft = Future {
+      attempts.groupBy($"host_bucket").agg(
+        count(lit(1)).as("admitted"),
+        sum(when($"ok", 1L).otherwise(0L)).as("fetched_ok"),
+        sum(when(!$"ok", 1L).otherwise(0L)).as("failed"))
+        .collect()
+    }
+    val futRetired = Future {
+      if (nAdmitted > 0) {
+        val f = timed("retired_write", r) {
+          ice.writeData(updates.filter($"state" =!= FrontierEntry.Pending),
+            RETIRED, s"r$r")
+        }
+        val n = spark.read.parquet(f).count() // metadata count
+        if (n > 0) Some(f) else None
+      } else None
+    }
+
+    // the previous round's commit tail must land before the dedup
+    // cogroup reads the pinned bloom/retired tables
+    timed("tail_await", r) { awaitTail() }
 
     // link discovery: flatten (links column only), then ONE shuffle on
     // host_bucket does both the within-round min-seq dedup and the
@@ -294,92 +434,52 @@ final class CrawlEngine(
         lit(FrontierEntry.Pending).as("state"),
         lit(null).cast("string").as("user_data"))
 
-    // frontier update: attempted rows leave the pending set; retries
-    // come back with a bumped due_round; done/dropped append to the
-    // retired table. Per-round write = O(|pending| + |attempted|),
-    // NOT O(|seen set|).
-    val updates = attempts.select(
-      $"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
-      $"priority", $"discovered_seq",
-      newRetry.cast("int").as("retry_count"),
-      when($"ok", lit(r))
-        .when(newRetry > c.maxRetries, lit(r))
-        .otherwise(lit(r + 1) + newRetry).cast("long").as("due_round"),
-      when($"ok", FrontierEntry.Done)
-        .when(newRetry > c.maxRetries, FrontierEntry.Dropped)
-        .otherwise(FrontierEntry.Pending).as("state"),
-      $"user_data")
-    // the attempted-key set is quota-bounded (small next to the pending
-    // set at steady state) — broadcasting it turns the retire anti-join
-    // into a map-side hash probe, so the pending rewrite is a single
-    // shuffle-free pass: probe + union + write. Past the threshold
-    // (possible only with huge global caps) fall back to a shuffle join.
-    // Small admitted sets broadcast (map-side probe, no pending
-    // shuffle); large ones shuffle-join — the driver-side broadcast
-    // build is serial and linear in |admitted|, so past the threshold
-    // the parallel shuffle wins on wall clock. (At 10^10-frontier scale
-    // the endgame is a bucketed co-partitioned storage join; both forms
-    // here keep the exact same semantics.)
-    val bcastMax =
-      sys.env.get("SPARK_GRAFT_BCAST_MAX").map(_.toLong).getOrElse(500000L)
-    val attemptKeys =
-      if (nAdmitted <= bcastMax) broadcast(attempts.select($"url_hash"))
-      else attempts.select($"url_hash")
+    // leg B of the pending rewrite: retries coming back with a bumped
+    // due_round, plus this round's newly discovered entries. Leg A (the
+    // keep set) has been writing in parallel with the fetch stage; the
+    // two legs partition the new pending set and commit together.
     val cols = updates.columns.map(col)
-    val newPending = pend.select(cols: _*)
-      .join(attemptKeys, Seq("url_hash"), "left_anti")
-      .select(cols: _*)
-      .unionByName(updates.filter($"state" === FrontierEntry.Pending))
+    val legB = updates.filter($"state" === FrontierEntry.Pending)
       .unionByName(newEntries.select(cols: _*))
-
-    // independent jobs run CONCURRENTLY (Spark schedules them onto free
-    // cores): the attempt-side stats aggregate and the retired-delta
-    // write don't depend on the pending rewrite, and serializing them
-    // would leave the cluster idle between stage barriers — measured
-    // ~30% of wall at 8 cores was stage-tail/driver idle time.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec = CrawlEngine.jobEc
-    val futStats = Future { timed("stats_agg", r) { attempts.agg(
-      sum(when($"ok", 1L).otherwise(0L)),
-      sum(size($"links")),
-      sum(when($"ok" || newRetry > c.maxRetries, 1L).otherwise(0L))).head() } }
-    // lineage's attempt-side per-bucket aggregate is independent of the
-    // pending rewrite — overlap it too; it's bucket-count-sized, so the
-    // final lineage table is assembled driver-side from two tiny sides
-    val futLinLeft = Future {
-      attempts.groupBy($"host_bucket").agg(
-        count(lit(1)).as("admitted"),
-        sum(when($"ok", 1L).otherwise(0L)).as("fetched_ok"),
-        sum(when(!$"ok", 1L).otherwise(0L)).as("failed"))
-        .collect()
-    }
-    val futRetired = Future {
-      if (nAdmitted > 0) {
-        val f = timed("retired_write", r) {
-          ice.writeData(updates.filter($"state" =!= FrontierEntry.Pending),
-            RETIRED, s"r$r")
-        }
-        val n = spark.read.parquet(f).count() // metadata count
-        if (n > 0) Some(f) else None
-      } else None
-    }
-    val pendingFile = timed("frontier_write", r) {
-      ice.writeData(newPending, FRONTIER, s"r$r")
+    val legBFile = timed("frontier_write", r) {
+      ice.writeData(legB, FRONTIER, s"r$r-new")
     }
     tagged.unpersist()
-    val statsRow = Await.result(futStats, Duration.Inf)
-    val nOk = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
-    val nDiscovered = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
-    val nFailed = nAdmitted - nOk
+    val legAFile = timed("keep_await", r) {
+      Await.result(futLegA, Duration.Inf)
+    }
+    capped.unpersist()
+    val pendingFiles = Seq(legAFile, legBFile)
+    carriedPending = Some((r + 1, pendingFiles))
+
+    // everything left — bloom delta, lineage, the atomic commit chain,
+    // snapshot GC — is the round's COMMIT TAIL: it only reads files
+    // already written this round, so it runs in the background while
+    // the next round's window+fetch occupy the cluster. run() awaits it
+    // before the next round's dedup cogroup.
+    tailInFlight = Some(Future {
+      commitTail(r, attemptsFile, pendingFiles, legBFile, nAdmitted,
+        futLinLeft, futRetired)
+    })
+    RoundStats(r, nCandidates, nAdmitted, nOk, nFailed, nDiscovered, -1L)
+  }
+
+  /** Round r's commit tail (runs on jobEc, strictly one at a time). */
+  private def commitTail(r: Long, attemptsFile: String,
+      pendingFiles: Seq[String], legBFile: String, nAdmitted: Long,
+      futLinLeft: scala.concurrent.Future[Array[org.apache.spark.sql.Row]],
+      futRetired: scala.concurrent.Future[Option[String]]): TailDone = {
+    val c = cfg
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
     val retiredFile = Await.result(futRetired, Duration.Inf)
 
-    // newly enqueued rows, read back from the written pending file
-    // (unique signature: due r+1, no retries) as a slim 2-column scan,
-    // re-keyed by host_bucket (a shuffle of ONLY the new rows — the
-    // pending write itself stays shuffle-free), then folded into
-    // per-bucket bloom deltas.
-    val written = spark.read.parquet(pendingFile)
+    // newly enqueued rows, read back from leg B of the written pending
+    // set (new entries live only there; unique signature: due r+1, no
+    // retries) as a slim 2-column scan, re-keyed by host_bucket (a
+    // shuffle of ONLY the new rows — the pending write itself stays
+    // shuffle-free), then folded into per-bucket bloom deltas.
+    val written = spark.read.parquet(legBFile)
     // partition count = session parallelism, NOT numBuckets: the
     // per-partition fold handles many buckets per task, and hashing on
     // host_bucket still puts each bucket wholly inside one partition
@@ -442,25 +542,29 @@ final class CrawlEngine(
     if (bloomSnap >= 0 && (r + 1) % c.bloomCompactEvery == 0)
       bloomSnap = timed("bloom_compact", r) { compactBloom(bloomSnap) }
 
-    ice.commit(FRONTIER, Seq(pendingFile), append = false,
+    ice.commit(FRONTIER, pendingFiles, append = false,
       Map("round" -> (r + 1).toString,
         "admitted" -> nAdmitted.toString, "enqueued" -> nEnqueued.toString,
         "attempts_snap" -> attemptsSnap.toString,
         "retired_snap" -> retiredSnap.toString,
         "lineage_snap" -> lineageSnap.toString,
         "bloom_snap" -> bloomSnap.toString))
-    // snapshot GC: replaced frontier/bloom snapshots and crash orphans
-    // become unreferenced and their data dirs are physically deleted;
-    // append-table history stays valid because the latest manifest
-    // references all live files.
+    // snapshot GC: data dirs referenced only by expired frontier/bloom
+    // snapshots are physically deleted; append-table history stays valid
+    // because the latest manifest references all live files.
+    // sweepOrphans=false — the next round's UNCOMMITTED attempt/pending
+    // writes are already in flight while this tail runs (pipelining), so
+    // never-committed dirs must not be swept here; crash leftovers are
+    // reclaimed by IceLite.removeOrphans at quiescence (Iceberg's
+    // expire_snapshots / remove_orphan_files split).
     timed("snapshot_gc", r) {
       c.retainSnapshots.foreach { k =>
         Seq(FRONTIER, BLOOM, ATTEMPTS, RETIRED, LINEAGE)
-          .foreach(t => ice.expireSnapshots(t, k))
+          .foreach(t => ice.expireSnapshots(t, k, sweepOrphans = false))
       }
     }
 
-    RoundStats(r, nCandidates, nAdmitted, nOk, nFailed, nDiscovered, nEnqueued)
+    TailDone(r, nEnqueued)
   }
 
   // ---- bloom sidecar (all executor-side) ------------------------------
@@ -552,6 +656,10 @@ final class CrawlEngine(
 }
 
 object CrawlEngine {
+
+  /** Unique suffix for Observation names (one per attempts write; the
+    * session may host many engines/rounds). */
+  private[engine] val obsId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Thread pool for concurrent same-round Spark job submission (the
     * jobs are independent; Spark's scheduler interleaves their stages

@@ -131,11 +131,19 @@ final class IceLite(rootDir: String) {
 
   /** Expire snapshots older than the `keepLast` most recent (Iceberg's
     * expire_snapshots): removes their manifest files and deletes data
-    * dirs no longer referenced by any retained snapshot. Also removes
-    * orphan data dirs (written but never committed — e.g. a crash
-    * between write and commit). Returns (#snapshots expired,
-    * #data dirs deleted). */
-  def expireSnapshots(table: String, keepLast: Int): (Int, Int) = {
+    * dirs no longer referenced by any retained snapshot.
+    *
+    * `sweepOrphans=true` (the default) additionally removes data dirs
+    * referenced by NO manifest at all (written but never committed —
+    * e.g. a crash between write and commit). A concurrent writer may
+    * have in-flight uncommitted data dirs, so — exactly like Iceberg,
+    * which splits expire_snapshots from remove_orphan_files for this
+    * reason — callers that overlap commits with new writes (the
+    * pipelined round loop) must pass `sweepOrphans=false` and run
+    * [[removeOrphans]] only while the table is quiescent.
+    * Returns (#snapshots expired, #data dirs deleted). */
+  def expireSnapshots(table: String, keepLast: Int,
+      sweepOrphans: Boolean = true): (Int, Int) = {
     val dir = tableDir(table)
     if (!Files.isDirectory(dir)) return (0, 0)
     val ids = Files.list(dir).iterator().asScala.flatMap { p =>
@@ -146,9 +154,39 @@ final class IceLite(rootDir: String) {
     }.toSeq.sorted
     val (expire, keep) = ids.splitAt(math.max(0, ids.size - math.max(1, keepLast)))
     val referenced = keep.flatMap(id => manifest(table, id).files).toSet
+    val expiredRefs = expire.flatMap(id => manifest(table, id).files).toSet
     // delete expired manifests first (atomic per file)
     expire.foreach(id => Files.deleteIfExists(dir.resolve(s"snapshot-$id.json")))
-    // then any data dir not referenced by a retained snapshot
+    val dataRoot = dir.resolve("data")
+    var deleted = 0
+    if (Files.isDirectory(dataRoot)) {
+      Files.list(dataRoot).iterator().asScala.toSeq.foreach { d =>
+        val retained = referenced.contains(d.toString)
+        val doomed =
+          if (sweepOrphans) !retained // expired-ref or never-committed
+          else expiredRefs.contains(d.toString) && !retained
+        if (doomed) {
+          deleteRecursively(d)
+          deleted += 1
+        }
+      }
+    }
+    (expire.size, deleted)
+  }
+
+  /** Remove data dirs referenced by no manifest (crash leftovers).
+    * Iceberg's remove_orphan_files analog — only safe while no writer
+    * has in-flight uncommitted data for this table. */
+  def removeOrphans(table: String): Int = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return 0
+    val ids = Files.list(dir).iterator().asScala.flatMap { p =>
+      p.getFileName.toString match {
+        case SnapRe(n) => Some(n.toLong)
+        case _         => None
+      }
+    }.toSeq
+    val referenced = ids.flatMap(id => manifest(table, id).files).toSet
     val dataRoot = dir.resolve("data")
     var deleted = 0
     if (Files.isDirectory(dataRoot)) {
@@ -159,7 +197,7 @@ final class IceLite(rootDir: String) {
         }
       }
     }
-    (expire.size, deleted)
+    deleted
   }
 
   private def deleteRecursively(p: Path): Unit = {

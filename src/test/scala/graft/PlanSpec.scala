@@ -82,6 +82,31 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("banded exchanges carry ids only — no embedding/text arrays ride a band key") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.types.ArrayType
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var checked = 0
+      for (name <- Seq("q24_minhash_lsh", "q25_ngram_jaccard",
+          "q30_embed_neardup", "q31_ann_lsh")) {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val outs = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.output
+          case e: BroadcastExchangeExec => e.output
+        }.filter(out => out.exists(_.name == "band") &&
+          out.exists(a => a.name == "chunk" || a.name == "bkey"))
+        outs.foreach { out =>
+          checked += 1
+          assert(!out.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"$name: band-keyed exchange carries an array column: " +
+              out.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", "))
+        }
+      }
+      assert(checked > 0, "no band-keyed exchange found to check")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q36: IVF probe join avoids a cartesian over the vectors") {
     val p = planOf("q36_ann_ivf")
     assert(!p.contains("CartesianProduct"), p.take(1500))
