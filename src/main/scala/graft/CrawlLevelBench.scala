@@ -32,6 +32,41 @@ final class StageMetricsListener extends org.apache.spark.scheduler.SparkListene
   }
 }
 
+/** Always-on run-level totals, so every recorded bench rep carries its
+  * own stage-metrics summary (the round-2 verdict's requirement: a
+  * degraded driver run must be SELF-DIAGNOSING — cpu/run ≈ 1 with
+  * inflated cpu means per-task/memory-system cost, run ≫ cpu means
+  * blocking, low totals with high wall means driver idle). */
+final class RunSummaryListener extends org.apache.spark.scheduler.SparkListener {
+  private val runMs = new java.util.concurrent.atomic.AtomicLong
+  private val cpuNs = new java.util.concurrent.atomic.AtomicLong
+  private val gcMs = new java.util.concurrent.atomic.AtomicLong
+  private val shufWrNs = new java.util.concurrent.atomic.AtomicLong
+  private val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong
+  private val nTasks = new java.util.concurrent.atomic.AtomicLong
+  private val nStages = new java.util.concurrent.atomic.AtomicLong
+  def reset(): Unit = Seq(runMs, cpuNs, gcMs, shufWrNs, fetchWaitMs, nTasks,
+    nStages).foreach(_.set(0L))
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val tm = sc.stageInfo.taskMetrics
+    if (tm != null) {
+      runMs.addAndGet(tm.executorRunTime)
+      cpuNs.addAndGet(tm.executorCpuTime)
+      gcMs.addAndGet(tm.jvmGCTime)
+      shufWrNs.addAndGet(tm.shuffleWriteMetrics.writeTime)
+      fetchWaitMs.addAndGet(tm.shuffleReadMetrics.fetchWaitTime)
+      nTasks.addAndGet(sc.stageInfo.numTasks.toLong)
+      nStages.incrementAndGet()
+    }
+  }
+  def json: String =
+    f"""{"run_s":${runMs.get / 1000.0}%.1f,"cpu_s":${cpuNs.get / 1e9}%.1f,""" +
+      f""""gc_s":${gcMs.get / 1000.0}%.1f,"shuf_wr_s":${shufWrNs.get / 1e9}%.1f,""" +
+      f""""fetch_wait_s":${fetchWaitMs.get / 1000.0}%.1f,""" +
+      s""""tasks":${nTasks.get},"stages":${nStages.get}}"""
+}
+
 object CrawlLevelBench {
 
   private[graft] def benchTmp: java.nio.file.Path = {
@@ -122,9 +157,11 @@ object CrawlLevelBench {
     (scheduled.toDouble / secs, secs)
   }
 
-  /** warmup (JIT + codegen) then best-of-`reps` measured runs. */
+  /** warmup (JIT + codegen) then best-of-`reps` measured runs. The
+    * returned stats JSON is the summary of the best rep's stages. */
   private[graft] def benchAt(spark: SparkSession, rounds: Int, reps: Int,
-      seeds: Int, roundMs: Long, lean: Boolean): (Double, Double) = {
+      seeds: Int, roundMs: Long, lean: Boolean,
+      summary: RunSummaryListener): (Double, Double, String) = {
     val warmWeb = SyntheticWeb(nHosts = 400, pagesPerHost = 80, megaFactor = 4,
       spanBase = if (lean) 2 else 40, spanRange = if (lean) 4 else 30,
       wordBase = if (lean) 3 else 8, wordRange = if (lean) 4 else 10)
@@ -135,10 +172,12 @@ object CrawlLevelBench {
       CrawlConfig(numBuckets = 64, roundMs = 5000L, maxRounds = 2,
         retainSnapshots = Some(2), packedSpans = true), seeds = 20000)
     (1 to reps).map { _ =>
-      runCrawl(spark, if (lean) leanWeb else measuredWeb,
+      summary.reset()
+      val (tput, wall) = runCrawl(spark, if (lean) leanWeb else measuredWeb,
         CrawlConfig(numBuckets = 64, roundMs = roundMs, maxRounds = rounds,
           retainSnapshots = Some(2), packedSpans = true),
         seeds = seeds)
+      (tput, wall, summary.json)
     }.maxBy(_._1)
   }
 
@@ -152,8 +191,12 @@ object CrawlLevelBench {
     val spark = newSession(cores)
     if (sys.env.get("SPARK_GRAFT_STAGEMETRICS").contains("1"))
       spark.sparkContext.addSparkListener(new StageMetricsListener)
-    val (tput, wall) = benchAt(spark, rounds, reps, seeds, roundMs, lean)
+    val summary = new RunSummaryListener
+    spark.sparkContext.addSparkListener(summary)
+    val (tput, wall, stats) = benchAt(spark, rounds, reps, seeds, roundMs,
+      lean, summary)
     spark.stop()
+    println(s"[levelstats] $stats")
     println(f"[levelbench] $tput%.1f $wall%.2f")
   }
 
@@ -167,6 +210,10 @@ object CrawlLevelBench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).map(p => s"--add-opens=$p=ALL-UNNAMED")
 
+  /** One spawned bench rep: throughput, measured wall, and the rep's
+    * stage-metrics summary JSON (self-diagnosing record). */
+  final case class Rep(tput: Double, wall: Double, stats: String)
+
   /** Spawn a fresh driver JVM for `cores`. In `cluster` mode the JVM is
     * a thin driver (executors are separate per-2-core JVMs spawned by
     * local-cluster with 3g each); otherwise a local[cores] JVM with
@@ -174,6 +221,14 @@ object CrawlLevelBench {
   def spawn(cores: Int, rounds: Int, reps: Int, heapGb: Int,
       seeds: Int = 300000, roundMs: Long = 50000L,
       lean: Boolean = false, cluster: Boolean = false): (Double, Double) = {
+    val r = spawnRep(cores, rounds, reps, heapGb, seeds, roundMs, lean, cluster)
+    (r.tput, r.wall)
+  }
+
+  /** spawn() with the per-rep stage summary attached. */
+  def spawnRep(cores: Int, rounds: Int, reps: Int, heapGb: Int,
+      seeds: Int = 300000, roundMs: Long = 50000L,
+      lean: Boolean = false, cluster: Boolean = false): Rep = {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val addOpens = jvmAddOpens.flatMap(s => {
@@ -198,12 +253,20 @@ object CrawlLevelBench {
       pb.environment().put("SPARK_SCALA_VERSION", "2.13")
     }
     val out = new StringBuilder
+    val stats = new StringBuilder
     val proc = pb.start()
     val src = scala.io.Source.fromInputStream(proc.getInputStream)
-    src.getLines().foreach { l => if (l.contains("[levelbench]")) out ++= l }
+    src.getLines().foreach { l =>
+      if (l.contains("[levelbench]")) out ++= l
+      else if (l.contains("[levelstats]")) {
+        stats.clear()
+        stats ++= l.substring(l.indexOf("[levelstats]") + "[levelstats]".length).trim
+      }
+    }
     proc.waitFor()
     val parts = out.toString.split("\\s+")
-    if (parts.length >= 3) (parts(1).toDouble, parts(2).toDouble)
-    else (-1.0, -1.0)
+    val statsJson = if (stats.nonEmpty) stats.toString else "null"
+    if (parts.length >= 3) Rep(parts(1).toDouble, parts(2).toDouble, statsJson)
+    else Rep(-1.0, -1.0, statsJson)
   }
 }

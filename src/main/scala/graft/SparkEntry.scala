@@ -26,8 +26,8 @@ object SparkEntry {
       VectorOps.queries ++ MultimodalOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
-    * on the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q27_simhash, q28_rolling_hash, q31_ann_lsh) → rows-only check. */
+    * on the same parquet tables. Every query has an oracle (39/39 since
+    * round 2 — q27/q28/q31 gained portable SQL formulations). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CrawlQueries.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles

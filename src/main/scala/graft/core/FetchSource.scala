@@ -31,8 +31,19 @@ package graft.core
   * is the generic mapPartitions form any source (HTTP included) runs
   * through, with the same output schema.
   */
+/** One fetch task as the seam sees it: canonical URL, retry ordinal,
+  * and the per-request HTTP options node-crawler's `queue()` carries
+  * (`method`, `headers` as an opaque serialized map; null = source
+  * defaults — GET, no extra headers) [PK:high]. */
+final case class FetchRequest(urlCanon: String, retryCount: Int,
+    method: String = null, headers: String = null)
+
 trait FetchSource {
   def fetch(urlCanon: String, retryCount: Int): FetchResult
+  /** Options-aware form; sources that honor method/headers override
+    * this (the synthetic source is method-insensitive by nature). */
+  def fetch(req: FetchRequest): FetchResult =
+    fetch(req.urlCanon, req.retryCount)
   def close(): Unit = ()
 }
 
@@ -48,23 +59,32 @@ object FetchSource {
 
   /** Per-partition fetch: one source per partition (pooled client
     * lifecycle), closed even on failure. `factory` must be
-    * serializable; the source itself never leaves the task. */
+    * serializable; the source itself never leaves the task.
+    *
+    * Cleanup is registered on the Spark TaskContext when one exists, so
+    * the source closes even if the downstream operator stops consuming
+    * early (limit/take/show) and the iterator is never drained — the
+    * drain/throw hooks below remain as the fallback outside a task
+    * (plain unit tests) and for eager release on full consumption. */
   def fetchPartition[T](
       it: Iterator[(String, Int)],
       factory: () => FetchSource)(
       out: (String, Int, FetchResult) => T): Iterator[T] = {
     val source = factory()
     var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; source.close() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
     new Iterator[T] {
       def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !closed) { source.close(); closed = true }
+        if (!h) closeOnce()
         h
       }
       def next(): T = {
         val (url, retry) = it.next()
         try out(url, retry, source.fetch(url, retry))
-        catch { case e: Throwable => source.close(); closed = true; throw e }
+        catch { case e: Throwable => closeOnce(); throw e }
       }
     }
   }
@@ -77,6 +97,35 @@ object FetchSource {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       fetchPartition(it, factory)((url, _, r) => (url, r.ok, r.spans, r.links))
+    }
+  }
+
+  /** Options-aware form of [[mapFetch]]: per-request method/headers ride
+    * to the source (same per-partition lifecycle). */
+  def mapFetchRequests(ds: org.apache.spark.sql.Dataset[FetchRequest],
+      factory: () => FetchSource):
+      org.apache.spark.sql.Dataset[(String, Boolean, Seq[Span], Seq[DiscoveredLink])] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val source = factory()
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; source.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      new Iterator[(String, Boolean, Seq[Span], Seq[DiscoveredLink])] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) closeOnce()
+          h
+        }
+        def next(): (String, Boolean, Seq[Span], Seq[DiscoveredLink]) = {
+          val req = it.next()
+          try {
+            val r = source.fetch(req)
+            (req.urlCanon, r.ok, r.spans, r.links)
+          } catch { case e: Throwable => closeOnce(); throw e }
+        }
+      }
     }
   }
 }

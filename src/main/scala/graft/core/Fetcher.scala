@@ -20,7 +20,11 @@ object Fetcher {
         case None => FetchResult(ok = true, Nil, Nil)
         case Some(bytes) =>
           val html = CharsetSniffer.decode(bytes)
-          val (spans, links) = HtmlSpanExtractor.extract(html)
+          // per-site declarative schema (default registry → the shared
+          // HtmlSpanExtractor instance, allocation-free)
+          val extractor = cfg.siteSchemas
+            .extractorFor(UrlCanonicalizer.hostOf(urlCanon))
+          val (spans, links) = extractor.extract(html)
           FetchResult(ok = true, spans, links.take(SpanExtractor.MaxLinksPerPage))
       }
     } else web.content(urlCanon) match {

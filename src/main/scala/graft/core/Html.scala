@@ -23,7 +23,50 @@ trait PageExtractor {
   def extract(page: String): (Seq[Span], Seq[DiscoveredLink])
 }
 
-object HtmlSpanExtractor extends PageExtractor {
+/** Declarative per-site extraction schema — the fork's defining feature
+  * (BASELINE.json "site-specific extraction output" [PK:low]): which
+  * elements yield text spans, which yield media spans (and from which
+  * attribute), which yield links, and which attribute carries the link
+  * priority. The default reproduces the generic mapping exactly, so the
+  * golden path is schema-invariant under `SiteSchema.Default`. */
+final case class SiteSchema(
+    textTags: Set[String] = Set("p"),
+    mediaTags: Set[String] = Set("img", "source", "video", "audio"),
+    mediaAttr: String = "src",
+    linkTags: Set[String] = Set("a"),
+    linkAttr: String = "href",
+    priorityAttr: String = "data-priority",
+    defaultPriority: Int = 5)
+
+object SiteSchema {
+  val Default: SiteSchema = SiteSchema()
+}
+
+/** host → schema registry: exact host match wins, then the longest
+  * `*.suffix` wildcard, then the default schema. */
+final case class SiteSchemas(
+    exact: Map[String, SiteSchema] = Map.empty,
+    wildcard: Seq[(String, SiteSchema)] = Nil, // ("*.shop.example", s)
+    default: SiteSchema = SiteSchema.Default) {
+  def forHost(host: String): SiteSchema =
+    exact.getOrElse(host,
+      wildcard.filter { case (pat, _) =>
+        pat.startsWith("*.") && host.endsWith(pat.substring(1))
+      }.sortBy(-_._1.length).headOption.map(_._2).getOrElse(default))
+  def extractorFor(host: String): PageExtractor = {
+    val s = forHost(host)
+    if (s == SiteSchema.Default) HtmlSpanExtractor else new SchemaSpanExtractor(s)
+  }
+}
+
+object SiteSchemas {
+  val Default: SiteSchemas = SiteSchemas()
+}
+
+/** Schema-interpreting extractor: the cheerio-selector analog, driven
+  * by a [[SiteSchema]]. `HtmlSpanExtractor` is the default-schema
+  * instance (shared verbatim between engine and simulator). */
+class SchemaSpanExtractor(schema: SiteSchema) extends PageExtractor {
 
   def extract(html: String): (Seq[Span], Seq[DiscoveredLink]) = {
     val spans = Seq.newBuilder[Span]
@@ -66,23 +109,23 @@ object HtmlSpanExtractor extends PageExtractor {
             i = t.end
             if (!t.closing) t.name match {
               case "script" | "style" => i = skipRawText(t.end, t.name)
-              case "p" =>
-                val (text, after) = elementText(html, t.end)
+              case name if schema.textTags(name) =>
+                val (text, after) = elementText(html, t.end, name)
                 spans += Span("text", text, null, offset)
                 offset += 1
                 i = after
-              case "img" | "source" | "video" | "audio" =>
-                t.attrs.get("src").foreach { src =>
+              case name if schema.mediaTags(name) =>
+                t.attrs.get(schema.mediaAttr).foreach { src =>
                   spans += Span("media", null, src, offset)
                   offset += 1
                 }
-              case "a" =>
+              case name if schema.linkTags(name) =>
                 if (nLinks < SpanExtractor.MaxLinksPerPage)
-                  t.attrs.get("href").foreach { href =>
-                    val pri = t.attrs.get("data-priority")
+                  t.attrs.get(schema.linkAttr).foreach { href =>
+                    val pri = t.attrs.get(schema.priorityAttr)
                       .filter(p => p.nonEmpty && p.forall(_.isDigit))
                       .map(_.toInt).filter(p => p >= 0 && p <= 9)
-                      .getOrElse(5)
+                      .getOrElse(schema.defaultPriority)
                     links += DiscoveredLink(href, pri)
                     nLinks += 1
                   }
@@ -97,7 +140,7 @@ object HtmlSpanExtractor extends PageExtractor {
   /** Text content of an element starting after its open tag: raw text
     * segments (entity-decoded) concatenated, inline tags stripped,
     * until the element's close tag. Returns (text, index-after). */
-  private def elementText(html: String, from: Int): (String, Int) = {
+  private def elementText(html: String, from: Int, tag: String): (String, Int) = {
     val sb = new StringBuilder
     var i = from
     val n = html.length
@@ -112,7 +155,7 @@ object HtmlSpanExtractor extends PageExtractor {
         val end = html.indexOf("-->", lt + 4)
         i = if (end < 0) n else end + 3
       } else HtmlTokenizer.parse(html, lt) match {
-        case Some(t) if t.closing && t.name == "p" => return (sb.toString, t.end)
+        case Some(t) if t.closing && t.name == tag => return (sb.toString, t.end)
         case Some(t) => i = t.end // strip inline tags
         case None => sb += '<'; i = lt + 1
       }
@@ -120,6 +163,10 @@ object HtmlSpanExtractor extends PageExtractor {
     (sb.toString, n)
   }
 }
+
+/** The default-schema extractor instance (engine + simulator share it
+  * verbatim; the golden path is schema-invariant under the default). */
+object HtmlSpanExtractor extends SchemaSpanExtractor(SiteSchema.Default)
 
 /** Minimal standards-shaped HTML tag tokenizer + entity codec. */
 object HtmlTokenizer {
@@ -202,9 +249,26 @@ object HtmlTokenizer {
             case "gt"   => sb += '>'; i = semi + 1
             case "quot" => sb += '"'; i = semi + 1
             case "apos" => sb += '\''; i = semi + 1
-            case e if e.startsWith("#") && e.drop(1).nonEmpty &&
-              e.drop(1).forall(_.isDigit) =>
-              sb += e.drop(1).toInt.toChar; i = semi + 1
+            // numeric character references: decimal &#NNNN; and hex
+            // &#xHHHH;. Supplementary code points expand to surrogate
+            // pairs via Character.toChars (a bare toChar truncates
+            // above U+FFFF); invalid/overflowing references are left
+            // untouched, like unrecognized named entities.
+            case e if e.startsWith("#") =>
+              val (digits, radix) =
+                if (e.length > 2 && (e(1) == 'x' || e(1) == 'X'))
+                  (e.drop(2), 16)
+                else (e.drop(1), 10)
+              val valid = digits.nonEmpty &&
+                digits.forall(d => Character.digit(d, radix) >= 0)
+              val cp = if (valid) {
+                try java.lang.Integer.parseInt(digits, radix)
+                catch { case _: NumberFormatException => -1 }
+              } else -1
+              if (cp >= 0 && cp <= 0x10FFFF &&
+                  !(cp >= 0xD800 && cp <= 0xDFFF)) {
+                sb ++= new String(Character.toChars(cp)); i = semi + 1
+              } else { sb += c; i += 1 }
             case _ => sb += c; i += 1
           }
         } else { sb += c; i += 1 }

@@ -43,7 +43,16 @@ case class FrontierEntry(
     // per-request opaque payload (node-crawler's `userData` [PK:high]):
     // set at queue time, carried through scheduling untouched, surfaced
     // on the attempt row. null for link-discovered URLs.
-    user_data: String = null)
+    user_data: String = null,
+    // per-request politeness group (node-crawler's `limiter` [PK:high]):
+    // requests sharing a limiter key share ONE rate bucket, across
+    // hosts. null = the default limiter, the URL's host.
+    limiter: String = null,
+    // per-request HTTP options (node-crawler `method`/`headers`
+    // [PK:high]): carried to the FetchSource seam and surfaced on the
+    // attempt row. null = source defaults (GET, no extra headers).
+    method: String = null,
+    headers: String = null)
 
 object FrontierEntry {
   val Pending = "pending"
@@ -91,7 +100,11 @@ case class CrawlConfig(
     // store spans as one packed binary cell per page instead of
     // array<struct> (SpanCodec); documents() unpacks to the normative
     // schema on read. Cuts write-path allocation ~10x on rich pages.
-    packedSpans: Boolean = false)
+    packedSpans: Boolean = false,
+    // declarative per-site extraction schemas (host → SiteSchema),
+    // interpreted on the parseHtml path; the default registry maps
+    // every host to the generic p/img/a mapping.
+    siteSchemas: SiteSchemas = SiteSchemas.Default)
 
 /** Result of fetching+extracting one page (shared shape between engine
   * and simulator; produced by the pure `Fetcher`/`SpanExtractor`). */
@@ -105,7 +118,12 @@ case class FetchResult(
   * 0..9, default 5). */
 case class DiscoveredLink(url: String, priority: Int)
 
-/** A queue request (node-crawler `queue({uri, priority, userData})`
-  * [PK:high]): URL plus per-request scheduling priority and an opaque
-  * payload that rides along to the attempt row. */
-case class SeedRequest(url: String, priority: Int = 5, userData: String = null)
+/** A queue request (node-crawler
+  * `queue({uri, priority, userData, limiter, method, headers})`
+  * [PK:high]): URL plus per-request scheduling priority, an opaque
+  * payload that rides along to the attempt row, an optional politeness
+  * group (`limiter` — requests sharing a key share one rate bucket;
+  * null = per-host), and HTTP options (`method`, `headers` as an opaque
+  * serialized map) passed through to the fetch seam. */
+case class SeedRequest(url: String, priority: Int = 5, userData: String = null,
+    limiter: String = null, method: String = null, headers: String = null)

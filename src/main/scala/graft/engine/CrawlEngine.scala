@@ -92,13 +92,16 @@ final class CrawlEngine(
     initRequests(seeds.map(SeedRequest(_)))
 
   /** Seed with per-request options (node-crawler `queue()` [PK:high]):
-    * priority 0..9 and an opaque userData payload that is carried
-    * through scheduling and surfaced on the attempt row. */
+    * priority 0..9, an opaque userData payload surfaced on the attempt
+    * row, an optional `limiter` politeness group (requests sharing a
+    * key share ONE rate bucket across hosts; null = per-host), and
+    * method/headers passed through to the fetch seam. */
   def initRequests(reqs: Seq[SeedRequest]): Unit = {
     val w = web; val c = cfg
     val entries = reqs.zipWithIndex.flatMap { case (req, i) =>
       CrawlEngine.toEntry(w, req.url, req.priority, i.toLong, due = 0L, c)
-        .map(_.copy(user_data = req.userData))
+        .map(_.copy(user_data = req.userData, limiter = req.limiter,
+          method = req.method, headers = req.headers))
     }.groupBy(_.url_hash).map { case (_, g) => g.minBy(_.discovered_seq) }.toSeq
     // ship the seed list in slices (one giant createDataset closure hits
     // the RPC task-size ceiling at ~1M+ seeds)
@@ -218,7 +221,8 @@ final class CrawlEngine(
   def crawlLog(): DataFrame =
     readPinned(ATTEMPTS)
       .map(_.select($"round", $"priority", $"discovered_seq", $"url_hash",
-        $"url_canon", $"retry_count", $"user_data")
+        $"url_canon", $"retry_count", $"user_data",
+        $"limiter", $"method", $"headers")
         .orderBy($"round", $"priority", $"discovered_seq", $"url_hash"))
       .getOrElse(spark.emptyDataFrame)
 
@@ -252,25 +256,28 @@ final class CrawlEngine(
     val pend = pendingView(r)
     val cands = pend.filter($"due_round" <= r)
 
-    // J3→F: politeness quota is a pure function of the host name —
-    // computed in place by a native expression. No distinct(), no
-    // broadcast, no extra job, no bound on the number of hosts.
+    // J3→F: politeness quota is a pure function of the LIMITER key —
+    // the per-request politeness group, defaulting to the URL's host
+    // (node-crawler: tasks sharing a `limiter` share one rate bucket
+    // [PK:high]) — computed in place by a native expression. No
+    // distinct(), no broadcast, no extra job, no bound on #hosts.
+    val withLim = cands.withColumn("lim", coalesce($"limiter", $"host"))
     val quotaCol = ColumnShim.column(graft.functions.HostQuotaExpr(
-      ColumnShim.expression($"host"), w, c.roundMs))
-    val joined = cands.withColumn("quota", quotaCol)
+      ColumnShim.expression($"lim"), w, c.roundMs))
+    val joined = withLim.withColumn("quota", quotaCol)
 
-    // W1: per-host priority dequeue, two-phase salted top-K. The
+    // W1: per-limiter priority dequeue, two-phase salted top-K. The
     // salting phase pays a full extra shuffle+sort, so it's worth it
     // only when a mega-host's pending set is far larger than
     // salt×quota (the 10^10-frontier case); saltFanout=1 selects the
     // single-window plan. Results are identical either way (phase 2
     // is definitive; a global top-q row is a top-q row of its salt).
     val ord = Seq($"priority", $"discovered_seq", $"url_hash")
-    val w2 = Window.partitionBy($"host").orderBy(ord: _*)
+    val w2 = Window.partitionBy($"lim").orderBy(ord: _*)
     val preFiltered =
       if (saltFanout <= 1) joined
       else {
-        val w1 = Window.partitionBy($"host", $"salt").orderBy(ord: _*)
+        val w1 = Window.partitionBy($"lim", $"salt").orderBy(ord: _*)
         joined
           .withColumn("salt", pmod($"url_hash", lit(saltFanout)))
           .withColumn("rn1", row_number().over(w1))
@@ -280,46 +287,21 @@ final class CrawlEngine(
     val admitted = preFiltered
       .withColumn("rn", row_number().over(w2))
       .filter($"rn" <= $"quota")
-      .drop("rn", "quota")
+      .drop("rn", "quota", "lim")
 
     // W2: global cap (maxConnections analog) — TakeOrderedAndProject.
-    // The admitted set is PERSISTED (slim scheduling columns only): the
-    // fetch stage, the keep-set rewrite (leg A, below) and the admitted
-    // count all consume it, and caching makes the three consistent by
-    // construction while letting leg A run CONCURRENTLY with the fetch.
-    val capped = (c.maxPerRound match {
+    // (A leg-split that overlapped the keep-set rewrite with the fetch
+    // stage was measured and REVERTED: materializing the admitted set
+    // up front added a serial count stage, and the discoveries leg —
+    // the bulk of the rewrite in a growing crawl — still trailed the
+    // fetch, so the split cost more than it hid at both 2 and 8 cores.)
+    val capped = c.maxPerRound match {
       case Some(k) => admitted.orderBy(ord: _*).limit(k)
       case None    => admitted
-    }).persist(StorageLevel.MEMORY_AND_DISK)
-    // materializes the cache and fixes nAdmitted BEFORE the fetch — so
-    // the keep-set anti-join can pick broadcast vs shuffle and start
-    // immediately, overlapping the heavy fetch+extract stage
-    val nAdmitted = timed("admit_count", r) { capped.count() }
-
-    // leg A of the pending rewrite: rows NOT attempted this round keep
-    // their state. Independent of fetch outcomes, so it runs in
-    // parallel with the fetch stage. Small admitted sets broadcast
-    // (map-side probe, no pending shuffle); large ones shuffle-join —
-    // the driver-side broadcast build is serial and linear in
-    // |admitted|, so past the threshold the parallel shuffle wins.
-    // (At 10^10-frontier scale the endgame is a bucketed co-partitioned
-    // storage join; both forms keep the exact same semantics.)
+    }
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec = CrawlEngine.jobEc
-    val bcastMax =
-      sys.env.get("SPARK_GRAFT_BCAST_MAX").map(_.toLong).getOrElse(500000L)
-    val cappedKeys0 = capped.select($"url_hash")
-    val cappedKeys =
-      if (nAdmitted <= bcastMax) broadcast(cappedKeys0) else cappedKeys0
-    val pendCols = spark.emptyDataset[FrontierEntry].toDF().columns.map(col)
-    val futLegA = Future {
-      timed("keep_write", r) {
-        ice.writeData(pend.select(pendCols: _*)
-          .join(cappedKeys, Seq("url_hash"), "left_anti")
-          .select(pendCols: _*), FRONTIER, s"r$r-keep")
-      }
-    }
 
     // S3+F6+F7: fetch + decode + extract — ONE pass over the admitted
     // set, staged straight into the `attempts` fact table (columnar
@@ -340,11 +322,13 @@ final class CrawlEngine(
       ColumnShim.expression($"discovered_seq"), w, c, c.packedSpans))
     val attemptsOut = capped
       .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
-        $"priority", $"discovered_seq", $"retry_count", $"user_data")
+        $"priority", $"discovered_seq", $"retry_count", $"user_data",
+        $"limiter", $"method", $"headers")
       .repartition($"url_hash")
       .withColumn("f", fetchCol)
       .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
         $"priority", $"discovered_seq", $"retry_count", $"user_data",
+        $"limiter", $"method", $"headers",
         $"f.ok".as("ok"), $"f.has_doc".as("has_doc"),
         $"f.spans".as("spans"), $"f.links".as("links"))
       .withColumn("round", lit(r))
@@ -353,6 +337,7 @@ final class CrawlEngine(
     val obs = org.apache.spark.sql.Observation(
       s"attempts-r$r-${CrawlEngine.obsId.incrementAndGet()}")
     val observed = attemptsOut.observe(obs,
+      count(lit(1)).as("n"),
       sum(when($"ok", 1L).otherwise(0L)).as("n_ok"),
       sum(size($"links")).as("n_links"))
     val attemptsFile = timed("fetch_stage", r) {
@@ -364,6 +349,7 @@ final class CrawlEngine(
       case Some(v: Number) => v.longValue()
       case _ => 0L
     }
+    val nAdmitted = metric("n")
     val nOk = metric("n_ok")
     val nDiscovered = metric("n_links")
     val nFailed = nAdmitted - nOk
@@ -385,7 +371,7 @@ final class CrawlEngine(
       when($"ok", FrontierEntry.Done)
         .when(newRetry > c.maxRetries, FrontierEntry.Dropped)
         .otherwise(FrontierEntry.Pending).as("state"),
-      $"user_data")
+      $"user_data", $"limiter", $"method", $"headers")
 
     // jobs that read only this round's attempts file are independent of
     // the previous round's commits — start them BEFORE awaiting the
@@ -432,24 +418,36 @@ final class CrawlEngine(
         $"host_bucket", $"priority", $"discovered_seq",
         lit(0).as("retry_count"), lit(r + 1).as("due_round"),
         lit(FrontierEntry.Pending).as("state"),
-        lit(null).cast("string").as("user_data"))
+        lit(null).cast("string").as("user_data"),
+        lit(null).cast("string").as("limiter"),
+        lit(null).cast("string").as("method"),
+        lit(null).cast("string").as("headers"))
 
-    // leg B of the pending rewrite: retries coming back with a bumped
-    // due_round, plus this round's newly discovered entries. Leg A (the
-    // keep set) has been writing in parallel with the fetch stage; the
-    // two legs partition the new pending set and commit together.
+    // the attempted-key set is quota-bounded (small next to the pending
+    // set at steady state) — broadcasting it turns the retire anti-join
+    // into a map-side hash probe, so the pending rewrite is a single
+    // shuffle-free pass: probe + union + write. Large admitted sets
+    // shuffle-join instead — the driver-side broadcast build is serial
+    // and linear in |admitted|, so past the threshold the parallel
+    // shuffle wins on wall clock. (At 10^10-frontier scale the endgame
+    // is a bucketed co-partitioned storage join; both forms here keep
+    // the exact same semantics.)
+    val bcastMax =
+      sys.env.get("SPARK_GRAFT_BCAST_MAX").map(_.toLong).getOrElse(500000L)
+    val attemptKeys =
+      if (nAdmitted <= bcastMax) broadcast(attempts.select($"url_hash"))
+      else attempts.select($"url_hash")
     val cols = updates.columns.map(col)
-    val legB = updates.filter($"state" === FrontierEntry.Pending)
+    val newPending = pend.select(cols: _*)
+      .join(attemptKeys, Seq("url_hash"), "left_anti")
+      .select(cols: _*)
+      .unionByName(updates.filter($"state" === FrontierEntry.Pending))
       .unionByName(newEntries.select(cols: _*))
-    val legBFile = timed("frontier_write", r) {
-      ice.writeData(legB, FRONTIER, s"r$r-new")
+    val pendingFile = timed("frontier_write", r) {
+      ice.writeData(newPending, FRONTIER, s"r$r")
     }
     tagged.unpersist()
-    val legAFile = timed("keep_await", r) {
-      Await.result(futLegA, Duration.Inf)
-    }
-    capped.unpersist()
-    val pendingFiles = Seq(legAFile, legBFile)
+    val pendingFiles = Seq(pendingFile)
     carriedPending = Some((r + 1, pendingFiles))
 
     // everything left — bloom delta, lineage, the atomic commit chain,
@@ -458,7 +456,7 @@ final class CrawlEngine(
     // the next round's window+fetch occupy the cluster. run() awaits it
     // before the next round's dedup cogroup.
     tailInFlight = Some(Future {
-      commitTail(r, attemptsFile, pendingFiles, legBFile, nAdmitted,
+      commitTail(r, attemptsFile, pendingFiles, pendingFile, nAdmitted,
         futLinLeft, futRetired)
     })
     RoundStats(r, nCandidates, nAdmitted, nOk, nFailed, nDiscovered, -1L)
@@ -466,7 +464,7 @@ final class CrawlEngine(
 
   /** Round r's commit tail (runs on jobEc, strictly one at a time). */
   private def commitTail(r: Long, attemptsFile: String,
-      pendingFiles: Seq[String], legBFile: String, nAdmitted: Long,
+      pendingFiles: Seq[String], newRowsFile: String, nAdmitted: Long,
       futLinLeft: scala.concurrent.Future[Array[org.apache.spark.sql.Row]],
       futRetired: scala.concurrent.Future[Option[String]]): TailDone = {
     val c = cfg
@@ -474,12 +472,12 @@ final class CrawlEngine(
     import scala.concurrent.duration.Duration
     val retiredFile = Await.result(futRetired, Duration.Inf)
 
-    // newly enqueued rows, read back from leg B of the written pending
-    // set (new entries live only there; unique signature: due r+1, no
-    // retries) as a slim 2-column scan, re-keyed by host_bucket (a
-    // shuffle of ONLY the new rows — the pending write itself stays
-    // shuffle-free), then folded into per-bucket bloom deltas.
-    val written = spark.read.parquet(legBFile)
+    // newly enqueued rows, read back from the written pending file
+    // (unique signature: due r+1, no retries) as a slim 2-column scan,
+    // re-keyed by host_bucket (a shuffle of ONLY the new rows — the
+    // pending write itself stays shuffle-free), then folded into
+    // per-bucket bloom deltas.
+    val written = spark.read.parquet(newRowsFile)
     // partition count = session parallelism, NOT numBuckets: the
     // per-partition fold handles many buckets per task, and hashing on
     // host_bucket still puts each bucket wholly inside one partition

@@ -23,15 +23,56 @@ object MultimodalOps {
 
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
+  final case class DecodedMeta(n_bytes: Long, width: Long, height: Long,
+      format: String)
+
+  /** Pluggable media-codec seam, mirroring `FetchSource`: ONE instance
+    * per partition per stage — created inside the task, closed when the
+    * partition ends (or the task completes early under a limit/take) —
+    * so a real codec owns its native buffers/handles per task. The
+    * sandbox impl is the deterministic [[StubDecoder]]. */
+  trait Decoder {
+    def decode(payload: Array[Byte]): DecodedMeta
+    /** Sample "frames" (index, value) from the payload. */
+    def sampleFrames(payload: Array[Byte], stride: Int): Seq[(Int, Int)]
+    def close(): Unit = ()
+  }
+
+  object Decoder {
+    /** Per-partition decode: one decoder per partition, closed via the
+      * TaskContext on completion (covers early termination) with a
+      * drain-time fallback outside a task — same lifecycle contract as
+      * `FetchSource.fetchPartition`. */
+    def decodePartition[R, T](it: Iterator[R], factory: () => Decoder)(
+        f: (Decoder, R) => T): Iterator[T] = {
+      val dec = factory()
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; dec.close() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+      new Iterator[T] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) closeOnce()
+          h
+        }
+        def next(): T =
+          try f(dec, it.next())
+          catch { case e: Throwable => closeOnce(); throw e }
+      }
+    }
+  }
+
   /** Deterministic fake media decode: a real implementation would parse
-    * a container header; the stub derives metadata from payload bytes. */
-  object StubDecoder {
-    final case class Meta(n_bytes: Long, width: Long, height: Long, format: String)
-    def decode(payload: Array[Byte]): Meta = {
+    * a container header; the stub derives metadata from payload bytes.
+    * (The `// ??? real codec` marker is the documented replacement
+    * point — the container ships no image/audio libraries.) */
+  final class StubDecoder extends Decoder {
+    def decode(payload: Array[Byte]): DecodedMeta = {
       // ??? real codec goes here; deterministic fake below
       val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
       val b1 = if (payload.length > 1) payload(1) & 0xff else 0
-      Meta(payload.length.toLong, (b0 % 64).toLong * 16 + 64,
+      DecodedMeta(payload.length.toLong, (b0 % 64).toLong * 16 + 64,
         (b1 % 36).toLong * 16 + 64, if (b0 % 2 == 0) "fake_jpeg" else "fake_png")
     }
     /** Frame sampling stub: every 16th byte is a "frame". */
@@ -45,16 +86,16 @@ object MultimodalOps {
   final case class Frame(doc_id: Long, frame_idx: Int, frame_val: Int)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // binary payload + batch decode to typed metadata.
+    // binary payload + batch decode to typed metadata through the
+    // per-partition Decoder seam.
     "q32_media_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val media = s.read.parquet(t(dir, "documents"))
         .select($"doc_id", encode($"text", "UTF-8").as("payload"))
         .as[MediaRow]
       media.mapPartitions { it =>
-        // one decoder per partition (batch shape a real codec needs)
-        it.map { m =>
-          val meta = StubDecoder.decode(m.payload)
+        Decoder.decodePartition(it, () => new StubDecoder) { (dec, m) =>
+          val meta = dec.decode(m.payload)
           MediaMeta(m.doc_id, meta.n_bytes, meta.width, meta.height, meta.format)
         }
       }.toDF().orderBy($"doc_id")
@@ -67,9 +108,12 @@ object MultimodalOps {
         .filter($"doc_id" % 50 === 0)
         .select($"doc_id", encode($"text", "UTF-8").as("payload"))
         .as[MediaRow]
-      media.flatMap(m => StubDecoder.sampleFrames(m.payload, 16)
-          .map { case (i, v) => Frame(m.doc_id, i, v) })
-        .toDF().orderBy($"doc_id", $"frame_idx")
+      media.mapPartitions { it =>
+        Decoder.decodePartition(it, () => new StubDecoder) { (dec, m) =>
+          dec.sampleFrames(m.payload, 16)
+            .map { case (i, v) => Frame(m.doc_id, i, v) }
+        }.flatten
+      }.toDF().orderBy($"doc_id", $"frame_idx")
     }))
 
   val oracles: Map[String, String] = Map(

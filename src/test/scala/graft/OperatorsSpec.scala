@@ -134,11 +134,44 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("stub decoder: deterministic metadata and frame sampling") {
     val payload = "abcdefghijklmnopqrstuvwxyz0123456789".getBytes("UTF-8")
-    val m = MultimodalOps.StubDecoder.decode(payload)
+    val dec = new MultimodalOps.StubDecoder
+    val m = dec.decode(payload)
     assert(m.n_bytes === payload.length.toLong)
-    assert(m === MultimodalOps.StubDecoder.decode(payload))
-    val frames = MultimodalOps.StubDecoder.sampleFrames(payload, 16)
+    assert(m === dec.decode(payload))
+    val frames = dec.sampleFrames(payload, 16)
     assert(frames.map(_._1) === Seq(0, 1, 2))
     assert(frames(1)._2 === payload(16).toInt)
+  }
+
+  test("Decoder seam: per-partition lifecycle, closed even on early termination") {
+    import MultimodalOps._
+    val sp = spark
+    import sp.implicits._
+    val opened = spark.sparkContext.longAccumulator("dec_opened")
+    val closed = spark.sparkContext.longAccumulator("dec_closed")
+    final class Counting extends Decoder {
+      opened.add(1)
+      private val inner = new StubDecoder
+      def decode(p: Array[Byte]): DecodedMeta = inner.decode(p)
+      def sampleFrames(p: Array[Byte], s: Int): Seq[(Int, Int)] =
+        inner.sampleFrames(p, s)
+      override def close(): Unit = closed.add(1)
+    }
+    val rows = (0L until 40L).map(i => MediaRow(i, s"payload-$i".getBytes("UTF-8")))
+    val ds = spark.createDataset(rows).repartition(4)
+    def decoded = ds.mapPartitions { it =>
+      Decoder.decodePartition(it, () => new Counting) { (dec, m) =>
+        MediaMeta(m.doc_id, dec.decode(m.payload).n_bytes, 0L, 0L, "x")
+      }
+    }
+    // full drain: one decoder per non-empty partition, every one closed
+    assert(decoded.collect().length === 40)
+    assert(opened.value === closed.value && opened.value >= 1)
+    // early termination (limit): the TaskCompletionListener still closes
+    val (o0, c0) = (opened.value, closed.value)
+    assert(decoded.limit(3).collect().length === 3)
+    assert(opened.value > o0, "limit run should open at least one decoder")
+    assert(opened.value === closed.value,
+      s"decoder leak under early termination: opened=${opened.value} closed=${closed.value}")
   }
 }

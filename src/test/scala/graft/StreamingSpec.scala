@@ -66,6 +66,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted === expected)
   }
 
+  test("admitter is memory-bounded: a 100x-over-quota mega-host still picks the exact top-K") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 500)
+    val quota = 4
+    val urls = (0 until quota * 100).map(i => s"http://h0001.example/p/$i")
+    val dir = writeSeeds(urls)
+    val cp = Files.createTempDirectory("graft-cp4").toString
+    val cands = StreamingOps.seedStream(spark, dir, web)
+    val q = StreamingOps.politeAdmitter(spark, cands, quotaPerBatch = quota)
+      .writeStream.format("memory").queryName("admit_mega")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.sql(
+      "SELECT url_hash, batch_rank FROM admit_mega ORDER BY batch_rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.length === quota)
+    // exact top-K semantics preserved by the bounded heap: the K
+    // smallest hashes, emitted in ascending order
+    val expected = urls.map(UrlCanonicalizer.canonicalize(_).get)
+      .map(Hashing.xxhash64).sorted.take(quota)
+    assert(rows.map(_._1).toSeq === expected)
+    assert(rows.map(_._2).toSeq === (0 until quota))
+  }
+
   test("watermarked windowed aggregation over the events file stream") {
     val cp = Files.createTempDirectory("graft-cp3").toString
     val q = StreamingOps.eventWindowCounts(spark, "/root/testdata/sf0.001")
