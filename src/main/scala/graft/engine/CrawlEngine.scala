@@ -385,11 +385,20 @@ final class CrawlEngine(
     }
     val futRetired = Future {
       if (nAdmitted > 0) {
+        // row count rides the write (Observation) — no follow-up
+        // metadata-count job in the tail
+        val obsR = org.apache.spark.sql.Observation(
+          s"retired-r$r-${CrawlEngine.obsId.incrementAndGet()}")
         val f = timed("retired_write", r) {
-          ice.writeData(updates.filter($"state" =!= FrontierEntry.Pending),
+          ice.writeData(
+            updates.filter($"state" =!= FrontierEntry.Pending)
+              .observe(obsR, count(lit(1)).as("n")),
             RETIRED, s"r$r")
         }
-        val n = spark.read.parquet(f).count() // metadata count
+        val n = obsR.get.get("n") match {
+          case Some(v: Number) => v.longValue()
+          case _ => 0L
+        }
         if (n > 0) Some(f) else None
       } else None
     }

@@ -68,6 +68,65 @@ case class HostQuotaExpr(child: Expression, web: graft.core.SyntheticWeb,
   override def prettyName: String = "host_quota"
 }
 
+/** `ivf_assign(array<double>)`: k-means argmin assignment — cid of the
+  * centroid minimizing (c·c − 2 v·c), ties to the lowest cid (the
+  * oracle's row_number() OVER (ORDER BY d, cid)). Centroids ride a
+  * REFERENCE OBJECT, not literals: the generated code is independent of
+  * the centroid values, so every Lloyd iteration (and the final probe)
+  * reuses ONE compiled class instead of re-codegenning a k×dims literal
+  * tree per job — this, not row throughput, was q36's cost at sandbox
+  * scale. Dot products fold left-to-right like DuckDB's
+  * list_dot_product, keeping bit parity. */
+case class IvfAssignExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  // c·c per centroid, same left-to-right fold as the oracle
+  private lazy val ccs: Array[Double] = cents.map { cv =>
+    var s = 0.0; var i = 0
+    while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var dot = 0.0; var i = 0
+      while (i < cv.length) { dot += v(i) * cv(i); i += 1 }
+      val d = ccs(c) - 2.0 * dot
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
+      val ccsRef = ctx.addReferenceObj("ivfCcs", ccs, "double[]")
+      s"""
+        |double[] ivfV = $c.toDoubleArray();
+        |int ivfBest = -1;
+        |double ivfBestD = Double.MAX_VALUE;
+        |for (int ci = 0; ci < $centsRef.length; ci++) {
+        |  double[] cv = $centsRef[ci];
+        |  double dot = 0.0;
+        |  for (int i = 0; i < cv.length; i++) dot += ivfV[i] * cv[i];
+        |  double d = $ccsRef[ci] - 2.0 * dot;
+        |  if (d < ivfBestD) { ivfBestD = d; ivfBest = ci; }
+        |}
+        |${ev.value} = ivfBest;
+        |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): IvfAssignExpr =
+    copy(child = c)
+  override def prettyName: String = "ivf_assign"
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.graftshim.ColumnShim
 

@@ -217,17 +217,17 @@ object VectorOps {
         while (i < a.length) { acc += a(i) * b(i); i += 1 }
         acc
       }
-      // argmin over the literal centroid array: min of (d, cid) structs
-      // = lowest distance, ties to lowest cid — the oracle's
-      // row_number() OVER (ORDER BY d, cid) without any join/shuffle
+      // argmin assignment as ONE native expression (IvfAssignExpr):
+      // centroids ride a reference object, so the generated code is
+      // value-independent and every Lloyd job reuses one compiled
+      // class — no k×dims literal tree re-codegenned per iteration.
+      // cids are 0..k−1 and the matrix is cid-ordered, so the
+      // expression's array index IS the cid.
       def cidOf(cents: Seq[(Int, Seq[Double])]): Column = {
-        val centArr = array(cents.sortBy(_._1).map { case (cid, cv) =>
-          struct(lit(cid).as("cid"), typedLit(cv).as("cv"),
-            lit(sdot(cv, cv)).as("cc"))
-        }: _*)
-        array_min(transform(centArr, c =>
-          struct((c("cc") - lit(2.0) * dot($"v", c("cv"))).as("d"),
-            c("cid").as("cid"))))("cid")
+        import org.apache.spark.sql.graftshim.ColumnShim
+        val matrix = cents.sortBy(_._1).map(_._2.toArray).toArray
+        ColumnShim.column(graft.functions.IvfAssignExpr(
+          ColumnShim.expression($"v"), matrix))
       }
 
       // Spark round(double, s) semantics = Scala BigDecimal HALF_UP —
