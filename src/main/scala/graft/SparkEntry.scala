@@ -23,12 +23,13 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CrawlQueries.queries ++ TextOps.queries ++
-      VectorOps.queries ++ MultimodalOps.queries
+      VectorOps.queries ++ MultimodalOps.queries ++ PipelineOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
-    * on the same parquet tables. Every query has an oracle (39/39 since
-    * round 2 — q27/q28/q31 gained portable SQL formulations). */
+    * on the same parquet tables. Every query has an oracle (43/43 —
+    * q27/q28/q31 gained portable SQL formulations in round 2; the
+    * round-3 curation ops q40–q43 shipped with theirs). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CrawlQueries.oracles ++ TextOps.oracles ++
-      VectorOps.oracles ++ MultimodalOps.oracles
+      VectorOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles
 }

@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline
+  * needs beyond per-document scoring: near-dup CLUSTERING (turning the
+  * q24 candidate-pair graph into keep/drop decisions), deterministic
+  * stratified sampling (data mixing), an as-of join over the event
+  * stream, and exact per-stratum quantiles.
+  *
+  * Every query has a DuckDB oracle from portable primitives only
+  * (md5, 64-bit integer arithmetic, recursive CTE, LATERAL top-1,
+  * linear-interpolated quantiles — see each oracle's notes).
+  */
+object PipelineOps {
+
+  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  /** Per-language keep-rate for the stratified sample (q41):
+    * downsample the majority language, keep most of the tail — the
+    * standard data-mixing shape. Rates are exact multiples of 2⁻³²
+    * expressed as integer thresholds against a 32-bit md5-derived
+    * uniform, so both engines compare integers (no float rounding). */
+  val SampleThresholds: Seq[(String, Long)] = Seq(
+    "en" -> (0.25 * (1L << 32)).toLong, // keep ~25% of the head
+    "de" -> (0.75 * (1L << 32)).toLong,
+    "es" -> (0.75 * (1L << 32)).toLong,
+    "fr" -> (0.75 * (1L << 32)).toLong,
+    "zh" -> (0.75 * (1L << 32)).toLong)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // near-dup clustering: connected components over the q24 LSH
+    // candidate-pair graph → one row per document with its cluster id
+    // (= min doc_id in the component), the cluster size, and the
+    // keep/drop decision (keep the canonical min-id member). This is
+    // the step that turns pairwise near-dup evidence into an actual
+    // dedup of the corpus.
+    //
+    // Algorithm: min-label propagation with POINTER DOUBLING — each
+    // iteration a node takes the min of (its label, its neighbors'
+    // labels, its label's label), so convergence is O(log diameter)
+    // rounds, not O(diameter). Each round is two shuffles on compact
+    // (id, label) pairs; the edge set comes pre-bucketed from the LSH
+    // band join (never all-pairs). localCheckpoint truncates the
+    // iterative plan lineage (on a real cluster: checkpoint to the
+    // job's reliable store). Near-dup graphs cluster tightly (dups of
+    // one source document), so rounds ≈ 2–3 in practice; the loop
+    // exits on the first fixpoint.
+    "q40_dedup_clusters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pairs = TextOps.lshCandidatePairs(s, dir)
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .localCheckpoint(true)
+      val docs = s.read.parquet(t(dir, "documents")).select($"doc_id")
+      var labels = docs.select($"doc_id".as("node"), $"doc_id".as("label"))
+        .localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 40) {
+        val viaEdge = labels.join(edges, $"node" === $"src")
+          .select($"dst".as("node"), $"label")
+        val viaLabel = labels.as("x")
+          .join(labels.as("y"), col("x.label") === col("y.node"))
+          .select(col("x.node").as("node"), col("y.label").as("label"))
+        val next = labels.union(viaEdge).union(viaLabel)
+          .groupBy($"node").agg(min($"label").as("label"))
+          .localCheckpoint(true)
+        // fixpoint probe: one count on the compact label table
+        val changed = next.as("n").join(labels.as("o"), "node")
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      val sizes = labels.groupBy($"label".as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select($"doc_id", $"cluster_id", $"cluster_size",
+          ($"doc_id" === $"cluster_id").as("keep"))
+        .orderBy($"doc_id")
+    }),
+
+    // deterministic stratified sampling (data mixing): keep a document
+    // iff a 32-bit uniform derived from md5(doc_id) falls under its
+    // language's threshold. Hash-based, so the sample is reproducible,
+    // partition-order-independent, and embarrassingly parallel (a pure
+    // codegen'd filter over the scan — no shuffle at all); per-language
+    // rates are the standard knob for reweighting a training mix.
+    "q41_stratified_sample" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val u = conv(substring(md5(concat(lit("mix1|"), $"doc_id".cast("string"))), 1, 8),
+        16, 10).cast("long")
+      val thresh = SampleThresholds.foldLeft(lit(0L)) { case (acc, (lang, th)) =>
+        when($"lang" === lang, lit(th)).otherwise(acc)
+      }
+      s.read.parquet(t(dir, "documents"))
+        .filter(u < thresh)
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // as-of join over the event stream: for every purchase, the most
+    // recent click AT OR BEFORE it by the same user (ties broken by
+    // event_id — deterministic). Spark-first shape: ONE union + ONE
+    // window pass partitioned by user (sort (ts, event_id) with clicks
+    // ordered before a same-instant purchase), carrying the last
+    // non-null click id/ts forward — O(n log n) within each user
+    // partition, one shuffle, no per-row probe join. This is the
+    // generic as-of algorithm (works for quotes→trades, state→reads);
+    // a range/point-list join would be the skew fallback.
+    "q42_asof_join" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // events.ts is TIMESTAMP_NTZ; the session is pinned UTC, so
+      // epoch micros via a plain timestamp cast is exact
+      val ev = s.read.parquet(t(dir, "events"))
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts".cast("timestamp")).as("us"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"us", $"event_id",
+          lit(0).as("side"), $"event_id".as("click_id"), $"us".as("click_us"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"us", $"event_id",
+          lit(1).as("side"), lit(null).cast("long").as("click_id"),
+          lit(null).cast("long").as("click_us"))
+      // at equal ts a click sorts before the purchase (side 0 < 1), so
+      // the as-of is inclusive; among equal-ts clicks the larger
+      // event_id wins (last non-null over event_id order)
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"us", $"side", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.union(purchases)
+        .withColumn("asof_click_id", last($"click_id", ignoreNulls = true).over(w))
+        .withColumn("asof_click_us", last($"click_us", ignoreNulls = true).over(w))
+        .filter($"side" === 1)
+        .select($"event_id".as("purchase_id"), $"user_id",
+          $"asof_click_id".as("click_id"),
+          ($"us" - $"asof_click_us").as("gap_us"))
+        .orderBy($"purchase_id")
+    }),
+
+    // exact per-language quantiles of the whitespace token count:
+    // percentile() is the EXACT linear-interpolation quantile (the
+    // same definition as DuckDB quantile_cont), computed per group in
+    // one aggregate. For corpus curation these are the cut points for
+    // length filtering; at 100 TB swap in approx_percentile with a
+    // fixed accuracy — same plan shape, bounded state.
+    "q43_token_quantiles" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = s.read.parquet(t(dir, "documents"))
+        .withColumn("n_tokens",
+          (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
+            .cast("long"))
+      d.groupBy($"lang")
+        .agg(
+          expr("percentile(n_tokens, 0.25)").as("p25"),
+          expr("percentile(n_tokens, 0.5)").as("p50"),
+          expr("percentile(n_tokens, 0.75)").as("p75"),
+          expr("percentile(n_tokens, 0.95)").as("p95"))
+        .orderBy($"lang")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    // connected components via recursive CTE: cc enumerates every
+    // (node, reachable-label) pair to the fixpoint (UNION dedups);
+    // MIN per node = the component's canonical id. Tractable because
+    // near-dup components are tiny; the Spark side is the scalable
+    // algorithm.
+    "q40_dedup_clusters" ->
+      s"""WITH RECURSIVE ${TextOps.lshPairSqlCtes},
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |cc(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, cc.lab FROM cc JOIN edges e ON e.s = cc.node),
+         |lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY node),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+         |  lab.doc_id = lab.cluster_id AS keep
+         |FROM lab JOIN sz USING (cluster_id)
+         |ORDER BY lab.doc_id""".stripMargin,
+    "q41_stratified_sample" -> {
+      val cases = SampleThresholds.map { case (lang, th) =>
+        s"WHEN lang = '$lang' THEN $th" }.mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ('0x' || substr(md5('mix1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |  < (CASE $cases ELSE 0 END)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q42_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events p
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id, ts FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |    AND c.ts <= p.ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
+    "q43_token_quantiles" ->
+      """WITH d AS (SELECT lang,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang,
+        |  quantile_cont(n_tokens, 0.25) AS p25,
+        |  quantile_cont(n_tokens, 0.5) AS p50,
+        |  quantile_cont(n_tokens, 0.75) AS p75,
+        |  quantile_cont(n_tokens, 0.95) AS p95
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin)
+}

@@ -110,37 +110,9 @@ object TextOps {
     // shuffle of the shingle rows (map-side partial min-agg; min is
     // duplicate-insensitive so no shingle distinct), then an equi-join
     // on the compact (band, bkey) bucket key.
-    "q24_minhash_lsh" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val sh = s.read.parquet(t(dir, "documents"))
-        .select($"doc_id",
-          explode(sequence(lit(1), greatest(length($"text") - 7, lit(1)), lit(4))).as("i"),
-          $"text")
-        .select($"doc_id", expr("substr(text, i, 8)").as("sh"))
-      // one md5 per shingle → 4 independent 32-bit base hashes
-      val withH = sh
-        .withColumn("m", md5($"sh"))
-        .select($"doc_id" +: (0 until 4).map(j =>
-          conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
-      val aggs = (0 until 32).map { i =>
-        val (a, b) = minhashParams(i)
-        min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")
-      }
-      val mh = withH.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-      val bandCols = array((0 until 8).map(b =>
-        struct(lit(b).as("band"),
-          concat_ws("|", (0 until 4).map(j =>
-            col(s"mh_${b * 4 + j}").cast("string")): _*).as("bkey"))): _*)
-      val bands = mh.select($"doc_id", explode(bandCols).as("bc"))
-        .select($"doc_id", $"bc.band", $"bc.bkey")
-      val a = bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
-      val b = bands.select($"doc_id".as("doc_b"), $"band", $"bkey")
-      a.join(b, Seq("band", "bkey"))
-        .filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b")
-        .distinct()
-        .orderBy($"doc_a", $"doc_b")
-    }),
+    "q24_minhash_lsh" -> ((s: SparkSession, dir: String) =>
+      lshCandidatePairs(s, dir)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // EXACT n-gram Jaccard, gated by MinHash banding: candidate pairs
     // come from a 16-band × 2-row minhash bucket join (never an
@@ -160,6 +132,17 @@ object TextOps {
     // candidate fraction still ~0.7% of all pairs at sf0.1 (bucketed,
     // not all-pairs). The previous 4×4 gate had ~0.6% recall at the
     // threshold boundary.
+    // Cost shape (retuned r3): ONE pass over the shingle rows builds
+    // both the 32-minhash signature AND the doc's distinct-shingle set
+    // in the same hash aggregate; the set elements are the 32-bit
+    // md5-derived shingle hashes (h0) rather than the shingle strings
+    // — 8-byte array cells in the re-rank join, with Jaccard over the
+    // hashed shingle space (collision odds ~2⁻³² per pair, and the
+    // oracle hashes identically so parity is exact). Band rows carry
+    // ids only; the re-rank joins the per-doc table back by id.
+    // localCheckpoint materializes the per-doc table once for its two
+    // consumers (bands + re-rank) — at warehouse scale, stage it to
+    // parquet instead (same plan shape).
     "q25_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val shr = s.read.parquet(t(dir, "documents"))
@@ -167,21 +150,21 @@ object TextOps {
           explode(sequence(lit(1), greatest(length($"text") - 7, lit(1)), lit(4))).as("i"),
           $"text")
         .select($"doc_id", expr("substr(text, i, 8)").as("sh"))
-      val sets = shr.groupBy($"doc_id").agg(collect_set($"sh").as("ss"))
       val withH = shr
         .withColumn("m", md5($"sh"))
         .select($"doc_id" +: (0 until 4).map(j =>
           conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
-      val aggs = (0 until 32).map { i =>
+      val aggs = collect_set($"h0").as("ss") +: (0 until 32).map { i =>
         val (a, b) = minhashParams(i)
         min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")
       }
-      val mh = withH.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      val perDoc = withH.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint(true)
       val bandCols = array((0 until 16).map(b =>
         struct(lit(b).as("band"),
           concat_ws("|", (0 until 2).map(j =>
             col(s"mh_${b * 2 + j}").cast("string")): _*).as("bkey"))): _*)
-      val bands = mh.select($"doc_id", explode(bandCols).as("bc"))
+      val bands = perDoc.select($"doc_id", explode(bandCols).as("bc"))
         .select($"doc_id", $"bc.band", $"bc.bkey")
       val cand = bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
         .join(bands.select($"doc_id".as("doc_b"), $"band", $"bkey"),
@@ -189,6 +172,7 @@ object TextOps {
         .filter($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b")
         .distinct()
+      val sets = perDoc.select($"doc_id", $"ss")
       cand
         .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), "doc_a")
         .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb")), "doc_b")
@@ -272,6 +256,72 @@ object TextOps {
         .orderBy($"doc_id")
     }))
 
+  /** 8×4-banded MinHash candidate pairs (the q24 gate, also the edge
+    * set for q40's dedup clustering): 32 minhash functions over
+    * stride-4 8-char shingles, one md5 per shingle, banded 8 bands ×
+    * 4 rows — a candidate pair must agree on 4 independent minhashes.
+    * Scale shape: one shuffle of the shingle rows (map-side partial
+    * min-agg), then an equi-join on the compact (band, bkey) key —
+    * never all-pairs. Returns distinct (doc_a < doc_b), unordered. */
+  def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = s.read.parquet(t(dir, "documents"))
+      .select($"doc_id",
+        explode(sequence(lit(1), greatest(length($"text") - 7, lit(1)), lit(4))).as("i"),
+        $"text")
+      .select($"doc_id", expr("substr(text, i, 8)").as("sh"))
+    // one md5 per shingle → 4 independent 32-bit base hashes
+    val withH = sh
+      .withColumn("m", md5($"sh"))
+      .select($"doc_id" +: (0 until 4).map(j =>
+        conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
+    val aggs = (0 until 32).map { i =>
+      val (a, b) = minhashParams(i)
+      min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")
+    }
+    val mh = withH.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = array((0 until 8).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until 4).map(j =>
+          col(s"mh_${b * 4 + j}").cast("string")): _*).as("bkey"))): _*)
+    val bands = mh.select($"doc_id", explode(bandCols).as("bc"))
+      .select($"doc_id", $"bc.band", $"bc.bkey")
+    val a = bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
+    val b = bands.select($"doc_id".as("doc_b"), $"band", $"bkey")
+    a.join(b, Seq("band", "bkey"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .distinct()
+  }
+
+  /** The q24 gate as DuckDB CTEs (everything up to a `pairs` relation
+    * with columns doc_a < doc_b) — shared by the q24 and q40 oracles. */
+  private[operators] def lshPairSqlCtes: String = {
+    val hCols = (0 until 4).map(j =>
+      s"('0x' || substr(m, ${j * 8 + 1}, 8))::BIGINT AS h$j").mkString(", ")
+    val mhCols = (0 until 32).map { i =>
+      val (a, b) = minhashParams(i)
+      s"min((h${i % 4} * $a + $b) % $MinhashP) AS mh_$i"
+    }.mkString(", ")
+    val bands = (0 until 8).map { b =>
+      val key = (0 until 4).map(j => s"CAST(mh_${b * 4 + j} AS VARCHAR)")
+        .mkString("||'|'||")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""sh0 AS (
+       |  SELECT doc_id, text,
+       |    unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) AS i
+       |  FROM documents),
+       |sh AS (SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 8)) AS m FROM sh0),
+       |h AS (SELECT doc_id, $hCols FROM sh),
+       |mh AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
+       |bands AS ($bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** 64-bit SimHash over tokens: per-token xxhash64, bitwise vote. */
   def simhash(tokens: Seq[String]): Long = {
     val votes = new Array[Int](64)
@@ -346,31 +396,10 @@ object TextOps {
     "q23_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
-    "q24_minhash_lsh" -> {
-      val hCols = (0 until 4).map(j =>
-        s"('0x' || substr(m, ${j * 8 + 1}, 8))::BIGINT AS h$j").mkString(", ")
-      val mhCols = (0 until 32).map { i =>
-        val (a, b) = minhashParams(i)
-        s"min((h${i % 4} * $a + $b) % $MinhashP) AS mh_$i"
-      }.mkString(", ")
-      val bands = (0 until 8).map { b =>
-        val key = (0 until 4).map(j => s"CAST(mh_${b * 4 + j} AS VARCHAR)")
-          .mkString("||'|'||")
-        s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
-      }.mkString(" UNION ALL ")
-      s"""WITH sh0 AS (
-         |  SELECT doc_id, text,
-         |    unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) AS i
-         |  FROM documents),
-         |sh AS (SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 8)) AS m FROM sh0),
-         |h AS (SELECT doc_id, $hCols FROM sh),
-         |mh AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
-         |bands AS ($bands)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-         |  AND a.doc_id < b.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q24_minhash_lsh" ->
+      s"""WITH $lshPairSqlCtes
+         |SELECT doc_a, doc_b FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q27_simhash" -> {
       val sums = (0 until 32).map(b =>
         s"SUM(((h >> $b) & 1)*2 - 1) AS v$b").mkString(", ")
@@ -407,8 +436,8 @@ object TextOps {
          |    unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) AS i
          |  FROM documents),
          |shr AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 8) AS sh FROM sh0),
-         |sets AS (SELECT doc_id, list_distinct(list(sh)) AS ss FROM shr GROUP BY doc_id),
          |h AS (SELECT doc_id, $hCols FROM (SELECT doc_id, md5(sh) AS m FROM shr)),
+         |sets AS (SELECT doc_id, list_distinct(list(h0)) AS ss FROM h GROUP BY doc_id),
          |mh AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
          |bands AS ($bands),
          |cand AS (

@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the corpus-curation operators (PipelineOps):
+  * clustering is checked against an in-memory union-find over the same
+  * candidate pairs, the as-of join against a brute-force scan, the
+  * sample against its definition. (Hash-level DuckDB equality is the
+  * driver's job.) */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val dir01 = "/root/testdata/sf0.01"
+
+  test("q40: clusters equal a union-find over the LSH pairs (sf0.01)") {
+    import spark.implicits._
+    val pairs = graft.operators.TextOps.lshCandidatePairs(spark, dir01)
+      .as[(Long, Long)].collect()
+    val docs = spark.read.parquet(s"$dir01/documents.parquet")
+      .select($"doc_id").as[Long].collect()
+    // reference union-find
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min member id per component
+    val byRoot = docs.groupBy(find)
+    val expect = byRoot.iterator.flatMap { case (_, members) =>
+      val cid = members.min
+      members.map(d => d -> (cid, members.length.toLong))
+    }.toMap
+    val got = SparkEntry.queries("q40_dedup_clusters")(spark, dir01)
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.length === docs.length)
+    got.foreach { case (d, cid, sz, keep) =>
+      val (ecid, esz) = expect(d)
+      assert(cid === ecid, s"doc $d cluster")
+      assert(sz === esz, s"doc $d size")
+      assert(keep === (d == cid), s"doc $d keep")
+    }
+    // exactly one keeper per cluster
+    val keepers = got.filter(_._4).map(_._2).toSet
+    assert(keepers === got.map(_._2).toSet)
+  }
+
+  test("q41: sample is a deterministic subset honoring per-lang thresholds") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q41_stratified_sample")(spark, dir01)
+    val a = out.as[(Long, String, String)].collect().toSeq
+    val b = SparkEntry.queries("q41_stratified_sample")(spark, dir01)
+      .as[(Long, String, String)].collect().toSeq
+    assert(a === b, "sample not deterministic")
+    // re-derive membership from the definition
+    val th = graft.operators.PipelineOps.SampleThresholds.toMap
+    val all = spark.read.parquet(s"$dir01/documents.parquet")
+      .select($"doc_id", $"lang", $"source").as[(Long, String, String)]
+      .collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(id: Long): Long = {
+      val h = md.digest(s"mix1|$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(h, 16)
+    }
+    val expect = all.filter { case (id, lang, _) => u32(id) < th.getOrElse(lang, 0L) }
+      .sortBy(_._1).toSeq
+    assert(a === expect)
+    // the mix actually downsamples the head: en rate well below tail rate
+    val enRate = a.count(_._2 == "en").toDouble / all.count(_._2 == "en")
+    val deRate = a.count(_._2 == "de").toDouble / all.count(_._2 == "de")
+    assert(enRate < deRate)
+  }
+
+  test("q42: as-of join equals the brute-force most-recent-prior-click") {
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$dir01/events.parquet")
+      .select($"event_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"user_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._3)
+    val expect = ev.filter(_._4 == "purchase").map { case (pid, pus, uid, _) =>
+      val cand = clicksByUser.getOrElse(uid, Array.empty)
+        .filter(_._2 <= pus)
+      if (cand.isEmpty) (pid, uid, None: Option[Long], None: Option[Long])
+      else {
+        val best = cand.maxBy(c => (c._2, c._1))
+        (pid, uid, Some(best._1), Some(pus - best._2))
+      }
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q42_asof_join")(spark, dir01)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got === expect)
+  }
+
+  test("q43: p50 equals the interpolated median computed by hand") {
+    import spark.implicits._
+    val counts = spark.read.parquet(s"$dir01/documents.parquet")
+      .filter($"lang" === "de")
+      .select((length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
+        .cast("long").as("n"))
+      .as[Long].collect().sorted
+    def q(p: Double): Double = {
+      val idx = p * (counts.length - 1)
+      val lo = idx.toInt
+      val frac = idx - lo
+      if (lo + 1 < counts.length) counts(lo) * (1 - frac) + counts(lo + 1) * frac
+      else counts(lo).toDouble
+    }
+    val row = SparkEntry.queries("q43_token_quantiles")(spark, dir01)
+      .filter($"lang" === "de").select($"p50", $"p95").as[(Double, Double)].head()
+    assert(math.abs(row._1 - q(0.5)) < 1e-9)
+    assert(math.abs(row._2 - q(0.95)) < 1e-9)
+  }
+}

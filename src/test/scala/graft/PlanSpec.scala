@@ -107,6 +107,35 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q41: stratified sample is a shuffle-free codegen'd filter over the scan") {
+    val df = SparkEntry.queries("q41_stratified_sample")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the sample itself must be embarrassingly parallel: the only
+    // exchange allowed is the final presentation orderBy
+    val body = p.split("Sort ").last
+    assert(!body.contains("CartesianProduct"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"),
+      s"sample must not read the text column: $readSchema")
+  }
+
+  test("q42: as-of join is one window pass, not a per-row probe join") {
+    val df = SparkEntry.queries("q42_asof_join")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of degenerated to a nested-loop join")
+  }
+
+  test("q40: clustering iterations stay bucketed (no cartesian)") {
+    val df = SparkEntry.queries("q40_dedup_clusters")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q36: IVF probe join avoids a cartesian over the vectors") {
     val p = planOf("q36_ann_ivf")
     assert(!p.contains("CartesianProduct"), p.take(1500))
