@@ -55,6 +55,46 @@ final class SyntheticFetchSource(web: SyntheticWeb, cfg: CrawlConfig)
     Fetcher.fetch(web, urlCanon, retryCount, cfg)
 }
 
+/** Timeout decorator for any [[FetchSource]] — node-crawler's
+  * per-request `retryTimeout` semantics at the seam [PK:high]. A fetch
+  * that exceeds `timeoutMs` is abandoned (the in-flight call is
+  * interrupted) and reported as a failed attempt (`ok = false`), which
+  * the engine's retry/backoff machinery reschedules exactly like any
+  * transient fetch failure; errors thrown by the inner source
+  * propagate unchanged (the partition lifecycle still closes both).
+  *
+  * A blocking HTTP client cannot be trusted to honor its own timeout
+  * (DNS stalls, TLS handshakes and dead TCP peers routinely escape
+  * client-level timeouts), so enforcement needs a watchdog: one daemon
+  * executor thread per source — i.e. per partition, thanks to the
+  * per-partition lifecycle — so the cost is O(tasks), not O(rows). */
+final class TimeoutFetchSource(inner: FetchSource, timeoutMs: Long)
+    extends FetchSource {
+  import java.util.concurrent.{Callable, ExecutionException, Executors,
+    TimeoutException, TimeUnit}
+  private val exec = Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-fetch-watchdog"); t.setDaemon(true); t
+  })
+  def fetch(urlCanon: String, retryCount: Int): FetchResult =
+    fetch(FetchRequest(urlCanon, retryCount))
+  override def fetch(req: FetchRequest): FetchResult = {
+    val fut = exec.submit(new Callable[FetchResult] {
+      def call(): FetchResult = inner.fetch(req)
+    })
+    try fut.get(timeoutMs, TimeUnit.MILLISECONDS)
+    catch {
+      case _: TimeoutException =>
+        fut.cancel(true) // interrupt the stuck call; thread is reusable
+        FetchResult(ok = false, Nil, Nil)
+      case e: ExecutionException => throw e.getCause
+    }
+  }
+  override def close(): Unit = {
+    exec.shutdownNow()
+    inner.close()
+  }
+}
+
 object FetchSource {
 
   /** Per-partition fetch: one source per partition (pooled client

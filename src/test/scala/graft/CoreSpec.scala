@@ -241,6 +241,67 @@ class CoreSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("TimeoutFetchSource: slow fetches become retryable failures; stuck call interrupted") {
+    val web = SyntheticWeb(nHosts = 2, pagesPerHost = 3)
+    val cfg = CrawlConfig(numBuckets = 2)
+    val interrupted = new java.util.concurrent.atomic.AtomicLong
+    val innerClosed = new java.util.concurrent.atomic.AtomicLong
+    // a source whose even-index calls stall "forever" (dead TCP peer):
+    // the watchdog must turn those into ok=false without waiting
+    final class Stalling extends FetchSource {
+      private var n = 0
+      private val inner = new SyntheticFetchSource(web, cfg)
+      def fetch(u: String, r: Int): FetchResult = {
+        n += 1
+        if (n % 2 == 0) {
+          try Thread.sleep(60000)
+          catch { case _: InterruptedException => interrupted.incrementAndGet() }
+          FetchResult(ok = false, Nil, Nil)
+        } else inner.fetch(u, r)
+      }
+      override def close(): Unit = innerClosed.incrementAndGet()
+    }
+    val src = new TimeoutFetchSource(new Stalling, timeoutMs = 150)
+    val urls = (0 until 6).map(p => s"http://${web.hostName(0)}/p/$p")
+    val t0 = System.nanoTime()
+    val out = urls.map(u => src.fetch(u, 0))
+    val wallMs = (System.nanoTime() - t0) / 1e6
+    // calls 2,4,6 (indices 1,3,5) stall -> forced ok=false; the others
+    // hit the synthetic web and must match its direct answer
+    assert(out.zipWithIndex.filter(_._2 % 2 == 1).forall(!_._1.ok))
+    assert(out.zipWithIndex.filter(_._2 % 2 == 0).forall { case (r, i) =>
+      r.ok === !web.fetchFails(urls(i), 0, cfg) })
+    assert(wallMs < 10000, s"watchdog did not cut stalls: $wallMs ms")
+    src.close()
+    assert(innerClosed.get === 1)
+    // the stuck sleeps were actually interrupted (no thread leak)
+    val deadline = System.nanoTime() + 2e9.toLong
+    while (interrupted.get < 3 && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(interrupted.get === 3)
+  }
+
+  test("TimeoutFetchSource: inner errors propagate; engine retry path recovers transients") {
+    // erroring source: first attempt of each URL throws (connection
+    // reset), the retry succeeds — the shape node-crawler's
+    // retries/retryTimeout options exercise [PK:high]
+    val web = SyntheticWeb(nHosts = 2, pagesPerHost = 3)
+    val cfg = CrawlConfig(numBuckets = 2)
+    final class ResetOnce extends FetchSource {
+      private val failed = scala.collection.mutable.Set[String]()
+      private val inner = new SyntheticFetchSource(web, cfg)
+      def fetch(u: String, r: Int): FetchResult =
+        if (failed.add(u)) throw new java.io.IOException(s"connection reset: $u")
+        else inner.fetch(u, r)
+    }
+    val src = new TimeoutFetchSource(new ResetOnce, timeoutMs = 5000)
+    val u = s"http://${web.hostName(1)}/p/0"
+    val e = intercept[java.io.IOException](src.fetch(u, 0))
+    assert(e.getMessage.contains("connection reset"))
+    val again = src.fetch(u, 1) // the engine reschedules with retryCount+1
+    assert(again.ok === !web.fetchFails(u, 1, cfg))
+    src.close()
+  }
+
   // ---- bloom ---------------------------------------------------------
 
   test("Bloom: no false negatives; OR merges; fp rate sane") {
