@@ -53,8 +53,14 @@ object PipelineOps {
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
         .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
         .localCheckpoint(true)
-      val docs = s.read.parquet(t(dir, "documents")).select($"doc_id")
-      var labels = docs.select($"doc_id".as("node"), $"doc_id".as("label"))
+      // propagation runs ONLY over edge-touched nodes: a near-dup graph
+      // is sparse (most of the corpus is singleton clusters), so the
+      // iterated state is O(dup-graph), not O(corpus) — at 10B docs
+      // that is the difference between shuffling billions of (id,label)
+      // rows per round and shuffling just the duplicate neighborhoods.
+      // Singletons rejoin at the end as their own size-1 clusters.
+      var labels = edges.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("label"))
         .localCheckpoint(true)
       var converged = false
       var rounds = 0
@@ -76,10 +82,14 @@ object PipelineOps {
       }
       val sizes = labels.groupBy($"label".as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
-      labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
+      val connected = labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
         .join(sizes, "cluster_id")
-        .select($"doc_id", $"cluster_id", $"cluster_size",
-          ($"doc_id" === $"cluster_id").as("keep"))
+      s.read.parquet(t(dir, "documents")).select($"doc_id")
+        .join(connected, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"cluster_id", $"doc_id").as("cluster_id"),
+          coalesce($"cluster_size", lit(1L)).as("cluster_size"))
+        .withColumn("keep", $"doc_id" === $"cluster_id")
         .orderBy($"doc_id")
     }),
 

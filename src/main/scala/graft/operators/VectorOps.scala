@@ -147,10 +147,16 @@ object VectorOps {
         .select($"vec_a", $"vec_b")
         .distinct()
       // re-rank joins the embeddings back by id — the wide arrays are
-      // read once per side, never banded/exploded/shuffled with keys
-      cand
-        .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")), "vec_a")
-        .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("eb")), "vec_b")
+      // read once per side, never banded/exploded/shuffled with keys.
+      // The candidate set (LSH-selective, ≪ corpus) is the explicit
+      // broadcast side of BOTH joins, so the embedding scans stream
+      // through broadcast-hash joins with zero array shuffle; if a
+      // corpus ever produced a non-broadcastable candidate set, drop
+      // the hints and the same plan degrades to id-keyed shuffle joins
+      val withA = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+        .join(broadcast(cand), "vec_a")
+      emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+        .join(broadcast(withA), "vec_b")
         .select($"vec_a", $"vec_b", cosine($"ea", $"eb").as("cos"))
         .filter($"cos" >= 0.25)
         .orderBy($"vec_a", $"vec_b")
@@ -174,9 +180,11 @@ object VectorOps {
       // (same float→double cast path as the oracle's CAST(qv AS DOUBLE[]))
       val qv = emb.filter($"vec_id" === 0)
         .select($"embedding").as[Seq[Float]].head()
-      bands.join(broadcast(qprobe), Seq("band", "chunk"))
+      val candIds = bands.join(broadcast(qprobe), Seq("band", "chunk"))
         .select($"vec_id").distinct()
-        .join(emb, "vec_id")
+      // candidate ids are the broadcast side: the embedding scan
+      // streams through a broadcast-hash join, no array shuffle
+      emb.join(broadcast(candIds), "vec_id")
         .select($"vec_id", cosine($"embedding", typedLit(qv)).as("cos"))
         .orderBy($"cos".desc, $"vec_id")
         .limit(10)
