@@ -1,0 +1,104 @@
+package graft.api
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{CrawlConfig, SeedRequest, SiteSchemas, SyntheticWeb}
+import graft.engine.CrawlEngine
+
+/** Global crawler options, named after node-crawler's constructor
+  * options [PK:high] with their Spark-native meaning:
+  *
+  *  - `maxConnections` → deterministic global per-round admission cap
+  *    (`CrawlConfig.maxPerRound`; None = uncapped)
+  *  - `rateLimitMs`    → the logical round budget (`roundMs`): a
+  *    host's per-round quota is `roundMs / crawl_delay` (SURVEY §2.9
+  *    replaces wall-clock pacing with the logical clock, which is what
+  *    makes crawl order deterministic and testable)
+  *  - `retries`        → max transient-failure retries, backoff in
+  *    logical rounds
+  *  - `maxRounds`      → drain guard (node-crawler runs its event loop
+  *    until `drain`; a BSP loop bounds rounds)
+  *  - `skipDuplicates` → always on: the URL-seen set is structural
+  *    (bloom-prefiltered anti-join), not an option
+  *  - `jQuery`/per-site extraction → the declarative [[SiteSchemas]]
+  *    registry interpreted by the HTML extractor
+  */
+final case class CrawlerOptions(
+    maxConnections: Option[Int] = None,
+    rateLimitMs: Long = 1000L,
+    retries: Int = 2,
+    maxRounds: Int = 64,
+    numBuckets: Int = 32,
+    parseHtml: Boolean = false,
+    siteSchemas: SiteSchemas = SiteSchemas.Default)
+
+/** What a drain returns. node-crawler hands each page to
+  * `callback(error, res, done)` inside one process; a cluster engine
+  * surfaces the same information as tables instead:
+  *  - `documents`: the interleaved span rows (doc_id, spans)
+  *  - `crawlLog`: the total fetch order, one row per attempt, carrying
+  *    the per-request options (userData/limiter/method/headers)
+  *  - `lineage`: per-partition per-round metrics
+  *  - `stats`: per-round scheduling counters from this run */
+final case class CrawlResult(
+    stats: Seq[CrawlEngine#RoundStats],
+    documents: DataFrame,
+    crawlLog: DataFrame,
+    lineage: DataFrame)
+
+/** node-crawler-shaped programmatic facade over the BSP engine
+  * [PK:high]: construct with global options, `queue()` tasks (bare
+  * URIs or per-request option objects) at any time, `run()` to drain.
+  *
+  * `queue()` after a drain enqueues into the same state directory and
+  * the next `run()` resumes from the committed snapshot — the
+  * re-queue-after-drain pattern of the reference, minus the callback
+  * event loop. Duplicate URLs (already pending, fetched, or queued in
+  * the same batch) are dropped exactly like the reference's seen-check.
+  *
+  * Not thread-safe: `queue()` buffers driver-side and `run()` flushes;
+  * interleave them from one thread (the reference is single-threaded
+  * too). */
+final class Crawler(
+    spark: SparkSession,
+    web: SyntheticWeb,
+    stateDir: String,
+    options: CrawlerOptions = CrawlerOptions()) {
+
+  val engine = new CrawlEngine(spark, web,
+    CrawlConfig(
+      numBuckets = options.numBuckets,
+      roundMs = options.rateLimitMs,
+      maxPerRound = options.maxConnections,
+      maxRounds = options.maxRounds,
+      maxRetries = options.retries,
+      parseHtml = options.parseHtml,
+      siteSchemas = options.siteSchemas),
+    stateDir)
+
+  private val buffered = mutable.ListBuffer.empty[SeedRequest]
+
+  /** Queue a bare URI with default options. */
+  def queue(uri: String): this.type = queue(SeedRequest(uri))
+
+  /** Queue one request with per-request options (priority, userData,
+    * limiter, method, headers — node-crawler `queue({...})`). */
+  def queue(req: SeedRequest): this.type = { buffered += req; this }
+
+  /** Queue a batch (node-crawler accepts arrays). */
+  def queue(reqs: Seq[SeedRequest]): this.type = { buffered ++= reqs; this }
+
+  /** Number of requests queued and not yet flushed to the frontier. */
+  def queueSize: Int = buffered.size
+
+  /** Flush queued requests and run rounds until drain (no admissible
+    * candidates) or `maxRounds` — the `drain` event, as a return. */
+  def run(): CrawlResult = {
+    if (buffered.nonEmpty) {
+      engine.enqueueRequests(buffered.toList)
+      buffered.clear()
+    }
+    val stats = engine.run()
+    CrawlResult(stats, engine.documents(), engine.crawlLog(), engine.lineage())
+  }
+}

@@ -120,6 +120,47 @@ final class CrawlEngine(
         "attempts_snap" -> "-1", "retired_snap" -> "-1", "lineage_snap" -> "-1"))
   }
 
+  /** node-crawler's incremental `queue()` between drains [PK:high]:
+    * enqueue more requests into an EXISTING crawl state. New URLs are
+    * canonicalized + robots-gated like seeds, deduped within the batch
+    * and against the full URL-seen set (pending ∪ retired keys),
+    * assigned `discovered_seq` strictly after every existing row (the
+    * order of already-scheduled work is untouched, so the operation is
+    * deterministic), due the current round, and committed atomically:
+    * the pending delta and its bloom delta are appended, with the
+    * frontier commit — the atomic round root — re-pinning the bloom
+    * snapshot. Call between runs, never concurrently with `run()`. */
+  def enqueueRequests(reqs: Seq[SeedRequest]): Unit = {
+    if (ice.currentManifest(FRONTIER).isEmpty) { initRequests(reqs); return }
+    awaitTail()
+    val w = web; val c = cfg
+    val due = nextRound
+    val seqOff = frontier().agg(max($"discovered_seq")).head().getLong(0) + 1L
+    val entries = reqs.zipWithIndex.flatMap { case (req, i) =>
+      CrawlEngine.toEntry(w, req.url, req.priority, seqOff + i, due, c)
+        .map(_.copy(user_data = req.userData, limiter = req.limiter,
+          method = req.method, headers = req.headers))
+    }.groupBy(_.url_hash).map { case (_, g) => g.minBy(_.discovered_seq) }.toSeq
+    if (entries.isEmpty) return
+    val cols = spark.emptyDataset[FrontierEntry].toDF().columns
+    val slices = math.max(spark.sparkContext.defaultParallelism,
+      entries.size / 100000 + 1)
+    val fresh = spark.createDataset(
+        spark.sparkContext.parallelize(entries, slices)).toDF()
+      .join(frontier().select($"url_hash"), Seq("url_hash"), "left_anti")
+      .select(cols.map(col).toSeq: _*)
+      .repartition(cfg.numBuckets, $"host_bucket")
+    val pendFile = ice.writeData(fresh, FRONTIER, "enqueue")
+    val newRows = spark.read.parquet(pendFile)
+    if (newRows.isEmpty) return // every request was already seen
+    val bloomFile = ice.writeData(
+      bloomDelta(newRows.select($"host_bucket", $"url_hash")), BLOOM, "enqueue")
+    val bloomSnap = ice.commit(BLOOM, Seq(bloomFile), append = true)
+    ice.commit(FRONTIER, Seq(pendFile), append = true,
+      props = ice.props(FRONTIER) + ("bloom_snap" -> bloomSnap.toString))
+    carriedPending = None // the cached pending view misses the delta
+  }
+
   def nextRound: Long = ice.props(FRONTIER).getOrElse("round", "0").toLong
 
   // ---- the round loop ------------------------------------------------

@@ -62,6 +62,14 @@ object RefSimulator {
   /** Per-request options form (node-crawler `queue()` semantics):
     * per-seed priority + opaque userData. */
   def runRequests(web: SyntheticWeb, reqs: Seq[SeedRequest],
+      cfg: CrawlConfig): SimResult = runPhased(web, Seq(reqs), cfg)
+
+  /** Phased form (node-crawler queue-after-drain): each phase's
+    * requests are enqueued when the previous phase drains, with
+    * `discovered_seq` continuing strictly after every existing row and
+    * due = the round after the drain — the engine's
+    * `enqueueRequests` contract. One phase ≡ `runRequests`. */
+  def runPhased(web: SyntheticWeb, phases: Seq[Seq[SeedRequest]],
       cfg: CrawlConfig): SimResult = {
     val entries = mutable.LinkedHashMap.empty[Long, SimEntry]
     val crawlOrder = Vector.newBuilder[String]
@@ -98,12 +106,11 @@ object RefSimulator {
       added
     }
 
-    enqueue(reqs.zipWithIndex.flatMap { case (q, i) =>
-      toCand(q.url, q.priority, i.toLong, q.limiter) }, due = 0L)
-
     var r = 0L
     var roundsRun = 0
-    while (r < cfg.maxRounds && entries.values.exists(_.state == FrontierEntry.Pending)) {
+
+    def drainLoop(): Unit =
+      while (r < cfg.maxRounds && entries.values.exists(_.state == FrontierEntry.Pending)) {
       val candidates = entries.values
         .filter(e => e.state == FrontierEntry.Pending && e.dueRound <= r).toVector
       // per-limiter priority dequeue under politeness quota: entries
@@ -146,6 +153,13 @@ object RefSimulator {
       stats += RoundStats(r, candidates.size, capped.size, ok, failed, discovered, enq)
       r += 1
       roundsRun += 1
+    }
+
+    phases.foreach { phase =>
+      val off = if (entries.isEmpty) 0L else entries.values.map(_.seq).max + 1L
+      enqueue(phase.zipWithIndex.flatMap { case (q, i) =>
+        toCand(q.url, q.priority, off + i, q.limiter) }, due = r)
+      drainLoop()
     }
 
     SimResult(crawlOrder.result(), entries.keySet.toSet, docs.result(),

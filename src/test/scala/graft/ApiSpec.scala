@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{Crawler, CrawlerOptions}
+import graft.core.{CrawlConfig, SeedRequest, SyntheticWeb}
+import graft.sim.RefSimulator
+
+/** The node-crawler-shaped facade: queue()/run() over the BSP engine,
+  * including the incremental queue-after-drain pattern, golden-checked
+  * against the phased reference simulator. */
+class ApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("Crawler: queue-after-drain equals the phased simulator (order, seen set, docs)") {
+    import spark.implicits._
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 12)
+    val phase1 = web.seedUrls(8).map(SeedRequest(_))
+    // 4 genuinely new seeds + 2 duplicates of phase 1 (must be dropped
+    // by the seen-check, like the reference)
+    val phase2 = (web.seedUrls(12).drop(8) ++ web.seedUrls(2)).map(SeedRequest(_))
+    val sim = RefSimulator.runPhased(web, Seq(phase1, phase2), cfg)
+
+    val dir = Files.createTempDirectory("graft-api").toString
+    val crawler = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 500, maxRounds = 12, numBuckets = 8))
+    val r1 = crawler.queue(phase1).run()
+    assert(r1.stats.nonEmpty && crawler.queueSize === 0)
+    val r2 = crawler.queue(phase2).run()
+
+    val engOrder = r2.crawlLog.select("url_canon").as[String].collect().toVector
+    assert(engOrder === sim.crawlOrder, "crawl order mismatch across phases")
+    val engSeen = crawler.engine.frontier()
+      .select("url_hash").as[Long].collect().toSet
+    assert(engSeen === sim.seenSet, "seen set mismatch")
+    val engDocs = r2.documents.as[graft.core.Doc].collect()
+      .map(d => d.doc_id -> d.spans.sortBy(_.offset)).toMap
+    val simDocs = sim.docs.map(d => d.doc_id -> d.spans).toMap
+    assert(engDocs.keySet === simDocs.keySet)
+    engDocs.foreach { case (id, spans) => assert(spans === simDocs(id), id) }
+    // phase-2 duplicates produced no second attempt
+    val dupCanon = engOrder.take(2)
+    dupCanon.foreach { u =>
+      assert(engOrder.count(_ == u) === 1, s"duplicate refetched: $u")
+    }
+  }
+
+  test("Crawler: enqueue of only-duplicates is a no-op; fresh state routes to init") {
+    import spark.implicits._
+    val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
+    val dir = Files.createTempDirectory("graft-api2").toString
+    val crawler = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 500, maxRounds = 16, numBuckets = 4))
+    val r1 = crawler.queue(web.seedUrls(4).map(SeedRequest(_))).run()
+    val attempts1 = r1.crawlLog.count()
+    val round1 = crawler.engine.nextRound
+    // re-queue the same seeds: all already seen -> nothing changes
+    val r2 = crawler.queue(web.seedUrls(4).map(SeedRequest(_))).run()
+    assert(r2.crawlLog.count() === attempts1)
+    assert(crawler.engine.nextRound === round1)
+    assert(crawler.engine.pending().isEmpty)
+  }
+
+  test("Crawler: per-request options ride through queue() to the attempt rows") {
+    import spark.implicits._
+    val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
+    val dir = Files.createTempDirectory("graft-api3").toString
+    val crawler = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 500, maxRounds = 4, numBuckets = 4))
+    val res = crawler
+      .queue(SeedRequest(web.seedUrls(1).head, priority = 2,
+        userData = """{"job":7}""", method = "HEAD"))
+      .run()
+    val row = res.crawlLog.filter($"user_data".isNotNull)
+      .select($"priority", $"user_data", $"method").collect()
+    assert(row.nonEmpty)
+    assert(row.head.getInt(0) === 2)
+    assert(row.head.getString(1) === """{"job":7}""")
+    assert(row.head.getString(2) === "HEAD")
+  }
+}
