@@ -46,11 +46,11 @@ object VectorOps {
   private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
   /** dot(a, b) with a left-to-right fold, inputs cast to double. */
-  private def dot(a: Column, b: Column): Column =
+  private[operators] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  private def cosine(a: Column, b: Column): Column =
+  private[operators] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   // ---- sign-bit LSH banding (shared by q30/q31 and their oracles) ----
