@@ -22,6 +22,9 @@ import graft.engine.CrawlEngine
   *    (bloom-prefiltered anti-join), not an option
   *  - `jQuery`/per-site extraction → the declarative [[SiteSchemas]]
   *    registry interpreted by the HTML extractor
+  *  - `forceUTF8` / `incomingEncoding` → charset handling on the
+  *    parseHtml byte path (sniff-and-convert by default; a forced
+  *    charset skips sniffing; forceUTF8=false is byte-transparent)
   */
 final case class CrawlerOptions(
     maxConnections: Option[Int] = None,
@@ -30,7 +33,9 @@ final case class CrawlerOptions(
     maxRounds: Int = 64,
     numBuckets: Int = 32,
     parseHtml: Boolean = false,
-    siteSchemas: SiteSchemas = SiteSchemas.Default)
+    siteSchemas: SiteSchemas = SiteSchemas.Default,
+    forceUTF8: Boolean = true,
+    incomingEncoding: Option[String] = None)
 
 /** What a drain returns. node-crawler hands each page to
   * `callback(error, res, done)` inside one process; a cluster engine
@@ -73,7 +78,9 @@ final class Crawler(
       maxRounds = options.maxRounds,
       maxRetries = options.retries,
       parseHtml = options.parseHtml,
-      siteSchemas = options.siteSchemas),
+      siteSchemas = options.siteSchemas,
+      incomingEncoding = options.incomingEncoding,
+      forceUTF8 = options.forceUTF8),
     stateDir)
 
   private val buffered = mutable.ListBuffer.empty[SeedRequest]

@@ -37,6 +37,22 @@ object CharsetSniffer {
     body
   }
 
+  /** node-crawler charset options [PK:high]: `incomingEncoding` forces
+    * one specific charset, overriding every sniff heuristic (the
+    * reference hands it straight to iconv); `forceUTF8 = false`
+    * disables conversion entirely — the body is delivered
+    * byte-transparent as ISO-8859-1 (each byte = one char), the
+    * reference's no-conversion behavior. Defaults reproduce
+    * [[decode]] exactly. */
+  def decodeWith(bytes: Array[Byte], contentType: Option[String] = None,
+      incomingEncoding: Option[String] = None,
+      forceUTF8: Boolean = true): String =
+    incomingEncoding.flatMap(lookup) match {
+      case Some(cs)              => new String(bytes, cs)
+      case None if !forceUTF8    => new String(bytes, StandardCharsets.ISO_8859_1)
+      case None                  => decode(bytes, contentType)
+    }
+
   private def fromParam(ct: String): Option[Charset] = {
     val i = ct.toLowerCase.indexOf("charset=")
     if (i < 0) None

@@ -19,7 +19,9 @@ object Fetcher {
       web.pageHtmlBytes(urlCanon) match {
         case None => FetchResult(ok = true, Nil, Nil)
         case Some(bytes) =>
-          val html = CharsetSniffer.decode(bytes)
+          val html = CharsetSniffer.decodeWith(bytes,
+            incomingEncoding = cfg.incomingEncoding,
+            forceUTF8 = cfg.forceUTF8)
           // per-site declarative schema (default registry → the shared
           // HtmlSpanExtractor instance, allocation-free)
           val extractor = cfg.siteSchemas

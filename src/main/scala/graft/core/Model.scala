@@ -104,7 +104,13 @@ case class CrawlConfig(
     // declarative per-site extraction schemas (host → SiteSchema),
     // interpreted on the parseHtml path; the default registry maps
     // every host to the generic p/img/a mapping.
-    siteSchemas: SiteSchemas = SiteSchemas.Default)
+    siteSchemas: SiteSchemas = SiteSchemas.Default,
+    // node-crawler charset options [PK:high], honored on the parseHtml
+    // byte path: incomingEncoding forces one charset (skips sniffing);
+    // forceUTF8=false disables conversion (byte-transparent
+    // ISO-8859-1). Defaults = sniff-and-convert, today's behavior.
+    incomingEncoding: Option[String] = None,
+    forceUTF8: Boolean = true)
 
 /** Result of fetching+extracting one page (shared shape between engine
   * and simulator; produced by the pure `Fetcher`/`SpanExtractor`). */

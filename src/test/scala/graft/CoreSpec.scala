@@ -241,6 +241,29 @@ class CoreSpec extends AnyFunSuite {
     assert(direct.nonEmpty)
   }
 
+  test("decodeWith: incomingEncoding overrides sniffing; forceUTF8=false is byte-transparent") {
+    import graft.core.CharsetSniffer._
+    import java.nio.charset.StandardCharsets._
+    val utf8 = "héllo — 日本語".getBytes(UTF_8)
+    // defaults reproduce decode() (sniff says valid UTF-8)
+    assert(decodeWith(utf8) === "héllo — 日本語")
+    assert(decodeWith(utf8) === decode(utf8))
+    // a forced charset wins over a sniff that would say UTF-8:
+    // every byte maps 1:1 (the reference hands incomingEncoding
+    // straight to iconv, no second-guessing)
+    assert(decodeWith(utf8, incomingEncoding = Some("ISO-8859-1"))
+      === new String(utf8, ISO_8859_1))
+    // forceUTF8=false: no conversion at all, byte-transparent
+    assert(decodeWith(utf8, forceUTF8 = false) === new String(utf8, ISO_8859_1))
+    // an unknown forced charset falls back to the sniffing path
+    assert(decodeWith(utf8, incomingEncoding = Some("no-such-cs"))
+      === decode(utf8))
+    // forced charset also beats a contradicting Content-Type header
+    val latin = "café".getBytes(ISO_8859_1)
+    assert(decodeWith(latin, contentType = Some("text/html; charset=utf-8"),
+      incomingEncoding = Some("ISO-8859-1")) === "café")
+  }
+
   test("TimeoutFetchSource: slow fetches become retryable failures; stuck call interrupted") {
     val web = SyntheticWeb(nHosts = 2, pagesPerHost = 3)
     val cfg = CrawlConfig(numBuckets = 2)
