@@ -109,6 +109,46 @@ class CoreSpec extends AnyFunSuite {
     assert(rules === Seq(RobotsRule(false, "/tmp"), RobotsRule(true, "/tmp/ok")))
   }
 
+  test("robots: group-aware parsePolicy — agent groups, Crawl-delay, fallbacks") {
+    import RobotsMatcher.{parsePolicy, RobotsPolicy}
+    val txt =
+      """User-agent: *
+        |Disallow: /private
+        |Crawl-delay: 2
+        |
+        |User-agent: graftbot
+        |User-agent: otherbot
+        |Disallow: /graft-only
+        |Allow: /graft-only/pub
+        |Crawl-delay: 0.5
+        |Sitemap: http://x.example/map.xml
+        |""".stripMargin
+    // the specific group wins for the named agent (case-insensitive,
+    // product-token containment), * otherwise
+    val g = parsePolicy(txt, "GraftBot/1.0")
+    assert(g.rules === Seq(RobotsRule(false, "/graft-only"),
+      RobotsRule(true, "/graft-only/pub")))
+    assert(g.crawlDelayMs === Some(500L))
+    val star = parsePolicy(txt, "unrelated-crawler")
+    assert(star.rules === Seq(RobotsRule(false, "/private")))
+    assert(star.crawlDelayMs === Some(2000L))
+    // a User-agent line AFTER directives starts a new group
+    val two =
+      """User-agent: a
+        |Disallow: /x
+        |User-agent: b
+        |Disallow: /y
+        |""".stripMargin
+    assert(parsePolicy(two, "a").rules === Seq(RobotsRule(false, "/x")))
+    assert(parsePolicy(two, "b").rules === Seq(RobotsRule(false, "/y")))
+    // no matching group and no * -> allow-all, no delay
+    assert(parsePolicy(two, "c") === RobotsPolicy(Nil, None))
+    // malformed Crawl-delay ignored; negative rejected
+    val bad = "User-agent: *\nCrawl-delay: soon\nDisallow: /p\n"
+    assert(parsePolicy(bad, "x").crawlDelayMs === None)
+    assert(parsePolicy("User-agent: *\nCrawl-delay: -3\n", "x").crawlDelayMs === None)
+  }
+
   // ---- hashing agrees with Spark SQL ---------------------------------
 
   test("Hashing.xxhash64 matches Spark's xxhash64; hostBucket matches pmod") {
