@@ -15,6 +15,10 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("every query runs at sf0.001 and returns a stable schema") {
+    // q29 intentionally crossJoin(broadcast(1-row-query-vector)) — the
+    // canonical broadcast-scalar shape; everything else must be free of
+    // quadratic join operators at EVERY data size (the 100 TB guard)
+    val crossJoinWhitelist = Set("q29_cosine_topk")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       val n = df.count()
@@ -22,6 +26,13 @@ class OperatorsSpec extends AnyFunSuite {
       // non-degenerate except the intentionally-filtered ones
       if (!Set("q30_embed_neardup", "q25_ngram_jaccard").contains(name))
         assert(n > 0, s"$name returned 0 rows at sf0.001")
+      if (!crossJoinWhitelist.contains(name)) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"$name contains a CartesianProduct")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name contains a BroadcastNestedLoopJoin")
+      }
     }
   }
 
