@@ -98,6 +98,21 @@ final class Crawler(
   /** Number of requests queued and not yet flushed to the frontier. */
   def queueSize: Int = buffered.size
 
+  /** node-crawler `crawler.direct(...)` [PK:med]: fetch ONE URL
+    * immediately, bypassing the frontier, the seen set, and the rate
+    * limiter — same content path (canonicalize → fetch → extract), no
+    * scheduling state touched. None = the URL doesn't canonicalize or
+    * robots forbids it (direct() still respects robots: it shares the
+    * admission content rule, not the queue). */
+  def direct(uri: String, retryCount: Int = 0): Option[graft.core.FetchResult] =
+    graft.core.UrlCanonicalizer.canonicalize(uri)
+      .filter { u =>
+        val host = graft.core.UrlCanonicalizer.hostOf(u)
+        graft.core.RobotsMatcher.allows(web.policy(host).rules,
+          graft.core.UrlCanonicalizer.pathOf(u))
+      }
+      .map(u => graft.core.Fetcher.fetch(web, u, retryCount, engine.cfg))
+
   /** Flush queued requests and run rounds until drain (no admissible
     * candidates) or `maxRounds` — the `drain` event, as a return. */
   def run(): CrawlResult = {

@@ -62,6 +62,33 @@ class ApiSpec extends AnyFunSuite {
     assert(crawler.engine.pending().isEmpty)
   }
 
+  test("Crawler: direct() fetches immediately without touching crawl state") {
+    val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
+    val dir = Files.createTempDirectory("graft-api4").toString
+    val crawler = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 500, maxRounds = 4, numBuckets = 4))
+    val before = crawler.queue(web.seedUrls(2).map(SeedRequest(_))).run()
+    val attempts = before.crawlLog.count()
+    val round = crawler.engine.nextRound
+    // a page the crawl may or may not have reached — direct() answers
+    // exactly like the shared content path, immediately
+    val u = s"http://${web.hostName(2)}/p/1"
+    val got = crawler.direct(u)
+    val expect = graft.core.UrlCanonicalizer.canonicalize(u)
+      .map(c => graft.core.Fetcher.fetch(web, c, 0, crawler.engine.cfg))
+    assert(got === expect && got.nonEmpty)
+    // robots-disallowed path -> None; garbage URL -> None
+    val blocked = web.policy(web.hostName(0)).rules.find(!_.allow).map(_.prefix)
+    blocked.foreach { p =>
+      assert(crawler.direct(s"http://${web.hostName(0)}$p/x") === None)
+    }
+    assert(crawler.direct("not a url") === None)
+    // no scheduling state was touched
+    assert(crawler.engine.nextRound === round)
+    assert(crawler.engine.crawlLog().count() === attempts)
+    assert(crawler.queueSize === 0)
+  }
+
   test("Crawler: per-request options ride through queue() to the attempt rows") {
     import spark.implicits._
     val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
