@@ -166,6 +166,10 @@ object TextOps {
             col(s"mh_${b * 2 + j}").cast("string")): _*).as("bkey"))): _*)
       val bands = perDoc.select($"doc_id", explode(bandCols).as("bc"))
         .select($"doc_id", $"bc.band", $"bc.bkey")
+        .withColumn("bsz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bkey")))
+        .filter($"bsz" <= MaxLshBucket) // skew valve, mirrored in the oracle
+        .drop("bsz")
       val cand = bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
         .join(bands.select($"doc_id".as("doc_b"), $"band", $"bkey"),
           Seq("band", "bkey"))
@@ -256,13 +260,25 @@ object TextOps {
         .orderBy($"doc_id")
     }))
 
+  /** Skew valve for every LSH bucket join: a bucket larger than this
+    * is dropped before the self-join. A degenerate bucket (boilerplate
+    * text hashing millions of documents to one band key at corpus
+    * scale) would make the within-bucket pair join quadratic; an
+    * over-populated bucket also carries no discriminative signal —
+    * dropping it is the standard LSH skew mitigation, and the DuckDB
+    * oracles apply the identical gate so parity is exact. At sandbox
+    * scale no bucket approaches the cap (largest ≈ corpus dup-group),
+    * so results are unchanged. */
+  val MaxLshBucket = 512
+
   /** 8×4-banded MinHash candidate pairs (the q24 gate, also the edge
     * set for q40's dedup clustering): 32 minhash functions over
     * stride-4 8-char shingles, one md5 per shingle, banded 8 bands ×
     * 4 rows — a candidate pair must agree on 4 independent minhashes.
     * Scale shape: one shuffle of the shingle rows (map-side partial
     * min-agg), then an equi-join on the compact (band, bkey) key —
-    * never all-pairs. Returns distinct (doc_a < doc_b), unordered. */
+    * never all-pairs, with over-sized buckets dropped (MaxLshBucket).
+    * Returns distinct (doc_a < doc_b), unordered. */
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = s.read.parquet(t(dir, "documents"))
@@ -284,8 +300,15 @@ object TextOps {
       struct(lit(b).as("band"),
         concat_ws("|", (0 until 4).map(j =>
           col(s"mh_${b * 4 + j}").cast("string")): _*).as("bkey"))): _*)
-    val bands = mh.select($"doc_id", explode(bandCols).as("bc"))
+    val bands0 = mh.select($"doc_id", explode(bandCols).as("bc"))
       .select($"doc_id", $"bc.band", $"bc.bkey")
+    // skew valve: the bucket-size window shares the (band, bkey)
+    // partitioning with the join right after it — one exchange, reused
+    val bands = bands0
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bkey")))
+      .filter($"bsz" <= MaxLshBucket)
+      .drop("bsz")
     val a = bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
     val b = bands.select($"doc_id".as("doc_b"), $"band", $"bkey")
     a.join(b, Seq("band", "bkey"))
@@ -315,7 +338,11 @@ object TextOps {
        |sh AS (SELECT doc_id, md5(substr(text, CAST(i AS INTEGER), 8)) AS m FROM sh0),
        |h AS (SELECT doc_id, $hCols FROM sh),
        |mh AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
-       |bands AS ($bands),
+       |bands0 AS ($bands),
+       |bands AS (
+       |  SELECT doc_id, band, bkey FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands0)
+       |  WHERE bsz <= $MaxLshBucket),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -439,7 +466,11 @@ object TextOps {
          |h AS (SELECT doc_id, $hCols FROM (SELECT doc_id, md5(sh) AS m FROM shr)),
          |sets AS (SELECT doc_id, list_distinct(list(h0)) AS ss FROM h GROUP BY doc_id),
          |mh AS (SELECT doc_id, $mhCols FROM h GROUP BY doc_id),
-         |bands AS ($bands),
+         |bands0 AS ($bands),
+         |bands AS (
+         |  SELECT doc_id, band, bkey FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY band, bkey) AS bsz FROM bands0)
+         |  WHERE bsz <= $MaxLshBucket),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey

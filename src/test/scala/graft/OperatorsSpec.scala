@@ -36,6 +36,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH skew valve: over-populated buckets are dropped, normal ones pair up") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val text = "the same boilerplate paragraph repeated verbatim on every page " * 4
+    // 600 byte-identical docs: every band bucket holds 600 > MaxLshBucket
+    // -> the valve drops them all, no quadratic within-bucket join
+    val big = java.nio.file.Files.createTempDirectory("graft-lsh-big").toString
+    (0L until 600L).map((_, text)).toDF("doc_id", "text")
+      .write.parquet(s"$big/documents.parquet")
+    assert(600 > TextOps.MaxLshBucket)
+    assert(TextOps.lshCandidatePairs(spark, big).count() === 0L)
+    // 100 identical docs fit under the cap -> the full clique of pairs
+    val small = java.nio.file.Files.createTempDirectory("graft-lsh-small").toString
+    (0L until 100L).map((_, text)).toDF("doc_id", "text")
+      .write.parquet(s"$small/documents.parquet")
+    assert(TextOps.lshCandidatePairs(spark, small).count() === 100L * 99 / 2)
+  }
+
   test("oracleSql keys are a subset of queries keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
