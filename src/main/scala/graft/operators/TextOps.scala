@@ -258,7 +258,38 @@ object TextOps {
         }
         .toDF("doc_id", "charset", "decoded_len")
         .orderBy($"doc_id")
-    }))
+    }),
+
+    "q44_tfidf" -> ((s: SparkSession, dir: String) => tfidfQuery(s, dir)))
+
+  /** q44: per-document top-5 terms by TF-IDF — the classic
+    * keyword/topic-signal extractor a curation pipeline uses for
+    * content profiling. Shape: two hash aggregates (tf per (doc,term),
+    * df per term), one equi-join on term, one per-doc window top-K —
+    * every stage partial-aggregated and shuffle-keyed on compact
+    * columns. Ranking uses EXACT integer keys (tf desc, df asc, term
+    * asc) so both engines agree without float-ordering hazards; the
+    * tf·ln(N/df) score is an output column (6 dp) only. N (corpus
+    * size) is one scalar computed up front — broadcast-scale state,
+    * same pattern as q36's training constants. */
+  private def tfidfQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(t(dir, "documents"))
+    val nDocs = docs.agg(count(lit(1))).head().getLong(0)
+    val words = docs
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter(length($"term") > 0)
+    val tf = words.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term".asc)
+    tf.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .select($"doc_id", $"rnk", $"term", $"tf", $"df",
+        round($"tf" * log(lit(nDocs.toDouble) / $"df"), 6).as("tfidf"))
+      .orderBy($"doc_id", $"rnk")
+  }
 
   /** Skew valve for every LSH bucket join: a bucket larger than this
     * is dropped before the self-join. A degenerate bucket (boilerplate
@@ -499,5 +530,21 @@ object TextOps {
     "q35_charset_decode" ->
       """SELECT doc_id, 'UTF-8' AS charset,
         |  CAST(length(text) AS BIGINT) AS decoded_len
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q44_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |w2 AS (SELECT doc_id, term FROM w WHERE length(term) > 0),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w2 GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    round(tf.tf * ln((SELECT n FROM n)::DOUBLE / df.df), 6) AS tfidf,
+        |    row_number() OVER (
+        |      PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df, tfidf
+        |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin)
 }
