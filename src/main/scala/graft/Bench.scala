@@ -167,6 +167,15 @@ object Bench {
         n32 += 1
       }
     }
+    // lean local[32] on the SAME workload as the scaling pair: the
+    // box's best frontier-throughput number (the r2 >8-core regression
+    // was the serialized driver floor; gone since the commit-tail
+    // pipelining — BENCH/BASELINE.md §4)
+    var repLean32: Option[CrawlLevelBench.Rep] = None
+    if (!skipScaling && remaining > 60)
+      repLean32 = Some(CrawlLevelBench.spawnRep(32, rounds, reps = 1,
+        heapGb = 24, seeds = seeds0, roundMs = roundMs, lean = true,
+        cluster = false))
 
     val tput2 = reps2.map(_.rep.tput).foldLeft(0.0)(math.max)
     val tput8 = reps8.map(_.rep.tput).foldLeft(0.0)(math.max)
@@ -183,8 +192,10 @@ object Bench {
     val effStr = efficiencyFinal.map(e => f"$e%.3f").getOrElse("null")
     val effBySizeStr = effBySize
       .map { case (s, e) => s""""$s":${f"$e%.3f"}""" }.mkString("{", ",", "}")
+    val leanStr = repLean32.map(r => f"${r.tput}%.0f").getOrElse("null")
     val crawl =
       f"""{"tput_urls_per_s_c32":$tput32%.0f,"wall_s_c32":$wall32%.1f,""" +
+        s""""tput_urls_per_s_c32_lean":$leanStr,""" +
         f""""tput_urls_per_s_c8":$tput8%.0f,"wall_s_c8":$wall8%.1f,""" +
         f""""tput_urls_per_s_c2":$tput2%.0f,"wall_s_c2":$wall2%.1f,""" +
         s""""scaling_efficiency_n_to_4n":$effStr,""" +
