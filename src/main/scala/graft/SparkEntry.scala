@@ -26,9 +26,9 @@ object SparkEntry {
       VectorOps.queries ++ MultimodalOps.queries ++ PipelineOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
-    * on the same parquet tables. Every query has an oracle (44/44 —
+    * on the same parquet tables. Every query has an oracle (45/45 —
     * q27/q28/q31 gained portable SQL formulations in round 2; the
-    * round-3 curation ops q40–q44 shipped with theirs). */
+    * round-3 curation ops q40–q45 shipped with theirs). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CrawlQueries.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles

@@ -152,6 +152,41 @@ object PipelineOps {
         .orderBy($"purchase_id")
     }),
 
+    // similarity-graph centrality: degree + 3-iteration PageRank over
+    // the (symmetric) LSH candidate-pair graph. High-centrality
+    // documents are template/boilerplate suspects — near-dup-similar
+    // to MANY distinct documents rather than to one duplicate group —
+    // the standard signal for dropping navigation shells and mirrors
+    // that pairwise dedup alone keeps. Scope = graph nodes only
+    // (singleton docs carry no signal). Fixed iteration count and a
+    // 6 dp round keep both engines bit-agreeing; each iteration is
+    // two compact equi-joins + one aggregate — never all-pairs.
+    "q45_sim_centrality" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pairs = TextOps.lshCandidatePairs(s, dir)
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val n = deg.count() // graph-node count: one scalar of training-state scale
+      var pr = deg.select($"node", lit(1.0 / n).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(pr.withColumnRenamed("node", "src"), "src")
+          .join(deg.withColumnRenamed("node", "src"), "src")
+          .groupBy($"dst".as("node"))
+          .agg(sum($"pr" / $"deg").as("s"))
+        pr = deg.select($"node")
+          .join(contrib, Seq("node"), "left")
+          .select($"node",
+            (lit(0.15 / n) + lit(0.85) * coalesce($"s", lit(0.0))).as("pr"))
+      }
+      deg.join(pr, "node")
+        .select($"node".as("doc_id"), $"deg".as("degree"),
+          round($"pr", 6).as("pagerank"))
+        .orderBy($"doc_id")
+    }),
+
     // exact per-language quantiles of the whitespace token count:
     // percentile() is the EXACT linear-interpolation quantile (the
     // same definition as DuckDB quantile_cont), computed per group in
@@ -213,6 +248,30 @@ object PipelineOps {
         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
         |WHERE p.event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    "q45_sim_centrality" -> {
+      val iters = (1 to 3).map { k =>
+        s"""pr$k AS (
+           |  SELECT d0.node,
+           |    0.15 / (SELECT n FROM nn) + 0.85 * COALESCE(c.sc, 0) AS pr
+           |  FROM deg d0 LEFT JOIN (
+           |    SELECT e.d AS node, SUM(p.pr / dg.deg) AS sc
+           |    FROM edges e
+           |    JOIN pr${k - 1} p ON p.node = e.s
+           |    JOIN deg dg ON dg.node = e.s
+           |    GROUP BY e.d) c ON c.node = d0.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${TextOps.lshPairSqlCtes},
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY s),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+         |$iters
+         |SELECT d.node AS doc_id, d.deg AS degree, round(p.pr, 6) AS pagerank
+         |FROM deg d JOIN pr3 p ON p.node = d.node
+         |ORDER BY doc_id""".stripMargin
+    },
     "q43_token_quantiles" ->
       """WITH d AS (SELECT lang,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
