@@ -161,6 +161,27 @@ final class CrawlEngine(
     carriedPending = None // the cached pending view misses the delta
   }
 
+  /** Maintenance: squash the retired table's per-round append deltas
+    * into one bucket-partitioned file set — the Iceberg
+    * `rewrite_data_files` analog. Retired accumulates one delta per
+    * round; a 10⁵-round crawl would otherwise open 10⁵ small files on
+    * every seen-set read. Quiescent operation (between runs): rewrites
+    * the PINNED retired snapshot, commits the rewrite as a
+    * replacement, then re-pins the frontier root at it — so a crash
+    * between the two commits just leaves an unreferenced rewrite
+    * snapshot (swept by GC), and the row set is unchanged either way. */
+  def compactRetired(): Unit = {
+    awaitTail()
+    readPinned(RETIRED).foreach { df =>
+      val file = ice.writeData(
+        df.repartition(cfg.numBuckets, $"host_bucket"), RETIRED, "compact")
+      val snap = ice.commit(RETIRED, Seq(file), append = false)
+      ice.commit(FRONTIER, Nil, append = true,
+        props = ice.props(FRONTIER) + ("retired_snap" -> snap.toString))
+      carriedPending = None
+    }
+  }
+
   def nextRound: Long = ice.props(FRONTIER).getOrElse("round", "0").toLong
 
   // ---- the round loop ------------------------------------------------

@@ -64,6 +64,27 @@ class EngineGoldenSpec extends AnyFunSuite {
     assertGolden(sim, eng)
   }
 
+  test("golden equality preserved across retired-table compaction + resume") {
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
+    val cfgFull = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 8)
+    val seeds = web.seedUrls(12)
+    val sim = RefSimulator.run(web, seeds, cfgFull)
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val eng1 = new CrawlEngine(spark, web, cfgFull.copy(maxRounds = 3), dir)
+    eng1.init(seeds)
+    eng1.run()
+    val before = eng1.ice.currentManifest("retired").map(_.files.length).getOrElse(0)
+    assert(before > 1, "need multiple deltas for the test to mean anything")
+    eng1.compactRetired()
+    val after = eng1.ice.currentManifest("retired").map(_.files.length).getOrElse(0)
+    assert(after === 1, s"compaction left $after file sets")
+    // a fresh engine resumes from the compacted state and finishes the
+    // crawl; the final state must equal an uncompacted full run
+    val eng2 = new CrawlEngine(spark, web, cfgFull, dir)
+    eng2.run()
+    assertGolden(sim, eng2)
+  }
+
   test("golden equality across bloom compaction boundaries (compactEvery=2)") {
     val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
     val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6,
