@@ -35,7 +35,11 @@ final case class CrawlerOptions(
     parseHtml: Boolean = false,
     siteSchemas: SiteSchemas = SiteSchemas.Default,
     forceUTF8: Boolean = true,
-    incomingEncoding: Option[String] = None)
+    incomingEncoding: Option[String] = None,
+    // per-limiter crawl-delay overrides (node-crawler
+    // `setLimiterProperty(id, 'rateLimit', ms)`); also settable at
+    // runtime via Crawler.setLimiterProperty
+    rateLimits: Map[String, Long] = Map.empty)
 
 /** What a drain returns. node-crawler hands each page to
   * `callback(error, res, done)` inside one process; a cluster engine
@@ -70,18 +74,37 @@ final class Crawler(
     stateDir: String,
     options: CrawlerOptions = CrawlerOptions()) {
 
-  val engine = new CrawlEngine(spark, web,
-    CrawlConfig(
-      numBuckets = options.numBuckets,
-      roundMs = options.rateLimitMs,
-      maxPerRound = options.maxConnections,
-      maxRounds = options.maxRounds,
-      maxRetries = options.retries,
-      parseHtml = options.parseHtml,
-      siteSchemas = options.siteSchemas,
-      incomingEncoding = options.incomingEncoding,
-      forceUTF8 = options.forceUTF8),
-    stateDir)
+  private def mkEngine(rateLimits: Map[String, Long]): CrawlEngine =
+    new CrawlEngine(spark, web,
+      CrawlConfig(
+        numBuckets = options.numBuckets,
+        roundMs = options.rateLimitMs,
+        maxPerRound = options.maxConnections,
+        maxRounds = options.maxRounds,
+        maxRetries = options.retries,
+        parseHtml = options.parseHtml,
+        siteSchemas = options.siteSchemas,
+        incomingEncoding = options.incomingEncoding,
+        forceUTF8 = options.forceUTF8,
+        rateLimitOverrides = rateLimits),
+      stateDir)
+
+  private var currentRateLimits = options.rateLimits
+  private var eng = mkEngine(currentRateLimits)
+
+  /** The underlying engine (rebuilt when limiter properties change —
+    * crawl state lives on disk, so a rebuilt engine resumes). */
+  def engine: CrawlEngine = eng
+
+  /** node-crawler `setLimiterProperty(id, 'rateLimit', ms)` [PK:high]:
+    * change one limiter's crawl delay at runtime. Takes effect from
+    * the next `run()` — the BSP analog of changing a live rate
+    * limiter between dequeues. */
+  def setLimiterProperty(limiter: String, rateLimitMs: Long): this.type = {
+    currentRateLimits += (limiter -> rateLimitMs)
+    eng = mkEngine(currentRateLimits)
+    this
+  }
 
   private val buffered = mutable.ListBuffer.empty[SeedRequest]
 

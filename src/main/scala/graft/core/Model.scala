@@ -110,7 +110,22 @@ case class CrawlConfig(
     // forceUTF8=false disables conversion (byte-transparent
     // ISO-8859-1). Defaults = sniff-and-convert, today's behavior.
     incomingEncoding: Option[String] = None,
-    forceUTF8: Boolean = true)
+    forceUTF8: Boolean = true,
+    // runtime rate-limit overrides per limiter key (node-crawler
+    // `setLimiterProperty(id, 'rateLimit', ms)` [PK:high]): an entry
+    // beats the host policy's crawl delay in the quota formula. Keys
+    // are limiter keys (custom `limiter` value, or the host for the
+    // default limiter).
+    rateLimitOverrides: Map[String, Long] = Map.empty) {
+
+  /** Effective per-round politeness quota for a limiter key: a runtime
+    * rate-limit override beats the policy's crawl delay; same formula
+    * as [[HostPolicy.quota]], shared by engine and simulator. */
+  def quotaFor(limiterKey: String, policyDelayMs: => Long): Int = {
+    val delay = rateLimitOverrides.getOrElse(limiterKey, policyDelayMs)
+    math.max(1L, roundMs / math.max(1L, delay)).toInt
+  }
+}
 
 /** Result of fetching+extracting one page (shared shape between engine
   * and simulator; produced by the pure `Fetcher`/`SpanExtractor`). */

@@ -59,10 +59,12 @@ case class SimHash64Expr(child: Expression)
   * 100M+ distinct hosts the dimension/broadcast would be a per-round
   * job + memory wall; this is just a projected column. */
 case class HostQuotaExpr(child: Expression, web: graft.core.SyntheticWeb,
-    roundMs: Long) extends UnaryExpression with CodegenFallback {
+    cfg: graft.core.CrawlConfig) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
-  override def nullSafeEval(h: Any): Any =
-    web.policy(h.asInstanceOf[UTF8String].toString).quota(roundMs)
+  override def nullSafeEval(h: Any): Any = {
+    val key = h.asInstanceOf[UTF8String].toString
+    cfg.quotaFor(key, web.policy(key).crawl_delay_ms)
+  }
   override protected def withNewChildInternal(c: Expression): HostQuotaExpr =
     copy(child = c)
   override def prettyName: String = "host_quota"

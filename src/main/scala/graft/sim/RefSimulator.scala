@@ -120,7 +120,7 @@ object RefSimulator {
         .groupBy(_.limiterKey)
         .iterator
         .flatMap { case (limKey, es) =>
-          val quota = policyOf(limKey).quota(cfg.roundMs)
+          val quota = cfg.quotaFor(limKey, policyOf(limKey).crawl_delay_ms)
           es.sortBy(e => (e.priority, e.seq, e.urlHash)).take(quota)
         }
         .toVector

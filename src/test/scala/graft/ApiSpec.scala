@@ -62,6 +62,30 @@ class ApiSpec extends AnyFunSuite {
     assert(crawler.engine.pending().isEmpty)
   }
 
+  test("Crawler: setLimiterProperty throttles a host from the next run") {
+    import spark.implicits._
+    val web = SyntheticWeb(nHosts = 3, pagesPerHost = 10)
+    val dir = Files.createTempDirectory("graft-api5").toString
+    val crawler = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 500, maxRounds = 3, numBuckets = 4))
+    crawler.queue(web.seedUrls(3).map(SeedRequest(_))).run()
+    val phase1Rounds = crawler.engine.nextRound
+    // throttle host 0 to one fetch per round, then keep crawling
+    crawler.setLimiterProperty(web.hostName(0), rateLimitMs = 500)
+    // widen the round budget for the resumed engine
+    val more = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 500, maxRounds = 8, numBuckets = 4,
+        rateLimits = Map(web.hostName(0) -> 500L)))
+    val res = more.run()
+    val h0max = res.crawlLog
+      .filter($"round" >= phase1Rounds &&
+        $"url_canon".contains(web.hostName(0)))
+      .groupBy($"round").count()
+      .agg(org.apache.spark.sql.functions.max($"count")).head()
+    assert(h0max.isNullAt(0) || h0max.getLong(0) <= 1L,
+      s"throttle ignored after resume: $h0max")
+  }
+
   test("Crawler: direct() fetches immediately without touching crawl state") {
     val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
     val dir = Files.createTempDirectory("graft-api4").toString

@@ -64,6 +64,23 @@ class EngineGoldenSpec extends AnyFunSuite {
     assertGolden(sim, eng)
   }
 
+  test("golden equality with per-limiter rate-limit overrides (setLimiterProperty)") {
+    val web = SyntheticWeb(nHosts = 5, pagesPerHost = 8, megaFactor = 3)
+    // throttle host 0 to one fetch per round and boost host 1
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 8,
+      rateLimitOverrides = Map(
+        web.hostName(0) -> 500L, web.hostName(1) -> 50L))
+    val (sim, eng, _) = runBoth(web, 10, cfg)
+    assertGolden(sim, eng)
+    // the throttle is real: host 0 never exceeds 1 fetch in any round
+    import eng.spark.implicits._
+    val h0 = eng.crawlLog()
+      .filter($"url_canon".contains(web.hostName(0)))
+      .groupBy($"round").count()
+      .agg(org.apache.spark.sql.functions.max($"count")).head().getLong(0)
+    assert(h0 === 1L, s"host 0 exceeded its overridden quota: $h0/round")
+  }
+
   test("golden equality preserved across retired-table compaction + resume") {
     val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
     val cfgFull = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 8)
