@@ -80,6 +80,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$name: nested-loop join — candidates must equi-join on the bucket key")
     }
+    // the q24 entry may serve the session-cached (checkpointed) pair
+    // graph — assert the gate's own plan shape on the uncached form
+    val gate = graft.operators.TextOps.lshCandidatePairsUncached(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!gate.contains("CartesianProduct") &&
+      !gate.contains("BroadcastNestedLoopJoin"), "gate degenerated")
   }
 
   test("banded exchanges carry ids only — no embedding/text arrays ride a band key") {
@@ -88,9 +94,10 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       var checked = 0
-      for (name <- Seq("q24_minhash_lsh", "q25_ngram_jaccard",
-          "q30_embed_neardup", "q31_ann_lsh")) {
-        val df = SparkEntry.queries(name)(spark, dir)
+      val gateDf = graft.operators.TextOps.lshCandidatePairsUncached(spark, dir)
+      for ((name, df) <- Seq("q25_ngram_jaccard", "q30_embed_neardup",
+          "q31_ann_lsh").map(n => n -> SparkEntry.queries(n)(spark, dir)) :+
+          ("q24-gate-uncached" -> gateDf)) {
         val outs = df.queryExecution.executedPlan.collect {
           case e: ShuffleExchangeExec => e.output
           case e: BroadcastExchangeExec => e.output
