@@ -140,26 +140,14 @@ object TextOps {
     // hashed shingle space (collision odds ~2⁻³² per pair, and the
     // oracle hashes identically so parity is exact). Band rows carry
     // ids only; the re-rank joins the per-doc table back by id.
-    // localCheckpoint materializes the per-doc table once for its two
-    // consumers (bands + re-rank) — at warehouse scale, stage it to
-    // parquet instead (same plan shape).
+    // The per-doc table is the session-shared signature table
+    // (perDocSignatures — one shingle scan serving q24/q25/q40/q45);
+    // at warehouse scale, stage it to parquet instead (same shape).
     "q25_ngram_jaccard" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val shr = s.read.parquet(t(dir, "documents"))
-        .select($"doc_id",
-          explode(sequence(lit(1), greatest(length($"text") - 7, lit(1)), lit(4))).as("i"),
-          $"text")
-        .select($"doc_id", expr("substr(text, i, 8)").as("sh"))
-      val withH = shr
-        .withColumn("m", md5($"sh"))
-        .select($"doc_id" +: (0 until 4).map(j =>
-          conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
-      val aggs = collect_set($"h0").as("ss") +: (0 until 32).map { i =>
-        val (a, b) = minhashParams(i)
-        min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")
-      }
-      val perDoc = withH.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-        .localCheckpoint(true)
+      // the shared per-doc signature table (one shingle scan/session)
+      // serves both the 16×2 gate and the exact re-rank sets
+      val perDoc = perDocSignatures(s, dir)
       val bandCols = array((0 until 16).map(b =>
         struct(lit(b).as("band"),
           concat_ws("|", (0 until 2).map(j =>
@@ -321,11 +309,61 @@ object TextOps {
     * gate consumer runs first pays the gate. */
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** The per-document MinHash signature table — doc_id, mh_0..mh_31,
+    * ss (the doc's distinct 32-bit shingle-hash set) — ONE shingle
+    * scan + hash aggregate per session, shared by every minhash
+    * consumer: q24's 8×4 gate, q25's 16×2 gate + exact re-rank, and
+    * transitively q40/q45. The warehouse form of the same design is a
+    * signatures table refreshed with the corpus. */
+  def perDocSignatures(s: SparkSession, dir: String): DataFrame =
+    sigCache.computeIfAbsent(
+      System.identityHashCode(s) + "|" + dir,
+      _ => {
+        import s.implicits._
+        val shr = s.read.parquet(t(dir, "documents"))
+          .select($"doc_id",
+            explode(sequence(lit(1), greatest(length($"text") - 7, lit(1)), lit(4))).as("i"),
+            $"text")
+          .select($"doc_id", expr("substr(text, i, 8)").as("sh"))
+        val withH = shr
+          .withColumn("m", md5($"sh"))
+          .select($"doc_id" +: (0 until 4).map(j =>
+            conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
+        val aggs = collect_set($"h0").as("ss") +: (0 until 32).map { i =>
+          val (a, b) = minhashParams(i)
+          min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")
+        }
+        withH.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint(true)
+      })
 
   def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.computeIfAbsent(
       System.identityHashCode(s) + "|" + dir,
-      _ => lshCandidatePairsUncached(s, dir).localCheckpoint(true))
+      _ => {
+        import s.implicits._
+        val bandCols = array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws("|", (0 until 4).map(j =>
+              col(s"mh_${b * 4 + j}").cast("string")): _*).as("bkey"))): _*)
+        val bands = perDocSignatures(s, dir)
+          .select($"doc_id", explode(bandCols).as("bc"))
+          .select($"doc_id", $"bc.band", $"bc.bkey")
+          .withColumn("bsz", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bkey")))
+          .filter($"bsz" <= MaxLshBucket)
+          .drop("bsz")
+        bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
+          .join(bands.select($"doc_id".as("doc_b"), $"band", $"bkey"),
+            Seq("band", "bkey"))
+          .filter($"doc_a" < $"doc_b")
+          .select($"doc_a", $"doc_b")
+          .distinct()
+          .localCheckpoint(true)
+      })
 
   /** The gate itself (uncached form — tests that need a fresh plan,
     * e.g. the plan-shape assertions, use this). */
