@@ -101,6 +101,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("q45: PageRank mass is conserved and degree equals the edge count") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q45_sim_centrality")(spark, dir01)
+      .select($"doc_id", $"degree", $"pagerank")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // symmetric graph, every node outdeg >= 1 -> total mass stays 1.0
+    // each iteration (0.15 base + 0.85 redistributed); 6dp rounding
+    // perturbs each row by <= 5e-7
+    val mass = out.map(_._3).sum
+    assert(math.abs(mass - 1.0) < out.length * 5e-7 + 1e-9, s"mass=$mass")
+    // degrees equal the undirected pair-graph incidence counts
+    val pairs = graft.operators.TextOps.lshCandidatePairs(spark, dir01)
+      .as[(Long, Long)].collect()
+    val deg = pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    out.foreach { case (id, d, _) => assert(d === deg(id), s"doc $id degree") }
+    assert(out.length === deg.size)
+  }
+
   test("q43: p50 equals the interpolated median computed by hand") {
     import spark.implicits._
     val counts = spark.read.parquet(s"$dir01/documents.parquet")
