@@ -39,7 +39,11 @@ final case class CrawlerOptions(
     // per-limiter crawl-delay overrides (node-crawler
     // `setLimiterProperty(id, 'rateLimit', ms)`); also settable at
     // runtime via Crawler.setLimiterProperty
-    rateLimits: Map[String, Long] = Map.empty)
+    rateLimits: Map[String, Long] = Map.empty,
+    // node-crawler `preRequest(options, done)`: a pure per-candidate
+    // predicate; false = stay pending and re-evaluate next round
+    // (models both veto and delay)
+    preRequest: Option[graft.core.PreRequest => Boolean] = None)
 
 /** What a drain returns. node-crawler hands each page to
   * `callback(error, res, done)` inside one process; a cluster engine
@@ -86,7 +90,8 @@ final class Crawler(
         siteSchemas = options.siteSchemas,
         incomingEncoding = options.incomingEncoding,
         forceUTF8 = options.forceUTF8,
-        rateLimitOverrides = rateLimits),
+        rateLimitOverrides = rateLimits,
+        preRequest = options.preRequest),
       stateDir)
 
   private var currentRateLimits = options.rateLimits

@@ -116,7 +116,16 @@ case class CrawlConfig(
     // beats the host policy's crawl delay in the quota formula. Keys
     // are limiter keys (custom `limiter` value, or the host for the
     // default limiter).
-    rateLimitOverrides: Map[String, Long] = Map.empty) {
+    rateLimitOverrides: Map[String, Long] = Map.empty,
+    // node-crawler's preRequest hook [PK:med] as its BSP analog: a
+    // PURE user predicate evaluated on every due candidate each round
+    // BEFORE politeness/admission. false = the request stays PENDING
+    // and is re-evaluated next round — which models both veto (return
+    // false forever) and delay (return false until some condition),
+    // node-crawler's two preRequest outcomes. Must be deterministic
+    // and serializable (it runs inside tasks); the simulator applies
+    // the identical predicate, so crawl order stays golden.
+    preRequest: Option[PreRequest => Boolean] = None) {
 
   /** Effective per-round politeness quota for a limiter key: a runtime
     * rate-limit override beats the policy's crawl delay; same formula
@@ -138,6 +147,12 @@ case class FetchResult(
   * the priority the page assigns it (node-crawler: per-task `priority`,
   * 0..9, default 5). */
 case class DiscoveredLink(url: String, priority: Int)
+
+/** What node-crawler's `preRequest(options, done)` sees, in scheduler
+  * terms: the candidate about to be considered for this round's
+  * admission [PK:med]. */
+final case class PreRequest(urlCanon: String, host: String, priority: Int,
+    retryCount: Int, userData: String)
 
 /** A queue request (node-crawler
   * `queue({uri, priority, userData, limiter, method, headers})`

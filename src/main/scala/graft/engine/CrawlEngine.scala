@@ -316,7 +316,18 @@ final class CrawlEngine(
     val w = web; val c = cfg
     import org.apache.spark.sql.graftshim.ColumnShim
     val pend = pendingView(r)
-    val cands = pend.filter($"due_round" <= r)
+    val cands0 = pend.filter($"due_round" <= r)
+    // preRequest gate (node-crawler parity): vetoed rows stay pending
+    // and re-evaluate next round; the simulator applies the same pure
+    // predicate at the same point
+    val cands = c.preRequest match {
+      case None => cands0
+      case Some(f) =>
+        val pred = udf((u: String, h: String, p: Int, rc: Int, ud: String) =>
+          f(graft.core.PreRequest(u, h, p, rc, ud)))
+        cands0.filter(pred(
+          $"url_canon", $"host", $"priority", $"retry_count", $"user_data"))
+    }
 
     // J3→F: politeness quota is a pure function of the LIMITER key —
     // the per-request politeness group, defaulting to the URL's host

@@ -40,7 +40,9 @@ object RefSimulator {
       var state: String,
       // per-request politeness group (node-crawler `limiter` [PK:high]);
       // null = the default limiter, the URL's host
-      limiter: String = null) {
+      limiter: String = null,
+      // opaque per-request payload, visible to the preRequest hook
+      userData: String = null) {
     def limiterKey: String = if (limiter == null) host else limiter
   }
 
@@ -81,15 +83,16 @@ object RefSimulator {
 
     // candidate discovery: (canonUrl, hash, host, priority, seq, limiter)
     final case class Cand(canon: String, hash: Long, host: String,
-        priority: Int, seq: Long, limiter: String = null)
+        priority: Int, seq: Long, limiter: String = null,
+        userData: String = null)
 
     def toCand(raw: String, priority: Int, seq: Long,
-        limiter: String = null): Option[Cand] =
+        limiter: String = null, userData: String = null): Option[Cand] =
       UrlCanonicalizer.canonicalize(raw).flatMap { canon =>
         val host = UrlCanonicalizer.hostOf(canon)
         val path = UrlCanonicalizer.pathOf(canon)
         if (!RobotsMatcher.allows(policyOf(host).rules, path)) None
-        else Some(Cand(canon, xxhash64(canon), host, priority, seq, limiter))
+        else Some(Cand(canon, xxhash64(canon), host, priority, seq, limiter, userData))
       }
 
     def enqueue(cands: Seq[Cand], due: Long): Long = {
@@ -99,7 +102,7 @@ object RefSimulator {
         if (!entries.contains(h)) {
           val c = group.minBy(_.seq)
           entries(h) = SimEntry(c.canon, h, c.host, c.priority, c.seq, 0, due,
-            FrontierEntry.Pending, c.limiter)
+            FrontierEntry.Pending, c.limiter, c.userData)
           added += 1
         }
       }
@@ -112,7 +115,11 @@ object RefSimulator {
     def drainLoop(): Unit =
       while (r < cfg.maxRounds && entries.values.exists(_.state == FrontierEntry.Pending)) {
       val candidates = entries.values
-        .filter(e => e.state == FrontierEntry.Pending && e.dueRound <= r).toVector
+        .filter(e => e.state == FrontierEntry.Pending && e.dueRound <= r)
+        // preRequest gate — identical pure predicate to the engine's
+        .filter(e => cfg.preRequest.forall(f => f(
+          PreRequest(e.urlCanon, e.host, e.priority, e.retryCount, e.userData))))
+        .toVector
       // per-limiter priority dequeue under politeness quota: entries
       // sharing a limiter key share ONE rate bucket (default key =
       // host), node-crawler limiter semantics [PK:high]
@@ -158,7 +165,7 @@ object RefSimulator {
     phases.foreach { phase =>
       val off = if (entries.isEmpty) 0L else entries.values.map(_.seq).max + 1L
       enqueue(phase.zipWithIndex.flatMap { case (q, i) =>
-        toCand(q.url, q.priority, off + i, q.limiter) }, due = r)
+        toCand(q.url, q.priority, off + i, q.limiter, q.userData) }, due = r)
       drainLoop()
     }
 

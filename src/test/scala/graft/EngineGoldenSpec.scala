@@ -81,6 +81,37 @@ class EngineGoldenSpec extends AnyFunSuite {
     assert(h0 === 1L, s"host 0 exceeded its overridden quota: $h0/round")
   }
 
+  test("golden equality with a preRequest gate (veto by host + userData)") {
+    val web = SyntheticWeb(nHosts = 5, pagesPerHost = 8, megaFactor = 3)
+    val blockedHost = web.hostName(2)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6,
+      preRequest = Some(pr =>
+        pr.host != blockedHost && pr.userData != "skip-me"))
+    val base = web.seedUrls(10)
+    // a URL not already seeded plain (same-URL dedup keeps the earlier
+    // seq, which would erase the userData marker)
+    val skipUrl = (0 until 50).map(p => s"http://${web.hostName(4)}/p/$p")
+      .find(u => !base.contains(u)).get
+    val seeds = base.map(SeedRequest(_)) :+
+      SeedRequest(skipUrl, userData = "skip-me")
+    val sim = RefSimulator.runRequests(web, seeds, cfg)
+    val dir = Files.createTempDirectory("graft-prereq").toString
+    val eng = new CrawlEngine(spark, web, cfg, dir)
+    eng.initRequests(seeds)
+    eng.run()
+    assertGolden(sim, eng)
+    // the gate actually bit: nothing from the blocked host was fetched,
+    // and the skip-me seed never produced an attempt
+    import eng.spark.implicits._
+    val fetched = eng.crawlLog().select("url_canon").as[String].collect()
+    assert(fetched.nonEmpty)
+    assert(!fetched.exists(_.contains(blockedHost)), "blocked host fetched")
+    assert(!fetched.contains(skipUrl), s"skip-me seed fetched: $skipUrl")
+    // vetoed rows remain PENDING (delay semantics), not dropped
+    val pendingHosts = eng.pending().select("host").as[String].collect()
+    assert(pendingHosts.contains(blockedHost))
+  }
+
   test("golden equality preserved across retired-table compaction + resume") {
     val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
     val cfgFull = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 8)
