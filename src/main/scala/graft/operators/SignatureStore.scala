@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted form of the MinHash signature table — the warehouse
+  * counterpart of the session-cached `TextOps.perDocSignatures`
+  * intermediate (and the q36→IvfIndex pattern applied to text dedup):
+  * a corpus refresh builds the signatures ONCE; dedup listing,
+  * clustering, centrality, and re-ranking all read the store instead
+  * of re-scanning text.
+  *
+  * Layout:
+  *  - `<storeDir>/signatures`: (doc_id, mh_0..mh_31, ss) parquet —
+  *    the per-document 32-minhash signature plus the distinct
+  *    32-bit shingle-hash set used by exact Jaccard re-ranks.
+  *  - scan-side pruning does the rest: a pair-gate read projects only
+  *    (doc_id, mh_*) and never loads the `ss` arrays; a re-rank read
+  *    projects (doc_id, ss). ReadSchema column pruning is asserted in
+  *    the spec.
+  *
+  * At 100 TB the signatures table is ~1% the corpus bytes (32 longs +
+  * a few hundred ints per document vs multi-KB text), so banding
+  * experiments (retuning bands × rows against a quality bar) replay
+  * against the store without touching the corpus — the operational
+  * reason curation pipelines persist signatures. */
+object SignatureStore {
+
+  /** Build (or refresh) the store from `<dir>/documents.parquet`. */
+  def build(spark: SparkSession, dir: String, storeDir: String): Unit =
+    TextOps.perDocSignatures(spark, dir)
+      .write.mode("overwrite").parquet(s"$storeDir/signatures")
+
+  def signatures(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/signatures")
+
+  /** The q24 candidate-pair gate, served from the store: identical
+    * banding, valve, and join shape to `TextOps.lshCandidatePairs`,
+    * but the heavy input is a pruned (doc_id, mh_*) scan of the
+    * signatures table — no text scan, no shingle explode, no md5. */
+  def candidatePairs(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val bandCols = array((0 until 8).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until 4).map(j =>
+          col(s"mh_${b * 4 + j}").cast("string")): _*).as("bkey"))): _*)
+    val bands = signatures(spark, storeDir)
+      .select($"doc_id" +: (0 until 32).map(i => col(s"mh_$i")): _*)
+      .select($"doc_id", explode(bandCols).as("bc"))
+      .select($"doc_id", $"bc.band", $"bc.bkey")
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bkey")))
+      .filter($"bsz" <= TextOps.MaxLshBucket)
+      .drop("bsz")
+    bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
+      .join(bands.select($"doc_id".as("doc_b"), $"band", $"bkey"),
+        Seq("band", "bkey"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b")
+      .distinct()
+  }
+}
