@@ -95,6 +95,30 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  /** Streaming exact document dedup — the q23 operator as a stream:
+    * documents arrive as parquet files, at most ONE row survives per
+    * content fingerprint across all micro-batches (first writer wins,
+    * later copies drop). State is one key per distinct fingerprint —
+    * the facade keeps it exact for clarity; the engine's batch
+    * pattern (bloom prefilter + periodic compaction) is the 100 TB
+    * state story, and a TTL'd variant would use
+    * dropDuplicatesWithinWatermark on an arrival timestamp. */
+  def dedupedDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .schema(documentsSchema)
+      .parquet(dir)
+      .withColumn("fp", md5($"text"))
+      .dropDuplicates("fp")
+      .select($"fp", $"doc_id", $"lang", $"source")
+  }
+
   /** Watermarked windowed aggregation over a parquet file stream of
     * events: count + sum(value) per (1h window, event_type). */
   def eventWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {

@@ -90,6 +90,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSeq === (0 until quota))
   }
 
+  test("streaming exact document dedup: one survivor per fingerprint across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val in = Files.createTempDirectory("graft-docstream").toString
+    val cp = Files.createTempDirectory("graft-cp4").toString
+    // batch 1: docs 0-9; batch 2 arrives later: copies of 0-4 under new
+    // ids + genuinely new 10-14
+    val mk = (ids: Seq[Long], textOf: Long => String) =>
+      ids.map(i => (i, textOf(i), "en", "web"))
+        .toDF("doc_id", "text", "lang", "source")
+    mk(0L to 9L, i => s"unique text $i").coalesce(1)
+      .write.parquet(s"$in/b1.parquet")
+    val outDir = Files.createTempDirectory("graft-docstream-out").toString
+    def runOnce(): Unit = {
+      val q = StreamingOps.dedupedDocuments(spark, s"$in/*")
+        .writeStream.format("parquet").option("path", outDir)
+        .outputMode("append").option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === 10L)
+    mk(100L to 104L, i => s"unique text ${i - 100}").coalesce(1)
+      .write.parquet(s"$in/b2.parquet") // dup content, new ids
+    mk(10L to 14L, i => s"unique text $i").coalesce(1)
+      .write.parquet(s"$in/b3.parquet")
+    runOnce()
+    // across BOTH runs (same checkpoint = same dedup state), only the
+    // 5 genuinely new docs survive the second batch
+    val all = spark.read.parquet(outDir).collect()
+    assert(all.length === 15, s"expected 15 total rows, got ${all.length}")
+    val ids = all.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids === ((0L to 14L).toSet), s"dup content leaked: $ids")
+  }
+
   test("watermarked windowed aggregation over the events file stream") {
     val cp = Files.createTempDirectory("graft-cp3").toString
     val q = StreamingOps.eventWindowCounts(spark, "/root/testdata/sf0.001")
