@@ -70,6 +70,42 @@ case class HostQuotaExpr(child: Expression, web: graft.core.SyntheticWeb,
   override def prettyName: String = "host_quota"
 }
 
+/** `md5_ints4(string)`: the four 32-bit unsigned ints of a value's md5
+  * digest, as array<long> — bit-identical to
+  * `conv(substring(md5(x), 8j+1, 8), 16, 10)` for j = 0..3 (each int
+  * is four digest bytes big-endian), but computed straight from the
+  * digest: no 32-char hex formatting and no four radix parses per row.
+  * This is the shingle-hash hot path of the MinHash family (millions
+  * of shingles per corpus scan); the DuckDB oracles keep the hex
+  * formula — values are equal by construction, which the parity test
+  * asserts. */
+case class Md5Ints4Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any = {
+    val d = Md5Ints4Expr.digests.get()
+    d.reset()
+    val out = d.digest(s.asInstanceOf[UTF8String].getBytes)
+    val arr = new Array[Long](4)
+    var j = 0
+    while (j < 4) {
+      arr(j) = ((out(4 * j) & 0xFFL) << 24) | ((out(4 * j + 1) & 0xFFL) << 16) |
+        ((out(4 * j + 2) & 0xFFL) << 8) | (out(4 * j + 3) & 0xFFL)
+      j += 1
+    }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(c: Expression): Md5Ints4Expr =
+    copy(child = c)
+  override def prettyName: String = "md5_ints4"
+}
+
+object Md5Ints4Expr {
+  // one digest instance per task thread (MessageDigest is stateful)
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** `ivf_assign(array<double>)`: k-means argmin assignment — cid of the
   * centroid minimizing (c·c − 2 v·c), ties to the lowest cid (the
   * oracle's row_number() OVER (ORDER BY d, cid)). Centroids ride a

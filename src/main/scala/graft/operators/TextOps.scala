@@ -196,7 +196,7 @@ object TextOps {
       val tok = s.read.parquet(t(dir, "documents"))
         .select($"doc_id", explode(split($"text", " ")).as("tk"))
       val h = tok.select($"doc_id",
-        conv(substring(md5($"tk"), 1, 8), 16, 10).cast("long").as("h"))
+        element_at(md5Ints4($"tk"), 1).as("h"))
       val votes = (0 until 32).map(b =>
         sum(shiftright($"h", b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b"))
       val v = h.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
@@ -312,6 +312,12 @@ object TextOps {
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Native md5→4×int32 column (the shingle-hash hot path). */
+  private def md5Ints4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.Md5Ints4Expr(ColumnShim.expression(c)))
+  }
+
   /** The per-document MinHash signature table — doc_id, mh_0..mh_31,
     * ss (the doc's distinct 32-bit shingle-hash set) — ONE shingle
     * scan + hash aggregate per session, shared by every minhash
@@ -328,10 +334,12 @@ object TextOps {
             explode(sequence(lit(1), greatest(length($"text") - 7, lit(1)), lit(4))).as("i"),
             $"text")
           .select($"doc_id", expr("substr(text, i, 8)").as("sh"))
+        // native md5_ints4: digest bytes → 4 ints, no hex round-trip
+        // (bit-equal to the oracle's conv(substring(md5)) — FunctionsSpec)
         val withH = shr
-          .withColumn("m", md5($"sh"))
+          .withColumn("hs", md5Ints4($"sh"))
           .select($"doc_id" +: (0 until 4).map(j =>
-            conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
+            element_at($"hs", j + 1).as(s"h$j")): _*)
         val aggs = collect_set($"h0").as("ss") +: (0 until 32).map { i =>
           val (a, b) = minhashParams(i)
           min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")
@@ -374,11 +382,12 @@ object TextOps {
         explode(sequence(lit(1), greatest(length($"text") - 7, lit(1)), lit(4))).as("i"),
         $"text")
       .select($"doc_id", expr("substr(text, i, 8)").as("sh"))
-    // one md5 per shingle → 4 independent 32-bit base hashes
+    // one md5 per shingle → 4 independent 32-bit base hashes (native
+    // digest-byte extraction, no hex round-trip)
     val withH = sh
-      .withColumn("m", md5($"sh"))
+      .withColumn("hs", md5Ints4($"sh"))
       .select($"doc_id" +: (0 until 4).map(j =>
-        conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long").as(s"h$j")): _*)
+        element_at($"hs", j + 1).as(s"h$j")): _*)
     val aggs = (0 until 32).map { i =>
       val (a, b) = minhashParams(i)
       min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")

@@ -10,6 +10,26 @@ import graft.engine.Bloom
 class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
+  test("md5_ints4 is bit-equal to the conv(substring(md5)) hex formula") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val vals = Seq("", "a", "shingle8", "héllo — 日本語 👍",
+      "the same boilerplate", "0123456789abcdef" * 5) ++
+      (0 until 200).map(i => s"fuzz-$i-${"x" * (i % 17)}")
+    val ints4 = ColumnShim.column(
+      graft.functions.Md5Ints4Expr(ColumnShim.expression($"s")))
+    val rows = vals.toDF("s")
+      .withColumn("m", md5($"s"))
+      .select(
+        array((0 until 4).map(j =>
+          conv(substring($"m", j * 8 + 1, 8), 16, 10).cast("long")): _*).as("hex"),
+        ints4.as("native"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (hex, native) => assert(hex === native) }
+    assert(rows.length === vals.length)
+  }
+
   test("url_canonicalize expression matches the pure function; null-safe") {
     import spark.implicits._
     val raws = Seq(
