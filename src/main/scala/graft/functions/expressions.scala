@@ -172,6 +172,8 @@ object GraftFunctions {
     ColumnShim.column(UrlCanonicalizeExpr(ColumnShim.expression(c)))
   def simhash64(c: Column): Column =
     ColumnShim.column(SimHash64Expr(ColumnShim.expression(c)))
+  def md5_ints4(c: Column): Column =
+    ColumnShim.column(Md5Ints4Expr(ColumnShim.expression(c)))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -179,6 +181,8 @@ object GraftFunctions {
       "url_canonicalize", es => UrlCanonicalizeExpr(es.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", es => SimHash64Expr(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_ints4", es => Md5Ints4Expr(es.head), "scala_udf")
   }
 }
 
@@ -196,5 +200,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64Expr(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("md5_ints4"),
+      new ExpressionInfo(classOf[Md5Ints4Expr].getName, "md5_ints4"),
+      (es: Seq[Expression]) => Md5Ints4Expr(es.head)))
   }
 }
