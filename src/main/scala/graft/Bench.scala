@@ -193,6 +193,22 @@ object Bench {
     val effBySizeStr = effBySize
       .map { case (s, e) => s""""$s":${f"$e%.3f"}""" }.mkString("{", ",", "}")
     val leanStr = repLean32.map(r => f"${r.tput}%.0f").getOrElse("null")
+    // the bulky per-rep stage-metric strings go to a SIDE FILE, keeping
+    // the printed record well under any driver capture window (the
+    // round-3 snapshot was truncated mid-JSON — verdict #8); the record
+    // points at the file
+    val statsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATS_OUT",
+      "/root/repo/BENCH/driver_stats_last.json")
+    try {
+      val statsJson =
+        s"""{"stats_c2":${sarr(reps2.map(_.rep.stats))},
+           |"stats_c8":${sarr(reps8.map(_.rep.stats))},
+           |"seeds_c2":${reps2.reverse.map(_.seeds).mkString("[", ",", "]")},
+           |"seeds_c8":${reps8.reverse.map(_.seeds).mkString("[", ",", "]")}}""".stripMargin
+      val p = java.nio.file.Paths.get(statsPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, statsJson)
+    } catch { case _: Exception => () }
     val crawl =
       f"""{"tput_urls_per_s_c32":$tput32%.0f,"wall_s_c32":$wall32%.1f,""" +
         s""""tput_urls_per_s_c32_lean":$leanStr,""" +
@@ -205,15 +221,15 @@ object Bench {
         s""""reps_c32":${arr(reps32.map(_.tput))},""" +
         s""""seeds_c2":${reps2.reverse.map(_.seeds).mkString("[", ",", "]")},""" +
         s""""seeds_c8":${reps8.reverse.map(_.seeds).mkString("[", ",", "]")},""" +
-        s""""stats_c2":${sarr(reps2.map(_.rep.stats))},""" +
-        s""""stats_c8":${sarr(reps8.map(_.rep.stats))},""" +
+        s""""stats_file":"$statsPath",""" +
         s""""pair_mode":"local-cluster 1 vs 4 executors x 2 cores, lean frontier workload, 2 big rounds, >=2 interleaved same-size reps/level",""" +
         s""""c32_mode":"local[32] rich pages (BENCH_r01 headline protocol)",""" +
         s""""seeds":$seeds0,"rounds":$rounds}"""
-    // single JSON line:
+    // single compact JSON line, flushed before any shutdown logging
     val line = new StringBuilder
     line ++= f"""{"metric":"total","value":$total%.3f,"unit":"sec","""
     line ++= s""""queries":$qs,"sf":"$sfDir","crawl":$crawl}"""
     println(line.toString)
+    Console.out.flush()
   }
 }

@@ -45,8 +45,20 @@ final class RunSummaryListener extends org.apache.spark.scheduler.SparkListener 
   private val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong
   private val nTasks = new java.util.concurrent.atomic.AtomicLong
   private val nStages = new java.util.concurrent.atomic.AtomicLong
-  def reset(): Unit = Seq(runMs, cpuNs, gcMs, shufWrNs, fetchWaitMs, nTasks,
-    nStages).foreach(_.set(0L))
+  private var allocBase = -1L
+  def reset(): Unit = {
+    Seq(runMs, cpuNs, gcMs, shufWrNs, fetchWaitMs, nTasks,
+      nStages).foreach(_.set(0L))
+    allocBase = RunSummaryListener.jvmAllocatedBytes
+  }
+  /** JVM-wide heap allocated since reset, GB (−1 if unsupported).
+    * Meaningful in local[N] mode where executors share this JVM; in
+    * local-cluster mode it covers the driver only. The before/after
+    * lever for the fetch/encode allocation-trim work. */
+  def allocGb: Double = {
+    val now = RunSummaryListener.jvmAllocatedBytes
+    if (now < 0 || allocBase < 0) -1.0 else (now - allocBase) / 1e9
+  }
   override def onStageCompleted(
       sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
     val tm = sc.stageInfo.taskMetrics
@@ -64,7 +76,26 @@ final class RunSummaryListener extends org.apache.spark.scheduler.SparkListener 
     f"""{"run_s":${runMs.get / 1000.0}%.1f,"cpu_s":${cpuNs.get / 1e9}%.1f,""" +
       f""""gc_s":${gcMs.get / 1000.0}%.1f,"shuf_wr_s":${shufWrNs.get / 1e9}%.1f,""" +
       f""""fetch_wait_s":${fetchWaitMs.get / 1000.0}%.1f,""" +
+      f""""alloc_gb":$allocGb%.1f,""" +
       s""""tasks":${nTasks.get},"stages":${nStages.get}}"""
+}
+
+object RunSummaryListener {
+  /** Total bytes allocated by all live threads (HotSpot
+    * ThreadMXBean). Dead-thread allocation is lost, so treat deltas as
+    * a lower bound — stable enough for before/after comparisons since
+    * Spark's task/dispatcher pools live for the session. */
+  def jvmAllocatedBytes: Long =
+    java.lang.management.ManagementFactory.getThreadMXBean match {
+      case t: com.sun.management.ThreadMXBean =>
+        val ids = t.getAllThreadIds
+        val per = t.getThreadAllocatedBytes(ids)
+        var s = 0L
+        var i = 0
+        while (i < per.length) { if (per(i) > 0) s += per(i); i += 1 }
+        s
+      case _ => -1L
+    }
 }
 
 object CrawlLevelBench {

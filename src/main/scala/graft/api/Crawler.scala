@@ -45,6 +45,19 @@ final case class CrawlerOptions(
     // (models both veto and delay)
     preRequest: Option[graft.core.PreRequest => Boolean] = None)
 
+/** One fetch attempt as node-crawler's per-task
+  * `callback(error, res, done)` observes it [PK:high], in total crawl
+  * order: `ok = false` is the error case (the attempt is retried /
+  * dropped by the scheduler exactly as the reference's error branch
+  * re-queues); `hasDoc` says whether a document row was produced.
+  * Surfaced DRIVER-SIDE by [[Crawler.run(onAttempt*)]] as a porting
+  * aid — data-scale per-document processing belongs in the returned
+  * DataFrames, not in a driver loop. */
+final case class AttemptEvent(
+    round: Long, urlCanon: String, priority: Int, discoveredSeq: Long,
+    retryCount: Int, ok: Boolean, hasDoc: Boolean,
+    userData: String, limiter: String, method: String, headers: String)
+
 /** What a drain returns. node-crawler hands each page to
   * `callback(error, res, done)` inside one process; a cluster engine
   * surfaces the same information as tables instead:
@@ -96,18 +109,23 @@ final class Crawler(
 
   private var currentRateLimits = options.rateLimits
   private var eng = mkEngine(currentRateLimits)
+  private var engDirty = false
 
-  /** The underlying engine (rebuilt when limiter properties change —
-    * crawl state lives on disk, so a rebuilt engine resumes). */
-  def engine: CrawlEngine = eng
+  /** The underlying engine (rebuilt lazily when limiter properties
+    * change — crawl state lives on disk, so a rebuilt engine resumes). */
+  def engine: CrawlEngine = {
+    if (engDirty) { eng = mkEngine(currentRateLimits); engDirty = false }
+    eng
+  }
 
   /** node-crawler `setLimiterProperty(id, 'rateLimit', ms)` [PK:high]:
     * change one limiter's crawl delay at runtime. Takes effect from
     * the next `run()` — the BSP analog of changing a live rate
-    * limiter between dequeues. */
+    * limiter between dequeues. Rebuilds lazily: a setup loop of N
+    * overrides costs one engine build, not N. */
   def setLimiterProperty(limiter: String, rateLimitMs: Long): this.type = {
     currentRateLimits += (limiter -> rateLimitMs)
-    eng = mkEngine(currentRateLimits)
+    engDirty = true
     this
   }
 
@@ -150,5 +168,35 @@ final class Crawler(
     }
     val stats = engine.run()
     CrawlResult(stats, engine.documents(), engine.crawlLog(), engine.lineage())
+  }
+
+  /** `run()` with a per-attempt callback — the
+    * `callback(error, res, done)` pattern [PK:high]: after the drain,
+    * THIS run's attempts stream through `onAttempt` in exact crawl
+    * order (a `toLocalIterator` over the pruned attempts projection —
+    * one partition in driver memory at a time, no collect). Attempts
+    * from earlier `run()`s are not replayed. The scheduler's own
+    * behavior is untouched: retries/drops already happened in-engine,
+    * like `done()` completing a task. */
+  def run(onAttempt: AttemptEvent => Unit): CrawlResult = {
+    val startRound = engine.nextRound
+    val result = run()
+    val it = engine.attemptEvents(startRound).toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      onAttempt(AttemptEvent(
+        r.getLong(r.fieldIndex("round")),
+        r.getString(r.fieldIndex("url_canon")),
+        r.getInt(r.fieldIndex("priority")),
+        r.getLong(r.fieldIndex("discovered_seq")),
+        r.getInt(r.fieldIndex("retry_count")),
+        r.getBoolean(r.fieldIndex("ok")),
+        r.getBoolean(r.fieldIndex("has_doc")),
+        r.getString(r.fieldIndex("user_data")),
+        r.getString(r.fieldIndex("limiter")),
+        r.getString(r.fieldIndex("method")),
+        r.getString(r.fieldIndex("headers"))))
+    }
+    result
   }
 }

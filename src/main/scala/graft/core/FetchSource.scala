@@ -48,11 +48,14 @@ trait FetchSource {
 }
 
 /** The sandbox source: deterministic synthetic web (shared with the
-  * reference simulator). */
+  * reference simulator). Honors per-request method/headers (HEAD,
+  * Accept-Encoding negotiation) via the shared [[Fetcher]]. */
 final class SyntheticFetchSource(web: SyntheticWeb, cfg: CrawlConfig)
     extends FetchSource {
   def fetch(urlCanon: String, retryCount: Int): FetchResult =
     Fetcher.fetch(web, urlCanon, retryCount, cfg)
+  override def fetch(req: FetchRequest): FetchResult =
+    Fetcher.fetch(web, req.urlCanon, req.retryCount, cfg, req.method, req.headers)
 }
 
 /** Timeout decorator for any [[FetchSource]] — node-crawler's
@@ -71,20 +74,35 @@ final class SyntheticFetchSource(web: SyntheticWeb, cfg: CrawlConfig)
 final class TimeoutFetchSource(inner: FetchSource, timeoutMs: Long)
     extends FetchSource {
   import java.util.concurrent.{Callable, ExecutionException, Executors,
-    TimeoutException, TimeUnit}
-  private val exec = Executors.newSingleThreadExecutor(r => {
-    val t = new Thread(r, "graft-fetch-watchdog"); t.setDaemon(true); t
-  })
+    ExecutorService, TimeoutException, TimeUnit}
+  import java.util.concurrent.atomic.AtomicBoolean
+  private def mkExec(): ExecutorService =
+    Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-fetch-watchdog"); t.setDaemon(true); t
+    })
+  private var exec = mkExec()
   def fetch(urlCanon: String, retryCount: Int): FetchResult =
     fetch(FetchRequest(urlCanon, retryCount))
   override def fetch(req: FetchRequest): FetchResult = {
+    val running = new AtomicBoolean(false)
     val fut = exec.submit(new Callable[FetchResult] {
-      def call(): FetchResult = inner.fetch(req)
+      def call(): FetchResult = {
+        running.set(true)
+        try inner.fetch(req) finally running.set(false)
+      }
     })
     try fut.get(timeoutMs, TimeUnit.MILLISECONDS)
     catch {
       case _: TimeoutException =>
-        fut.cancel(true) // interrupt the stuck call; thread is reusable
+        fut.cancel(true) // interrupt the stuck call
+        // an UNINTERRUPTIBLE inner call (blocking DNS, native I/O) keeps
+        // the watchdog thread occupied after the cancel — if so, abandon
+        // the executor and give later fetches a fresh thread; otherwise
+        // every subsequent fetch in the partition would queue behind the
+        // stuck one and falsely time out, cascading ok=false
+        val grace = System.nanoTime() + 20L * 1000 * 1000
+        while (running.get() && System.nanoTime() < grace) Thread.onSpinWait()
+        if (running.get()) { exec.shutdownNow(); exec = mkExec() }
         FetchResult(ok = false, Nil, Nil)
       case e: ExecutionException => throw e.getCause
     }

@@ -9,16 +9,31 @@ package graft.core
   */
 object Fetcher {
   /** Fetch outcome: `ok=false` models a transient failure (retryable);
-    * `ok=true` with empty spans+links models a 404/out-of-web URL. */
-  def fetch(web: SyntheticWeb, urlCanon: String, retryCount: Int, cfg: CrawlConfig): FetchResult = {
+    * `ok=true` with empty spans+links models a 404/out-of-web URL.
+    *
+    * Per-request HTTP options (node-crawler `queue({method, headers})`
+    * [PK:high]) reach the fetch itself:
+    *  - `method = "HEAD"` → a body-less response: the attempt succeeds
+    *    (and still exercises retry on transient failure) but yields no
+    *    spans and no links — has_doc stays false downstream.
+    *  - `headers` participates in content negotiation: an explicit
+    *    `Accept-Encoding` without gzip makes a gzip-serving host
+    *    respond identity; absent = transparently accepts gzip, the
+    *    `request` default. The decompress step runs BEFORE charset
+    *    sniffing, as node-crawler does via `request`. */
+  def fetch(web: SyntheticWeb, urlCanon: String, retryCount: Int,
+      cfg: CrawlConfig, method: String = null, headers: String = null): FetchResult = {
     if (web.fetchFails(urlCanon, retryCount, cfg)) FetchResult(ok = false, Nil, Nil)
+    else if (method != null && method.equalsIgnoreCase("HEAD"))
+      FetchResult(ok = true, Nil, Nil)
     else if (cfg.parseHtml) {
-      // production-shaped path: bytes → charset sniff → decode → HTML
-      // parse (byte-identical to the direct path by the round-trip
-      // property, HtmlSpec)
-      web.pageHtmlBytes(urlCanon) match {
+      // production-shaped path: wire bytes → content-decoding → charset
+      // sniff → decode → HTML parse (byte-identical to the direct path
+      // by the round-trip property, HtmlSpec — gzip hosts included)
+      web.pageResponse(urlCanon, ContentCodec.acceptsGzip(headers)) match {
         case None => FetchResult(ok = true, Nil, Nil)
-        case Some(bytes) =>
+        case Some((wire, contentEncoding)) =>
+          val bytes = ContentCodec.decode(wire, contentEncoding)
           val html = CharsetSniffer.decodeWith(bytes,
             incomingEncoding = cfg.incomingEncoding,
             forceUTF8 = cfg.forceUTF8)

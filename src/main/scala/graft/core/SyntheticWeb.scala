@@ -153,6 +153,27 @@ final case class SyntheticWeb(
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     }
 
+  /** Hosts that compress responses (server-side gzip is a host-level
+    * deployment choice in practice): every 4th host. Served only when
+    * the request accepts it — content negotiation. */
+  def servesGzip(host: String): Boolean = {
+    val i = hostIndex(host)
+    i >= 0 && i % 4 == 1
+  }
+
+  /** The page as a wire response: (body bytes, Content-Encoding).
+    * A gzip host serves `Content-Encoding: gzip` when the request
+    * accepts it (no Accept-Encoding header = accepts, the `request`
+    * default [PK:high]); everything else is identity. The fetch path
+    * must run [[ContentCodec.decode]] before charset sniffing. */
+  def pageResponse(urlCanon: String,
+      acceptGzip: Boolean = true): Option[(Array[Byte], Option[String])] =
+    pageHtmlBytes(urlCanon).map { b =>
+      if (acceptGzip && servesGzip(UrlCanonicalizer.hostOf(urlCanon)))
+        (ContentCodec.gzip(b), Some("gzip"))
+      else (b, None)
+    }
+
   /** Deterministic transient fetch failure (exercises the retry path):
     * fails on the first `retryCount` attempts for URLs whose hash hits
     * the failure modulus. */
@@ -167,6 +188,16 @@ final case class SyntheticWeb(
 
   private def textFor(d: Long): String = {
     val n = wordBase + pmod(draw(d, 8), wordRange).toInt
-    (0 until n).map(i => words(pmod(draw(d, 20 + i), words.length).toInt)).mkString(" ")
+    // hand-rolled join: this runs once per text span across the whole
+    // fetch stage — the Range/map/mkString form was measurable
+    // allocation traffic at bench scale
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(words(pmod(draw(d, 20 + i), words.length).toInt))
+      i += 1
+    }
+    sb.toString
   }
 }

@@ -16,8 +16,62 @@ package graft.core
 object UrlCanonicalizer {
 
   /** Canonicalize an absolute http(s) URL. Non-http(s) or unparsable
-    * input returns None (dropped at enqueue time). */
-  def canonicalize(raw: String): Option[String] = {
+    * input returns None (dropped at enqueue time).
+    *
+    * Fast path: most URLs on a crawl's hot path are ALREADY canonical
+    * (links resolved against a canonical base re-canonicalize to
+    * themselves), and the rebuild is ~10 short-lived allocations per
+    * call at millions of calls per round — so a single allocation-free
+    * scan first proves `canonicalize(s) == s` and returns the input
+    * unchanged. The scan is strictly conservative: anything it is not
+    * sure about (ports, queries, dot segments, uppercase, whitespace)
+    * falls through to the full rebuild with identical results
+    * (property-tested: fast == slow on every generator input). */
+  def canonicalize(raw: String): Option[String] =
+    if (isCanonicalSimple(raw)) Some(raw) else canonicalizeSlow(raw)
+
+  /** One-pass, allocation-free "already canonical, no port/query" test:
+    * exact lowercase scheme, lowercase host of [a-z0-9.-], a path with
+    * no `?`/`#`/`//`/dot-segments and no trailing slash (except the
+    * bare root "/"). True ⇒ the full rebuild would return the input
+    * string unchanged. */
+  private[graft] def isCanonicalSimple(s: String): Boolean = {
+    val n = s.length
+    if (n < 8) return false
+    // no surrounding whitespace (trim would change it)
+    if (s.charAt(0) <= ' ' || s.charAt(n - 1) <= ' ') return false
+    val hostStart =
+      if (s.startsWith("http://")) 7
+      else if (s.startsWith("https://")) 8
+      else return false
+    var i = hostStart
+    // host: [a-z0-9.-]+ — any ':' (port), '@' (userinfo), uppercase or
+    // other byte sends it to the slow path
+    while (i < n && s.charAt(i) != '/') {
+      val c = s.charAt(i)
+      val okc = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '.' || c == '-'
+      if (!okc) return false
+      i += 1
+    }
+    if (i == hostStart) return false // empty host
+    if (i == n) return false // no path: canonical form appends "/"
+    if (i == n - 1) return true // bare root "/": canonical as-is
+    // path: no query/fragment, no "//", no "." segment starts, no
+    // trailing slash
+    var prev = '/'
+    i += 1
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '?' || c == '#') return false
+      if (prev == '/' && (c == '/' || c == '.')) return false
+      prev = c
+      i += 1
+    }
+    prev != '/'
+  }
+
+  private[graft] def canonicalizeSlow(raw: String): Option[String] = {
     val s = raw.trim
     val schemeEnd = s.indexOf("://")
     if (schemeEnd <= 0) return None

@@ -76,6 +76,15 @@ final class CrawlEngine(
   private val LINEAGE = "lineage"
   private val BLOOM = "bloom"       // (host_bucket, n, bits) deltas
 
+  // construction is a quiescent point (no tail can be in flight for a
+  // table this engine hasn't touched yet), so reclaim crash leftovers —
+  // data dirs written but never committed. The pipelined round loop can
+  // only expire with sweepOrphans=false (uncommitted next-round writes
+  // are legitimately in flight there), so without this sweep a crashed
+  // run's orphan dirs would leak forever (Iceberg's remove_orphan_files
+  // split, run at the safe moment).
+  Seq(FRONTIER, RETIRED, ATTEMPTS, LINEAGE, BLOOM).foreach(ice.removeOrphans)
+
   // ---- pinned reads (the frontier commit is the atomic round root) ---
 
   private def pin(table: String): Option[Long] =
@@ -135,7 +144,10 @@ final class CrawlEngine(
     awaitTail()
     val w = web; val c = cfg
     val due = nextRound
-    val seqOff = frontier().agg(max($"discovered_seq")).head().getLong(0) + 1L
+    // coalesce: a manifest can exist with ZERO rows (every initial seed
+    // failed canonicalization / was robots-blocked) — max() is null then
+    val seqOff = frontier()
+      .agg(coalesce(max($"discovered_seq"), lit(-1L))).head().getLong(0) + 1L
     val entries = reqs.zipWithIndex.flatMap { case (req, i) =>
       CrawlEngine.toEntry(w, req.url, req.priority, seqOff + i, due, c)
         .map(_.copy(user_data = req.userData, limiter = req.limiter,
@@ -291,6 +303,20 @@ final class CrawlEngine(
   def lineage(): DataFrame =
     readPinned(LINEAGE).getOrElse(spark.emptyDataFrame)
 
+  /** Per-attempt outcome rows in crawl order, from `fromRound` on — the
+    * crawlLog projection plus the outcome flags (ok / has_doc). Feeds
+    * the facade's `onAttempt` hook (node-crawler's per-task
+    * `callback(error, res, done)` [PK:high]); a pruned read of the
+    * attempts fact table — span/link columns are never touched. */
+  def attemptEvents(fromRound: Long = 0L): DataFrame =
+    readPinned(ATTEMPTS)
+      .map(_.filter($"round" >= fromRound)
+        .select($"round", $"priority", $"discovered_seq", $"url_hash",
+          $"url_canon", $"retry_count", $"ok", $"has_doc",
+          $"user_data", $"limiter", $"method", $"headers")
+        .orderBy($"round", $"priority", $"discovered_seq", $"url_hash"))
+      .getOrElse(spark.emptyDataFrame)
+
   private val timing = sys.env.get("SPARK_GRAFT_TIMING").contains("1")
   private def timed[T](label: String, r: Long)(f: => T): T = {
     if (!timing) f else {
@@ -392,7 +418,9 @@ final class CrawlEngine(
     val fetchCol = ColumnShim.column(graft.functions.FetchExtractExpr(
       ColumnShim.expression($"url_canon"),
       ColumnShim.expression($"retry_count"),
-      ColumnShim.expression($"discovered_seq"), w, c, c.packedSpans))
+      ColumnShim.expression($"discovered_seq"), w, c, c.packedSpans,
+      method = Some(ColumnShim.expression($"method")),
+      headers = Some(ColumnShim.expression($"headers"))))
     val attemptsOut = capped
       .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
         $"priority", $"discovered_seq", $"retry_count", $"user_data",

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,24 +31,46 @@ case class FetchExtractExpr(
     discoveredSeq: Expression,
     web: SyntheticWeb,
     cfg: CrawlConfig,
-    packedSpans: Boolean = false) extends TernaryExpression with CodegenFallback {
+    packedSpans: Boolean = false,
+    // per-request HTTP options (node-crawler `queue({method, headers})`
+    // [PK:high]); None = source defaults. Nullable columns — link-
+    // discovered rows carry nulls.
+    method: Option[Expression] = None,
+    headers: Option[Expression] = None) extends Expression with CodegenFallback {
 
-  override def first: Expression = urlCanon
-  override def second: Expression = retryCount
-  override def third: Expression = discoveredSeq
+  override def children: Seq[Expression] =
+    Seq(urlCanon, retryCount, discoveredSeq) ++ method ++ headers
 
   override def dataType: DataType =
     if (packedSpans) FetchExtractExpr.packedSchema else FetchExtractExpr.schema
   override def nullable: Boolean = false
+  override def foldable: Boolean = false
 
   @transient private lazy val TEXT = UTF8String.fromString("text")
   @transient private lazy val MEDIA = UTF8String.fromString("media")
 
-  override def nullSafeEval(canonAny: Any, retryAny: Any, seqAny: Any): Any = {
+  override def eval(input: InternalRow): Any = {
+    val canonAny = urlCanon.eval(input)
+    val retryAny = retryCount.eval(input)
+    val seqAny = discoveredSeq.eval(input)
+    // the engine's admitted rows never have null keys; be defensive for
+    // ad-hoc use anyway
+    if (canonAny == null || retryAny == null || seqAny == null)
+      throw new IllegalArgumentException(
+        "fetch_extract: url_canon/retry_count/discovered_seq must be non-null")
+    def strOf(e: Option[Expression]): String = e.map(_.eval(input)) match {
+      case Some(u: UTF8String) => u.toString
+      case _ => null
+    }
+    nullSafeEval(canonAny, retryAny, seqAny, strOf(method), strOf(headers))
+  }
+
+  private def nullSafeEval(canonAny: Any, retryAny: Any, seqAny: Any,
+      methodStr: String, headersStr: String): Any = {
     val canon = canonAny.asInstanceOf[UTF8String].toString
     val retry = retryAny.asInstanceOf[Int]
     val seq = seqAny.asInstanceOf[Long]
-    val res = Fetcher.fetch(web, canon, retry, cfg)
+    val res = Fetcher.fetch(web, canon, retry, cfg, methodStr, headersStr)
 
     val spansOut: Any =
       if (packedSpans) SpanCodec.pack(res.spans)
@@ -86,8 +108,15 @@ case class FetchExtractExpr(
   }
 
   override protected def withNewChildrenInternal(
-      f: Expression, s: Expression, t: Expression): FetchExtractExpr =
-    copy(urlCanon = f, retryCount = s, discoveredSeq = t)
+      cs: IndexedSeq[Expression]): FetchExtractExpr = {
+    val base = copy(urlCanon = cs(0), retryCount = cs(1), discoveredSeq = cs(2))
+    (method, headers) match {
+      case (Some(_), Some(_)) => base.copy(method = Some(cs(3)), headers = Some(cs(4)))
+      case (Some(_), None)    => base.copy(method = Some(cs(3)))
+      case (None, Some(_))    => base.copy(headers = Some(cs(3)))
+      case (None, None)       => base
+    }
+  }
 
   override def prettyName: String = "fetch_extract"
 }
@@ -149,31 +178,57 @@ object FetchExtractExpr {
 object SpanCodec {
   import java.nio.charset.StandardCharsets.UTF_8
 
+  // one growable scratch buffer per task thread: pack() runs once per
+  // page in the fetch stage's hottest loop, and the two-pass
+  // byte[]-per-span form allocated 2N+2 arrays per page — the
+  // single-buffer encode allocates exactly ONE (the result). ASCII
+  // payloads (the overwhelming case) are written char-by-char with no
+  // intermediate encoder; any non-ASCII span falls back to getBytes.
+  private val scratch: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8192))
+
+  private def ensure(buf: Array[Byte], needed: Int): Array[Byte] =
+    if (buf.length >= needed) buf
+    else {
+      val bigger = new Array[Byte](math.max(needed, buf.length * 2))
+      System.arraycopy(buf, 0, bigger, 0, buf.length)
+      scratch.set(bigger)
+      bigger
+    }
+
   def pack(spans: Seq[graft.core.Span]): Array[Byte] = {
-    var size = 0
-    val payloads = new Array[Array[Byte]](spans.length)
-    var i = 0
-    spans.foreach { s =>
-      val p = (if (s.kind == "text") s.text else s.media_ref).getBytes(UTF_8)
-      payloads(i) = p
-      size += 5 + p.length
-      i += 1
-    }
-    val out = new Array[Byte](size)
+    var buf = scratch.get()
     var o = 0
-    i = 0
     spans.foreach { s =>
-      out(o) = if (s.kind == "text") 0 else 1
-      val p = payloads(i)
-      out(o + 1) = (p.length & 0xFF).toByte
-      out(o + 2) = ((p.length >> 8) & 0xFF).toByte
-      out(o + 3) = ((p.length >> 16) & 0xFF).toByte
-      out(o + 4) = ((p.length >> 24) & 0xFF).toByte
-      System.arraycopy(p, 0, out, o + 5, p.length)
-      o += 5 + p.length
-      i += 1
+      val isText = s.kind == "text"
+      val payload = if (isText) s.text else s.media_ref
+      val pn = payload.length
+      // reserve for the worst case (3 bytes per char) up front
+      buf = ensure(buf, o + 5 + pn * 3)
+      var ascii = true
+      var j = 0
+      var w = o + 5
+      while (ascii && j < pn) {
+        val c = payload.charAt(j)
+        if (c < 0x80) { buf(w) = c.toByte; w += 1; j += 1 }
+        else ascii = false
+      }
+      val len =
+        if (ascii) pn
+        else {
+          val bytes = payload.getBytes(UTF_8)
+          buf = ensure(buf, o + 5 + bytes.length)
+          System.arraycopy(bytes, 0, buf, o + 5, bytes.length)
+          bytes.length
+        }
+      buf(o) = if (isText) 0 else 1
+      buf(o + 1) = (len & 0xFF).toByte
+      buf(o + 2) = ((len >> 8) & 0xFF).toByte
+      buf(o + 3) = ((len >> 16) & 0xFF).toByte
+      buf(o + 4) = ((len >> 24) & 0xFF).toByte
+      o += 5 + len
     }
-    out
+    java.util.Arrays.copyOf(buf, o)
   }
 
   /** Unpack to InternalRows matching FetchExtractExpr.spanType. */

@@ -146,18 +146,29 @@ case class IvfAssignExpr(child: Expression, cents: Array[Array[Double]])
     nullSafeCodeGen(ctx, ev, c => {
       val centsRef = ctx.addReferenceObj("ivfCents", cents, "double[][]")
       val ccsRef = ctx.addReferenceObj("ivfCcs", ccs, "double[]")
+      // all locals via freshName: two instances of this expression may
+      // land in one codegen stage, and duplicate declarations would fail
+      // Janino compilation (silent interpreted fallback)
+      val v = ctx.freshName("ivfV")
+      val best = ctx.freshName("ivfBest")
+      val bestD = ctx.freshName("ivfBestD")
+      val ci = ctx.freshName("ivfCi")
+      val cv = ctx.freshName("ivfCv")
+      val dot = ctx.freshName("ivfDot")
+      val d = ctx.freshName("ivfD")
+      val i = ctx.freshName("ivfI")
       s"""
-        |double[] ivfV = $c.toDoubleArray();
-        |int ivfBest = -1;
-        |double ivfBestD = Double.MAX_VALUE;
-        |for (int ci = 0; ci < $centsRef.length; ci++) {
-        |  double[] cv = $centsRef[ci];
-        |  double dot = 0.0;
-        |  for (int i = 0; i < cv.length; i++) dot += ivfV[i] * cv[i];
-        |  double d = $ccsRef[ci] - 2.0 * dot;
-        |  if (d < ivfBestD) { ivfBestD = d; ivfBest = ci; }
+        |double[] $v = $c.toDoubleArray();
+        |int $best = -1;
+        |double $bestD = Double.MAX_VALUE;
+        |for (int $ci = 0; $ci < $centsRef.length; $ci++) {
+        |  double[] $cv = $centsRef[$ci];
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $cv.length; $i++) $dot += $v[$i] * $cv[$i];
+        |  double $d = $ccsRef[$ci] - 2.0 * $dot;
+        |  if ($d < $bestD) { $bestD = $d; $best = $ci; }
         |}
-        |${ev.value} = ivfBest;
+        |${ev.value} = $best;
         |""".stripMargin
     })
   override protected def withNewChildInternal(c: Expression): IvfAssignExpr =

@@ -35,28 +35,17 @@ object SignatureStore {
     spark.read.parquet(s"$storeDir/signatures")
 
   /** The q24 candidate-pair gate, served from the store: identical
-    * banding, valve, and join shape to `TextOps.lshCandidatePairs`,
-    * but the heavy input is a pruned (doc_id, mh_*) scan of the
-    * signatures table — no text scan, no shingle explode, no md5. */
-  def candidatePairs(spark: SparkSession, storeDir: String): DataFrame = {
-    import spark.implicits._
-    val bandCols = array((0 until 8).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until 4).map(j =>
-          col(s"mh_${b * 4 + j}").cast("string")): _*).as("bkey"))): _*)
-    val bands = signatures(spark, storeDir)
-      .select($"doc_id" +: (0 until 32).map(i => col(s"mh_$i")): _*)
-      .select($"doc_id", explode(bandCols).as("bc"))
-      .select($"doc_id", $"bc.band", $"bc.bkey")
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bkey")))
-      .filter($"bsz" <= TextOps.MaxLshBucket)
-      .drop("bsz")
-    bands.select($"doc_id".as("doc_a"), $"band", $"bkey")
-      .join(bands.select($"doc_id".as("doc_b"), $"band", $"bkey"),
-        Seq("band", "bkey"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b")
-      .distinct()
-  }
+    * banding, valve, and join shape to `TextOps.lshCandidatePairs`
+    * (literally the same [[TextOps.pairsFromSignatures]] plan), but the
+    * heavy input is a pruned (doc_id, mh_*) scan of the signatures
+    * table — no text scan, no shingle explode, no md5. */
+  def candidatePairs(spark: SparkSession, storeDir: String): DataFrame =
+    TextOps.pairsFromSignatures(signatures(spark, storeDir))
+
+  /** Route the session-cached intermediates under `dir` through this
+    * store: after `attach`, `TextOps.perDocSignatures(s, dir)` (and the
+    * whole q24/q25/q40/q45 family behind it) reads the persisted
+    * signatures instead of re-scanning text. */
+  def attach(dir: String, storeDir: String): Unit =
+    TextOps.attachStore(dir, storeDir)
 }

@@ -162,29 +162,33 @@ object VectorOps {
         .orderBy($"vec_a", $"vec_b")
     }),
 
-    // ANN, sign-LSH with radius-1 multiprobe: the query expands each of
-    // its band chunks into the Hamming-≤1 ball (1 + bitsPerBand probe
-    // chunks per band), candidates equi-join on (band, chunk) with
-    // id-only band rows, then exact cosine re-rank of the candidate ids
-    // against the embeddings table → top-10. Measured recall@10 vs q29
-    // = 1.0 (asserted ≥ 0.9 in OperatorsSpec).
+    // ANN, sign-LSH with radius-1 multiprobe: the query's band chunks
+    // expand into the Hamming-≤1 ball (1 + bitsPerBand probe chunks per
+    // band); a candidate shares at least one band's probe chunk, then
+    // exact cosine re-rank → top-10. Measured recall@10 vs q29 = 1.0
+    // (asserted ≥ 0.9 in OperatorsSpec).
+    //
+    // Probe state is QUERY state (4×5 ints + the query vector), so it
+    // is computed driver-side from ONE pushdown point-read and inlined
+    // as literals: the whole query is then a single codegen'd scan —
+    // per-row band chunks tested against the literal probe sets, exact
+    // cosine on survivors, TakeOrderedAndProject — no band explode of
+    // the corpus, no join, no broadcast build job (round-3 verdict #5;
+    // the r2 shape paid a second embedding scan + candidate exchange).
+    // At warehouse scale the same probe set partition-prunes a
+    // bucket-partitioned signature index instead (IvfIndex pattern).
     "q31_ann_lsh" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
-      val bands = signBands(emb)
-      val qprobe = bands.filter($"vec_id" === 0)
-        .select($"band", explode(array(
-          $"chunk" +: (0 until SignBitsPerBand).map(j =>
-            $"chunk".bitwiseXOR(lit(1 << j))): _*)).as("chunk"))
-      // the query vector is 1-row query state — inline it as a literal
+      // the query vector is 1-row query state — a pushdown point-read
       // (same float→double cast path as the oracle's CAST(qv AS DOUBLE[]))
       val qv = emb.filter($"vec_id" === 0)
         .select($"embedding").as[Seq[Float]].head()
-      val candIds = bands.join(broadcast(qprobe), Seq("band", "chunk"))
-        .select($"vec_id").distinct()
-      // candidate ids are the broadcast side: the embedding scan
-      // streams through a broadcast-hash join, no array shuffle
-      emb.join(broadcast(candIds), "vec_id")
+      val probeFilter = signChunksOf(qv).zipWithIndex.map { case (chunk, b) =>
+        val ball = chunk +: (0 until SignBitsPerBand).map(j => chunk ^ (1 << j))
+        signChunk($"embedding", b).isin(ball.distinct: _*)
+      }.reduce(_ || _)
+      emb.filter(probeFilter)
         .select($"vec_id", cosine($"embedding", typedLit(qv)).as("cos"))
         .orderBy($"cos".desc, $"vec_id")
         .limit(10)

@@ -42,7 +42,12 @@ object RefSimulator {
       // null = the default limiter, the URL's host
       limiter: String = null,
       // opaque per-request payload, visible to the preRequest hook
-      userData: String = null) {
+      userData: String = null,
+      // per-request HTTP options (node-crawler `queue({method,
+      // headers})` [PK:high]) — reach the fetch itself (HEAD,
+      // Accept-Encoding negotiation); null for link-discovered entries
+      method: String = null,
+      headers: String = null) {
     def limiterKey: String = if (limiter == null) host else limiter
   }
 
@@ -84,15 +89,17 @@ object RefSimulator {
     // candidate discovery: (canonUrl, hash, host, priority, seq, limiter)
     final case class Cand(canon: String, hash: Long, host: String,
         priority: Int, seq: Long, limiter: String = null,
-        userData: String = null)
+        userData: String = null, method: String = null, headers: String = null)
 
     def toCand(raw: String, priority: Int, seq: Long,
-        limiter: String = null, userData: String = null): Option[Cand] =
+        limiter: String = null, userData: String = null,
+        method: String = null, headers: String = null): Option[Cand] =
       UrlCanonicalizer.canonicalize(raw).flatMap { canon =>
         val host = UrlCanonicalizer.hostOf(canon)
         val path = UrlCanonicalizer.pathOf(canon)
         if (!RobotsMatcher.allows(policyOf(host).rules, path)) None
-        else Some(Cand(canon, xxhash64(canon), host, priority, seq, limiter, userData))
+        else Some(Cand(canon, xxhash64(canon), host, priority, seq, limiter,
+          userData, method, headers))
       }
 
     def enqueue(cands: Seq[Cand], due: Long): Long = {
@@ -102,7 +109,7 @@ object RefSimulator {
         if (!entries.contains(h)) {
           val c = group.minBy(_.seq)
           entries(h) = SimEntry(c.canon, h, c.host, c.priority, c.seq, 0, due,
-            FrontierEntry.Pending, c.limiter, c.userData)
+            FrontierEntry.Pending, c.limiter, c.userData, c.method, c.headers)
           added += 1
         }
       }
@@ -138,7 +145,8 @@ object RefSimulator {
       val roundCands = Vector.newBuilder[Cand]
       capped.foreach { e =>
         crawlOrder += e.urlCanon
-        val res = Fetcher.fetch(web, e.urlCanon, e.retryCount, cfg)
+        val res = Fetcher.fetch(web, e.urlCanon, e.retryCount, cfg,
+          e.method, e.headers)
         if (!res.ok) {
           failed += 1
           e.retryCount += 1
@@ -165,7 +173,8 @@ object RefSimulator {
     phases.foreach { phase =>
       val off = if (entries.isEmpty) 0L else entries.values.map(_.seq).max + 1L
       enqueue(phase.zipWithIndex.flatMap { case (q, i) =>
-        toCand(q.url, q.priority, off + i, q.limiter, q.userData) }, due = r)
+        toCand(q.url, q.priority, off + i, q.limiter, q.userData,
+          q.method, q.headers) }, due = r)
       drainLoop()
     }
 

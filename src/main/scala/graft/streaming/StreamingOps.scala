@@ -119,6 +119,76 @@ object StreamingOps {
       .select($"fp", $"doc_id", $"lang", $"source")
   }
 
+  /** Incremental MinHash near-dup dedup (the q24 gate as a stream):
+    * documents arrive as parquet files; each micro-batch computes
+    * their 32-minhash signatures (`TextOps.signaturesOf` — the exact
+    * batch formula), LSH-bands them against (a) the persisted
+    * [[graft.operators.SignatureStore]] holding every previous
+    * survivor and (b) the batch itself, drops the near-dups, and
+    * appends the survivors' signatures to the store.
+    *
+    * Drop rule (deterministic): a document drops iff it shares an 8×4
+    * band bucket with a store signature, or with a smaller-doc_id
+    * document of its own batch — first-writer-wins across batches,
+    * min-id-wins within one, the same survivor convention as
+    * q23/q24/q40. State is the store itself (~1% of corpus bytes, the
+    * batch pipeline's own table) — no unbounded in-memory state, and a
+    * batch rebuild of the store over the surviving documents
+    * reproduces it row-for-row (StreamingSpec). At warehouse scale the
+    * append becomes a MERGE keyed by (batchId, doc_id) for exactly-once
+    * re-delivery; the sandbox test drives one AvailableNow pass per
+    * batch. */
+  def nearDupDedupStream(spark: SparkSession, inputDir: String,
+      storeDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(documentsSchema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        dedupBatchAppend(batch.toDF(), storeDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** One micro-batch of the incremental dedup: band-gate the batch
+    * against the store and itself, append survivors' signatures. */
+  def dedupBatchAppend(batch: DataFrame, storeDir: String): Unit = {
+    import graft.operators.{SignatureStore, TextOps}
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    // signatures of the new documents — small per trigger, checkpointed
+    // once and reused by both gates and the append
+    val sigs = TextOps.signaturesOf(batch.select($"doc_id", $"text"))
+      .localCheckpoint(true)
+    // (a) cross-batch gate: any band-bucket match against the store
+    val batchBands = TextOps.signatureBands(sigs)
+    val storeExists =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$storeDir/signatures"))
+    val dropVsStore =
+      if (!storeExists) spark.emptyDataset[Long].toDF("doc_id")
+      else batchBands
+        .join(TextOps.signatureBands(SignatureStore.signatures(spark, storeDir))
+          .select($"band", $"bkey"), Seq("band", "bkey"))
+        .select($"doc_id").distinct()
+    // (b) within-batch gate: min-id survivor per candidate pair
+    val dropWithin = TextOps.pairsFromSignatures(sigs)
+      .select($"doc_b".as("doc_id")).distinct()
+    val survivors = sigs
+      .join(dropVsStore.union(dropWithin).distinct(), Seq("doc_id"), "left_anti")
+    survivors.write.mode("append").parquet(s"$storeDir/signatures")
+    releaseLocalCheckpoint(sigs) // the batch intermediate dies with the trigger
+  }
+
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Watermarked windowed aggregation over a parquet file stream of
     * events: count + sum(value) per (1h window, event_type). */
   def eventWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Stable per-session identity (`private[sql]` on the classic
+    * session; identityHashCode can collide after GC — cache-key use). */
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): Option[String] =
+    s match {
+      case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+      case _ => None
+    }
 }

@@ -130,4 +130,44 @@ class ApiSpec extends AnyFunSuite {
     assert(row.head.getString(1) === """{"job":7}""")
     assert(row.head.getString(2) === "HEAD")
   }
+
+  test("Crawler: run(onAttempt) observes each attempt in crawl order; " +
+    "golden equality preserved; later runs replay only their own attempts") {
+    import spark.implicits._
+    val web = SyntheticWeb(nHosts = 5, pagesPerHost = 6, megaFactor = 2)
+    val cfg = CrawlConfig(numBuckets = 4, roundMs = 500, maxRounds = 16)
+    val seeds = web.seedUrls(8).distinct.map(SeedRequest(_))
+    val sim = RefSimulator.runRequests(web, seeds, cfg)
+
+    val dir = Files.createTempDirectory("graft-api-hook").toString
+    val crawler = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 500, maxRounds = 16, numBuckets = 4))
+    val events = scala.collection.mutable.ArrayBuffer.empty[graft.api.AttemptEvent]
+    val res = crawler.queue(seeds).run(events += _)
+
+    // the hook saw every attempt, in exact crawl order — the
+    // callback(error, res, done) stream
+    val logOrder = res.crawlLog.select("url_canon").as[String].collect().toVector
+    assert(events.map(_.urlCanon).toVector === logOrder)
+    // and the crawl itself is golden (the hook is observation-only)
+    assert(logOrder === sim.crawlOrder)
+    // outcome flags are real: ok count matches the scheduler stats, and
+    // the error branch (ok=false) surfaces the transient failures
+    assert(events.count(_.ok).toLong === res.stats.map(_.fetchedOk).sum)
+    assert(events.count(!_.ok).toLong === res.stats.map(_.failed).sum)
+    // per-doc flag matches the documents table (a URL can carry TWO
+    // events — a failed attempt then a successful retry — so compare
+    // the hasDoc event set, not per-event)
+    val docIds = res.documents.select("doc_id").as[String].collect().toSet
+    assert(events.filter(_.hasDoc).map(_.urlCanon).toSet === docIds)
+
+    // queue-after-drain: the second run's hook sees ONLY new attempts
+    val extra = web.seedUrls(12).drop(8).distinct
+      .filterNot(u => seeds.map(_.url).contains(u)).map(SeedRequest(_))
+    val events2 = scala.collection.mutable.ArrayBuffer.empty[graft.api.AttemptEvent]
+    crawler.queue(extra).run(events2 += _)
+    val r1MaxRound = events.map(_.round).max
+    assert(events2.nonEmpty && events2.forall(_.round > r1MaxRound),
+      "second run replayed first-run attempts")
+  }
 }

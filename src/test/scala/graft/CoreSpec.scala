@@ -55,6 +55,25 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalize fast path agrees with the full rebuild (property)") {
+    // generator inputs + hand-picked boundary shapes: the fast path may
+    // only return the input when the rebuild would return it unchanged
+    val edge = Seq(
+      "http://h.example/p/3", "http://h.example/", "http://h.example",
+      "http://h.example/p/3/", "http://h.example//p", "http://h.example/p/./3",
+      "http://h.example/p/../3", "http://h.example/.well-known/x",
+      "http://h.example/a.b/c", "http://h.example:80/p", "http://h.example:8080/p",
+      "http://h.example/p?b=2&a=1", "http://h.example/p#f", "HTTP://h.example/p",
+      "http://H.example/p", "http://u@h.example/p", " http://h.example/p",
+      "http://h.example/p ", "https://h.example/UPPER/Path", "http://h0001.example/p/12")
+    (edge ++ Seq.empty).foreach { u =>
+      assert(UrlCanonicalizer.canonicalize(u) === UrlCanonicalizer.canonicalizeSlow(u), u)
+    }
+    forAllGen(urlGen) { u =>
+      assert(UrlCanonicalizer.canonicalize(u) === UrlCanonicalizer.canonicalizeSlow(u), u)
+    }
+  }
+
   test("resolve: absolute, protocol-relative, root-relative, dir-relative") {
     val base = "http://h.example/a/b"
     assert(UrlCanonicalizer.resolve(base, "http://x/y") === Some("http://x/y"))
@@ -363,6 +382,80 @@ class CoreSpec extends AnyFunSuite {
     val again = src.fetch(u, 1) // the engine reschedules with retryCount+1
     assert(again.ok === !web.fetchFails(u, 1, cfg))
     src.close()
+  }
+
+  // ---- content-coding (gzip byte path) -------------------------------
+
+  test("ContentCodec: gzip/deflate round-trip; decode honors Content-Encoding") {
+    val payload = ("the quick brown fox über ångström éü " * 50)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(ContentCodec.gunzip(ContentCodec.gzip(payload)).toSeq === payload.toSeq)
+    assert(ContentCodec.inflate(ContentCodec.deflate(payload)).toSeq === payload.toSeq)
+    assert(ContentCodec.decode(ContentCodec.gzip(payload), Some("gzip")).toSeq === payload.toSeq)
+    assert(ContentCodec.decode(ContentCodec.gzip(payload), Some("x-gzip")).toSeq === payload.toSeq)
+    assert(ContentCodec.decode(ContentCodec.deflate(payload), Some("deflate")).toSeq === payload.toSeq)
+    // identity / absent / unknown pass through untouched
+    assert(ContentCodec.decode(payload, Some("identity")).toSeq === payload.toSeq)
+    assert(ContentCodec.decode(payload, None).toSeq === payload.toSeq)
+    assert(ContentCodec.decode(payload, Some("br")).toSeq === payload.toSeq)
+  }
+
+  test("ContentCodec.acceptsGzip: absent header accepts; explicit value negotiates") {
+    assert(ContentCodec.acceptsGzip(null))
+    assert(ContentCodec.acceptsGzip("""{"referer":"http://a/"}"""))
+    assert(ContentCodec.acceptsGzip("""{"accept-encoding":"gzip, deflate"}"""))
+    assert(ContentCodec.acceptsGzip("""{"Accept-Encoding":"x-gzip"}"""))
+    assert(!ContentCodec.acceptsGzip("""{"accept-encoding":"identity"}"""))
+    assert(!ContentCodec.acceptsGzip("""{"accept-encoding":"deflate","x":"1"}"""))
+  }
+
+  test("gzip hosts serve Content-Encoding: gzip; decompress precedes charset " +
+    "sniffing and the parse path stays span-identical") {
+    val web = SyntheticWeb(nHosts = 8, pagesPerHost = 10, megaFactor = 2)
+    val cfg = CrawlConfig(parseHtml = true, failureModulus = Long.MaxValue)
+    val gzUrl = "http://h0001.example/p/3" // index 1 → gzip host
+    val idUrl = "http://h0002.example/p/3"
+    assert(web.servesGzip("h0001.example") && !web.servesGzip("h0002.example"))
+
+    val (wire, enc) = web.pageResponse(gzUrl).get
+    assert(enc === Some("gzip"))
+    val plain = web.pageHtmlBytes(gzUrl).get
+    assert(wire.toSeq !== plain.toSeq, "gzip host served identity bytes")
+    assert(ContentCodec.decode(wire, enc).toSeq === plain.toSeq)
+    // identity host: wire bytes ARE the page bytes
+    val (idWire, idEnc) = web.pageResponse(idUrl).get
+    assert(idEnc === None && idWire.toSeq === web.pageHtmlBytes(idUrl).get.toSeq)
+
+    // end-to-end: the byte path through decompress+sniff+parse yields
+    // the same spans/links as the direct content function, on BOTH host
+    // kinds (the round-trip property now crosses the codec)
+    Seq(gzUrl, idUrl).foreach { u =>
+      val viaBytes = Fetcher.fetch(web, u, 0, cfg)
+      val direct = Fetcher.fetch(web, u, 0, cfg.copy(parseHtml = false))
+      assert(viaBytes.spans === direct.spans, s"span mismatch via bytes for $u")
+      assert(viaBytes.links === direct.links, s"link mismatch via bytes for $u")
+    }
+
+    // content negotiation: a request whose Accept-Encoding excludes
+    // gzip gets identity from a gzip host — and parses identically
+    val (negWire, negEnc) = web.pageResponse(gzUrl, acceptGzip = false).get
+    assert(negEnc === None && negWire.toSeq === plain.toSeq)
+    val viaNeg = Fetcher.fetch(web, gzUrl, 0, cfg,
+      headers = """{"accept-encoding":"identity"}""")
+    assert(viaNeg.spans === Fetcher.fetch(web, gzUrl, 0, cfg).spans)
+  }
+
+  test("method=HEAD: body-less success — no spans, no links, retry still applies") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 6)
+    val cfg = CrawlConfig(parseHtml = true, failureModulus = Long.MaxValue)
+    val u = "http://h0001.example/p/2"
+    val head = Fetcher.fetch(web, u, 0, cfg, method = "HEAD")
+    assert(head.ok && head.spans.isEmpty && head.links.isEmpty)
+    val get = Fetcher.fetch(web, u, 0, cfg, method = "GET")
+    assert(get.ok && get.spans.nonEmpty)
+    // transient failure beats HEAD (the wire request itself failed)
+    val cfgFail = cfg.copy(failureModulus = 1L)
+    assert(!Fetcher.fetch(web, u, 0, cfgFail, method = "HEAD").ok)
   }
 
   // ---- bloom ---------------------------------------------------------

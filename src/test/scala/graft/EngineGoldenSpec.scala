@@ -56,6 +56,40 @@ class EngineGoldenSpec extends AnyFunSuite {
     assertGolden(sim, eng)
   }
 
+  test("golden equality on the byte path across gzip hosts, HEAD requests, " +
+    "and Accept-Encoding negotiation") {
+    // nHosts=6 ⇒ hosts 1 and 5 serve Content-Encoding: gzip; the
+    // parseHtml path must decompress before sniff/parse in BOTH the
+    // engine (FetchExtractExpr) and the simulator for spans to match
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6,
+      parseHtml = true)
+    val seeds = web.seedUrls(12).distinct
+    assert(seeds.exists(_.contains("h0001")) || seeds.exists(_.contains("h0005")),
+      "fixture must cross a gzip host")
+    val reqs = seeds.zipWithIndex.map { case (u, i) =>
+      SeedRequest(u,
+        method = if (i % 5 == 0) "HEAD" else null,
+        headers =
+          if (i % 3 == 0) s"""{"referer":"http://seed/$i","user-agent":"graft/$i"}"""
+          else if (i % 3 == 1) """{"accept-encoding":"identity"}"""
+          else null)
+    }
+    val sim = RefSimulator.runRequests(web, reqs, cfg)
+    val dir = Files.createTempDirectory("graft-gzip-golden").toString
+    val eng = new CrawlEngine(spark, web, cfg, dir)
+    eng.initRequests(reqs)
+    eng.run()
+    assertGolden(sim, eng)
+    // HEAD seeds really were body-less: none of them produced a doc
+    import eng.spark.implicits._
+    val headCanon = reqs.filter(_.method == "HEAD")
+      .flatMap(q => UrlCanonicalizer.canonicalize(q.url)).toSet
+    val docIds = eng.documents().select($"doc_id").as[String].collect().toSet
+    assert(headCanon.nonEmpty && headCanon.forall(!docIds.contains(_)),
+      "HEAD request produced a document body")
+  }
+
   test("golden equality with a global per-round cap (maxConnections analog)") {
     val web = SyntheticWeb(nHosts = 5, pagesPerHost = 6, megaFactor = 2)
     val cfg = CrawlConfig(numBuckets = 8, roundMs = 1000, maxRounds = 5,

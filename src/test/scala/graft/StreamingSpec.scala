@@ -125,6 +125,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids === ((0L to 14L).toSet), s"dup content leaked: $ids")
   }
 
+  test("incremental MinHash dedup: cross-batch near-dups drop against the " +
+    "persisted SignatureStore; the store equals a batch rebuild") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val in = Files.createTempDirectory("graft-snd-in").toString
+    val store = Files.createTempDirectory("graft-snd-store").toString
+    val cp = Files.createTempDirectory("graft-snd-cp").toString
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val tB = "omega psi chi phi upsilon tau sigma rho pi omicron " * 8
+    val tC = "quark lepton boson gluon photon meson baryon hadron spin charm " * 8
+    def mk(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+      rows.map { case (i, t) => (i, t, "en", "web") }
+        .toDF("doc_id", "text", "lang", "source")
+    def runOnce(): Unit =
+      StreamingOps.nearDupDedupStream(spark, s"$in/*", store, cp).awaitTermination()
+
+    // batch 1: docs 1/2 near-dup (min id 1 survives), 3 unique
+    mk(Seq(1L -> tA, 2L -> (tA + " tail"), 3L -> tB))
+      .coalesce(1).write.parquet(s"$in/b1.parquet")
+    runOnce()
+    def storeIds: Set[Long] = spark.read.parquet(s"$store/signatures")
+      .select("doc_id").as[Long].collect().toSet
+    assert(storeIds === Set(1L, 3L), s"batch-1 survivors wrong: $storeIds")
+
+    // batch 2: 4 is a near-dup of batch-1's tA (must drop AGAINST THE
+    // STORE), 5 is genuinely new
+    mk(Seq(4L -> (tA + " more"), 5L -> tC))
+      .coalesce(1).write.parquet(s"$in/b2.parquet")
+    runOnce()
+    assert(storeIds === Set(1L, 3L, 5L), s"cross-batch dedup wrong: $storeIds")
+
+    // the incrementally-built store row-equals a batch rebuild over the
+    // surviving documents (signature determinism — the contract that
+    // lets batch and stream consumers share one store)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map { r =>
+        (r.getAs[Long]("doc_id"),
+          (0 until 32).map(i => r.getAs[Long](s"mh_$i")),
+          r.getAs[scala.collection.Seq[Long]]("ss").sorted.toSeq)
+      }.sortBy(_._1).toSeq
+    val rebuilt = TextOps.signaturesOf(
+      mk(Seq(1L -> tA, 3L -> tB, 5L -> tC)))
+    assert(canon(spark.read.parquet(s"$store/signatures")) === canon(rebuilt),
+      "incremental store diverges from batch rebuild")
+  }
+
   test("watermarked windowed aggregation over the events file stream") {
     val cp = Files.createTempDirectory("graft-cp3").toString
     val q = StreamingOps.eventWindowCounts(spark, "/root/testdata/sf0.001")
