@@ -43,7 +43,12 @@ final case class CrawlerOptions(
     // node-crawler `preRequest(options, done)`: a pure per-candidate
     // predicate; false = stay pending and re-evaluate next round
     // (models both veto and delay)
-    preRequest: Option[graft.core.PreRequest => Boolean] = None)
+    preRequest: Option[graft.core.PreRequest => Boolean] = None,
+    // queue-during-crawl (callbacks enqueue while the event loop
+    // runs): a pure, deterministic per-round injector — requests
+    // enqueue exactly like queue() between drains, and a drain only
+    // happens when the injector adds nothing and the frontier is empty
+    midRunQueue: Option[Long => Seq[SeedRequest]] = None)
 
 /** One fetch attempt as node-crawler's per-task
   * `callback(error, res, done)` observes it [PK:high], in total crawl
@@ -104,7 +109,8 @@ final class Crawler(
         incomingEncoding = options.incomingEncoding,
         forceUTF8 = options.forceUTF8,
         rateLimitOverrides = rateLimits,
-        preRequest = options.preRequest),
+        preRequest = options.preRequest,
+        midRunQueue = options.midRunQueue),
       stateDir)
 
   private var currentRateLimits = options.rateLimits

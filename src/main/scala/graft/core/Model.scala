@@ -125,7 +125,16 @@ case class CrawlConfig(
     // node-crawler's two preRequest outcomes. Must be deterministic
     // and serializable (it runs inside tasks); the simulator applies
     // the identical predicate, so crawl order stays golden.
-    preRequest: Option[PreRequest => Boolean] = None) {
+    preRequest: Option[PreRequest => Boolean] = None,
+    // node-crawler's queue-DURING-crawl (callbacks enqueue more work
+    // while the event loop runs [PK:high]) as its BSP analog: a PURE,
+    // deterministic driver-side function called after every completed
+    // round r; its requests enqueue exactly like `queue()` between
+    // drains (seen-deduped, seq strictly after existing, due r+1). A
+    // drain only happens when the hook injects nothing AND the pending
+    // set is empty. The simulator runs the identical function at the
+    // identical point, so crawl order stays golden.
+    midRunQueue: Option[Long => Seq[SeedRequest]] = None) {
 
   /** Effective per-round politeness quota for a limiter key: a runtime
     * rate-limit override beats the policy's crawl delay; same formula

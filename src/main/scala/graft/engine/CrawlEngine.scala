@@ -138,9 +138,15 @@ final class CrawlEngine(
     * deterministic), due the current round, and committed atomically:
     * the pending delta and its bloom delta are appended, with the
     * frontier commit — the atomic round root — re-pinning the bloom
-    * snapshot. Call between runs, never concurrently with `run()`. */
-  def enqueueRequests(reqs: Seq[SeedRequest]): Unit = {
-    if (ice.currentManifest(FRONTIER).isEmpty) { initRequests(reqs); return }
+    * snapshot. Call between runs (or via `midRunQueue` between
+    * rounds), never concurrently with an in-flight round. Returns the
+    * number of genuinely NEW rows enqueued (0 = everything was a
+    * duplicate or inadmissible — the drain probe relies on this). */
+  def enqueueRequests(reqs: Seq[SeedRequest]): Long = {
+    if (ice.currentManifest(FRONTIER).isEmpty) {
+      initRequests(reqs)
+      return pending().count()
+    }
     awaitTail()
     val w = web; val c = cfg
     val due = nextRound
@@ -153,7 +159,7 @@ final class CrawlEngine(
         .map(_.copy(user_data = req.userData, limiter = req.limiter,
           method = req.method, headers = req.headers))
     }.groupBy(_.url_hash).map { case (_, g) => g.minBy(_.discovered_seq) }.toSeq
-    if (entries.isEmpty) return
+    if (entries.isEmpty) return 0L
     val cols = spark.emptyDataset[FrontierEntry].toDF().columns
     val slices = math.max(spark.sparkContext.defaultParallelism,
       entries.size / 100000 + 1)
@@ -164,13 +170,15 @@ final class CrawlEngine(
       .repartition(cfg.numBuckets, $"host_bucket")
     val pendFile = ice.writeData(fresh, FRONTIER, "enqueue")
     val newRows = spark.read.parquet(pendFile)
-    if (newRows.isEmpty) return // every request was already seen
+    val nFresh = newRows.count()
+    if (nFresh == 0L) return 0L // every request was already seen
     val bloomFile = ice.writeData(
       bloomDelta(newRows.select($"host_bucket", $"url_hash")), BLOOM, "enqueue")
     val bloomSnap = ice.commit(BLOOM, Seq(bloomFile), append = true)
     ice.commit(FRONTIER, Seq(pendFile), append = true,
       props = ice.props(FRONTIER) + ("bloom_snap" -> bloomSnap.toString))
     carriedPending = None // the cached pending view misses the delta
+    nFresh
   }
 
   /** Maintenance: squash the retired table's per-round append deltas
@@ -222,7 +230,14 @@ final class CrawlEngine(
       val s = roundCore(r)
       stats += s
       r += 1
-      if (s.admitted == 0) {
+      // queue-during-crawl (node-crawler callbacks enqueue while the
+      // loop runs): the injector's requests land exactly like a
+      // between-drains queue() — the tail must commit first so the
+      // delta appends to round r+1's root
+      val injected = cfg.midRunQueue.map(_(r - 1)).getOrElse(Nil)
+      val nFresh =
+        if (injected.nonEmpty) enqueueRequests(injected) else 0L // awaits tail
+      if (s.admitted == 0 && nFresh == 0L) {
         // no attempts → no links → nothing enqueued this round; the
         // drain probe needs the committed pending set, so sync first
         awaitTail()

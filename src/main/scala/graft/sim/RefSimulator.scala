@@ -168,6 +168,19 @@ object RefSimulator {
       stats += RoundStats(r, candidates.size, capped.size, ok, failed, discovered, enq)
       r += 1
       roundsRun += 1
+      // queue-during-crawl: the identical pure injector the engine
+      // runs after each completed round, at the identical point —
+      // seen-deduped, seq strictly after every existing row, due the
+      // upcoming round
+      cfg.midRunQueue.foreach { f =>
+        val reqs = f(r - 1)
+        if (reqs.nonEmpty) {
+          val off = if (entries.isEmpty) 0L else entries.values.map(_.seq).max + 1L
+          enqueue(reqs.zipWithIndex.flatMap { case (q, i) =>
+            toCand(q.url, q.priority, off + i, q.limiter, q.userData,
+              q.method, q.headers) }, due = r)
+        }
+      }
     }
 
     phases.foreach { phase =>

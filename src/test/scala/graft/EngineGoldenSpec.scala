@@ -56,6 +56,30 @@ class EngineGoldenSpec extends AnyFunSuite {
     assertGolden(sim, eng)
   }
 
+  test("golden equality with queue-during-crawl (midRunQueue injector)") {
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
+    val extra = web.seedUrls(24).drop(12).distinct
+    // the pure per-round injector both schedulers run at the identical
+    // point: fresh high-priority work after round 1, a later batch
+    // (likely partly duplicate by then — exercising the seen-drop) after
+    // round 3
+    val injector: Long => Seq[SeedRequest] = {
+      case 1L => extra.take(3).map(SeedRequest(_, priority = 1))
+      case 3L => extra.drop(3).take(4).map(SeedRequest(_))
+      case _  => Nil
+    }
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 10,
+      midRunQueue = Some(injector))
+    val (sim, eng, _) = runBoth(web, 8, cfg)
+    assertGolden(sim, eng)
+    // the round-1 injection really entered the crawl
+    import eng.spark.implicits._
+    val order = eng.crawlLog().select("url_canon").as[String].collect().toSet
+    extra.take(3).flatMap(UrlCanonicalizer.canonicalize).foreach { u =>
+      assert(order.contains(u), s"mid-run injected URL never crawled: $u")
+    }
+  }
+
   test("golden equality on the byte path across gzip hosts, HEAD requests, " +
     "and Accept-Encoding negotiation") {
     // nHosts=6 ⇒ hosts 1 and 5 serve Content-Encoding: gzip; the
