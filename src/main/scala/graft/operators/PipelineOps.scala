@@ -21,6 +21,20 @@ object PipelineOps {
     * session-unique). */
   private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Thresholds of the q46 cleaning chain and the q47 decontamination
+    * gate — one place, mirrored into both engines' formulations.
+    * Values are tuned against the synthetic corpus so every rule
+    * fires on some documents (pass rate ≈ 2/3 at sf0.01). */
+  object QualityRules {
+    val MinTokens = 25L
+    val MaxTokens = 90L
+    val MaxAvgWordLen = 4.8
+    val MinStopwordRatio = 0.02
+    // q47: benchmark slice + evidence bar
+    val DecontamMod = 19L
+    val DecontamMinHits = 3L
+  }
+
   /** Per-language keep-rate for the stratified sample (q41):
     * downsample the majority language, keep most of the tail — the
     * standard data-mixing shape. Rates are exact multiples of 2⁻³²
@@ -208,6 +222,72 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // heuristic quality-filter chain (the C4/Gopher-style cleaning
+    // rules, public knowledge): a document is kept iff it passes every
+    // rule — length window, average word length, stopword-ratio floor.
+    // Each doc gets a deterministic verdict (the FIRST failing rule, in
+    // fixed order) so the op doubles as filter diagnostics — the
+    // standard shape for tuning a cleaning chain. Pure codegen'd
+    // per-row expressions over one scan: zero shuffle, embarrassingly
+    // parallel, the 100 TB shape by construction. Thresholds live in
+    // [[QualityRules]] (mirrored into the oracle SQL).
+    "q46_quality_filter" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import QualityRules._
+      val nTokens = (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
+        .cast("long")
+      val d = s.read.parquet(t(dir, "documents"))
+        .withColumn("n_tokens", nTokens)
+        .withColumn("awl",
+          length(replace($"text", lit(" "), lit(""))).cast("double") / $"n_tokens")
+        .withColumn("pad", concat(lit(" "), $"text", lit(" ")))
+        .withColumn("stop_ratio",
+          (((length($"pad") - length(replace($"pad", lit(" the "), lit("")))) / lit(5) +
+            (length($"pad") - length(replace($"pad", lit(" a "), lit("")))) / lit(3))
+            .cast("double") / $"n_tokens"))
+      d.select($"doc_id", $"n_tokens",
+          round($"awl", 6).as("avg_word_len"),
+          round($"stop_ratio", 6).as("stopword_ratio"),
+          when($"n_tokens" < MinTokens, "too_short")
+            .when($"n_tokens" > MaxTokens, "too_long")
+            .when($"awl" > MaxAvgWordLen, "word_len")
+            .when($"stop_ratio" < MinStopwordRatio, "low_stopword")
+            .otherwise("keep").as("verdict"))
+        .withColumn("keep", $"verdict" === "keep")
+        .orderBy($"doc_id")
+    }),
+
+    // benchmark decontamination: flag training documents sharing
+    // verbatim character n-grams with a held-out benchmark set — the
+    // standard pre-training leakage check (n-gram collision
+    // decontamination, public knowledge). Benchmark membership here is
+    // the deterministic doc_id % DecontamMod slice; evidence = distinct
+    // shared 16-char windows (stride 8), contaminated = ≥ DecontamMinHits
+    // (single shared windows are vocabulary noise; the near-dup copies
+    // of a benchmark doc clear the bar). Scale shape: the benchmark
+    // shingle set is tiny next to the corpus → BROADCAST equi-join
+    // against the corpus shingle stream, one aggregate per doc; at
+    // 100 TB hash the windows (md5_ints4) so the broadcast ships ints.
+    "q47_decontam" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import QualityRules.{DecontamMinHits, DecontamMod}
+      val docs = s.read.parquet(t(dir, "documents"))
+      val sh = docs.select($"doc_id",
+          explode(sequence(lit(1), greatest(length($"text") - 15, lit(1)), lit(8))).as("i"),
+          $"text")
+        .select($"doc_id", expr("substr(text, i, 16)").as("sg"))
+      val bm = sh.filter($"doc_id" % DecontamMod === 0).select($"sg").distinct()
+      val hits = sh.filter($"doc_id" % DecontamMod =!= 0)
+        .join(broadcast(bm), "sg")
+        .groupBy($"doc_id").agg(count_distinct($"sg").as("n_hits"))
+      docs.select($"doc_id", ($"doc_id" % DecontamMod === 0).as("is_benchmark"))
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id", $"is_benchmark",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (coalesce($"n_hits", lit(0L)) >= DecontamMinHits).as("contaminated"))
+        .orderBy($"doc_id")
+    }),
+
     // exact per-language quantiles of the whitespace token count:
     // percentile() is the EXACT linear-interpolation quantile (the
     // same definition as DuckDB quantile_cont), computed per group in
@@ -292,6 +372,51 @@ object PipelineOps {
          |SELECT d.node AS doc_id, d.deg AS degree, round(p.pr, 6) AS pagerank
          |FROM deg d JOIN pr3 p ON p.node = d.node
          |ORDER BY doc_id""".stripMargin
+    },
+    "q46_quality_filter" -> {
+      import QualityRules._
+      s"""WITH d AS (SELECT doc_id, text, ' ' || text || ' ' AS p,
+         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |q AS (SELECT doc_id, n_tokens,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / n_tokens AS awl,
+         |  CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+         |     + (length(p) - length(replace(p, ' a ', ''))) / 3 AS DOUBLE)
+         |    / n_tokens AS stop_r
+         |  FROM d)
+         |SELECT doc_id, n_tokens,
+         |  round(awl, 6) AS avg_word_len,
+         |  round(stop_r, 6) AS stopword_ratio,
+         |  CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+         |       WHEN n_tokens > $MaxTokens THEN 'too_long'
+         |       WHEN awl > $MaxAvgWordLen THEN 'word_len'
+         |       WHEN stop_r < $MinStopwordRatio THEN 'low_stopword'
+         |       ELSE 'keep' END AS verdict,
+         |  (CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+         |       WHEN n_tokens > $MaxTokens THEN 'too_long'
+         |       WHEN awl > $MaxAvgWordLen THEN 'word_len'
+         |       WHEN stop_r < $MinStopwordRatio THEN 'low_stopword'
+         |       ELSE 'keep' END) = 'keep' AS keep
+         |FROM q ORDER BY doc_id""".stripMargin
+    },
+    "q47_decontam" -> {
+      import QualityRules.{DecontamMinHits, DecontamMod}
+      s"""WITH sh AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 16) AS sg
+         |  FROM (SELECT doc_id, text,
+         |    unnest(generate_series(1, greatest(length(text) - 15, 1), 8)) AS i
+         |    FROM documents)),
+         |bm AS (SELECT DISTINCT sg FROM sh WHERE doc_id % $DecontamMod = 0),
+         |h AS (
+         |  SELECT sh.doc_id, count(DISTINCT sh.sg) AS n_hits
+         |  FROM sh JOIN bm USING (sg)
+         |  WHERE sh.doc_id % $DecontamMod <> 0
+         |  GROUP BY sh.doc_id)
+         |SELECT d.doc_id, d.doc_id % $DecontamMod = 0 AS is_benchmark,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  COALESCE(h.n_hits, 0) >= $DecontamMinHits AS contaminated
+         |FROM documents d LEFT JOIN h USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
     "q43_token_quantiles" ->
       """WITH d AS (SELECT lang,

@@ -454,18 +454,38 @@ object TextOps {
       .drop("bsz")
   }
 
-  /** The 8×4 candidate-pair gate over a signature table: compact
-    * (band, bkey) equi-join, distinct (doc_a < doc_b). Shared by the
-    * session cache, [[SignatureStore.candidatePairs]], and the
-    * streaming dedup. */
+  /** Within-bucket pair enumeration over a sorted id array: all
+    * (ids[i], ids[j]) with i < j, as structs (aName < bName by the
+    * sort). The LSH bucket-pair step as ONE higher-order expression —
+    * shared by the text gates and the embedding near-dup. */
+  private[operators] def bucketPairsExpr(aName: String, bName: String) =
+    expr(("flatten(transform(ids, (a, i) -> " +
+      "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+      s"b -> struct(a AS $aName, b AS $bName))))"))
+
+  /** The 8×4 candidate-pair gate over a signature table, as
+    * bucket-local pair enumeration: ONE scan → ONE (band, bkey) hash
+    * aggregate collecting each bucket's sorted id set (size-capped by
+    * the skew valve, so pair expansion is bounded) → explode the
+    * within-bucket pairs → distinct. Same pair set as the classic
+    * two-sided band self-join (the oracles keep that formulation), at
+    * one exchange and zero joins instead of a window + two shuffled
+    * join sides. Shared by the session cache,
+    * [[SignatureStore.candidatePairs]], and the streaming dedup. */
   def pairsFromSignatures(sigs: DataFrame, nBands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
-    val bands = signatureBands(sigs, nBands, rowsPerBand)
-    bands.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val bandCols = array((0 until nBands).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until rowsPerBand).map(j =>
+          col(s"mh_${b * rowsPerBand + j}").cast("string")): _*).as("bkey"))): _*)
+    sigs.select(col("doc_id"), explode(bandCols).as("bc"))
+      .select(col("doc_id"), col("bc.band"), col("bc.bkey"))
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      // skew valve (oracle-mirrored) + singleton buckets carry no pairs
+      .filter(size(col("ids")) <= MaxLshBucket && size(col("ids")) >= 2)
+      .select(explode(bucketPairsExpr("doc_a", "doc_b")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 

@@ -139,12 +139,15 @@ object VectorOps {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
         .filter($"vec_id" % 10 === 0)
-      val bands = signBands(emb)
-      val cand = bands.select($"vec_id".as("vec_a"), $"band", $"chunk")
-        .join(bands.select($"vec_id".as("vec_b"), $"band", $"chunk"),
-          Seq("band", "chunk"))
-        .filter($"vec_a" < $"vec_b")
-        .select($"vec_a", $"vec_b")
+      // bucket-local pair enumeration: ONE scan + ONE (band, chunk)
+      // aggregate + explode replaces the two-sided band self-join
+      // (same pair set; the oracle keeps the join formulation)
+      val cand = signBands(emb)
+        .groupBy($"band", $"chunk")
+        .agg(sort_array(collect_set($"vec_id")).as("ids"))
+        .filter(size($"ids") >= 2)
+        .select(explode(TextOps.bucketPairsExpr("vec_a", "vec_b")).as("p"))
+        .select($"p.vec_a", $"p.vec_b")
         .distinct()
       // re-rank joins the embeddings back by id — the wide arrays are
       // read once per side, never banded/exploded/shuffled with keys.

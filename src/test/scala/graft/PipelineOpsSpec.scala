@@ -121,6 +121,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.length === deg.size)
   }
 
+  test("q46: verdicts match the rules recomputed by hand; every rule fires") {
+    import spark.implicits._
+    import graft.operators.PipelineOps.QualityRules._
+    val out = SparkEntry.queries("q46_quality_filter")(spark, dir01)
+      .select($"doc_id", $"n_tokens", $"avg_word_len", $"stopword_ratio",
+        $"verdict", $"keep")
+      .as[(Long, Long, Double, Double, String, Boolean)].collect()
+    assert(out.length === 500)
+    out.foreach { case (id, n, awl, stop, verdict, keep) =>
+      val expect =
+        if (n < MinTokens) "too_short"
+        else if (n > MaxTokens) "too_long"
+        else if (awl > MaxAvgWordLen) "word_len"
+        else if (stop < MinStopwordRatio) "low_stopword"
+        else "keep"
+      assert(verdict === expect, s"doc $id")
+      assert(keep === (verdict == "keep"), s"doc $id keep flag")
+    }
+    // the chain is a real filter: keeps a majority, and each rule
+    // actually fires on this corpus (thresholds are tuned, not vacuous)
+    val by = out.groupBy(_._5).map { case (k, v) => k -> v.length }
+    assert(by("keep") > 250 && by("keep") < 450, by.toString)
+    Seq("too_short", "word_len", "low_stopword").foreach(r =>
+      assert(by.getOrElse(r, 0) > 0, s"rule $r never fired: $by"))
+  }
+
+  test("q47: benchmark docs are never contaminated; hits recompute exactly; " +
+    "near-dup copies of benchmark docs clear the bar") {
+    import spark.implicits._
+    import graft.operators.PipelineOps.QualityRules.{DecontamMinHits, DecontamMod}
+    val out = SparkEntry.queries("q47_decontam")(spark, dir01)
+      .as[(Long, Boolean, Long, Boolean)].collect()
+    assert(out.length === 500)
+    out.foreach { case (id, isBm, hits, cont) =>
+      assert(isBm === (id % DecontamMod == 0), s"doc $id bm flag")
+      if (isBm) assert(hits === 0L && !cont, s"benchmark doc $id flagged")
+      assert(cont === (hits >= DecontamMinHits), s"doc $id threshold")
+    }
+    val contaminated = out.filter(_._4).map(_._1).toSet
+    assert(contaminated.nonEmpty, "decontamination gate is vacuous on this corpus")
+    // brute-force recompute of n_hits for the flagged docs
+    val texts = spark.read.parquet(s"$dir01/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def shingles(t: String): Set[String] =
+      (1 to math.max(t.length - 15, 1) by 8).map(i =>
+        t.substring(i - 1, math.min(i - 1 + 16, t.length))).toSet
+    val bmSh = texts.collect { case (id, t) if id % DecontamMod == 0 => shingles(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    out.filter(_._3 > 0).foreach { case (id, _, hits, _) =>
+      val expect = (shingles(texts(id)) & bmSh).size.toLong
+      assert(hits === expect, s"doc $id hit count")
+    }
+  }
+
   test("q43: p50 equals the interpolated median computed by hand") {
     import spark.implicits._
     val counts = spark.read.parquet(s"$dir01/documents.parquet")
