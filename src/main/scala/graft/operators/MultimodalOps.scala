@@ -35,6 +35,30 @@ object MultimodalOps {
     def decode(payload: Array[Byte]): DecodedMeta
     /** Sample "frames" (index, value) from the payload. */
     def sampleFrames(payload: Array[Byte], stride: Int): Seq[(Int, Int)]
+    /** Fit the decoded dimensions into a `box`×`box` square preserving
+      * aspect ratio (integer arithmetic — exact in any engine). The
+      * geometry planning is codec-independent; a real decoder also
+      * re-encodes pixels at the new size inside this seam. */
+    def resizeBox(payload: Array[Byte], box: Long): (Long, Long) = {
+      val m = decode(payload)
+      val mx = math.max(m.width, m.height) max 1L
+      (m.width * box / mx, m.height * box / mx)
+    }
+    /** Payload feature extraction: byte-level statistics (count, mean,
+      * max, distinct) — the shape of a real feature head (a pooled
+      * embedding) with a deterministic, engine-portable body. */
+    def features(payload: Array[Byte]): (Long, Long, Long, Long) = {
+      var sum = 0L; var mx = 0L
+      val seen = new java.util.BitSet(256)
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        sum += b; if (b > mx) mx = b; seen.set(b)
+        i += 1
+      }
+      val n = payload.length.toLong
+      (n, if (n == 0) 0L else sum / n, mx, seen.cardinality().toLong)
+    }
     def close(): Unit = ()
   }
 
@@ -84,6 +108,13 @@ object MultimodalOps {
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
       height: Long, format: String)
   final case class Frame(doc_id: Long, frame_idx: Int, frame_val: Int)
+  final case class Resized(doc_id: Long, width: Long, height: Long,
+      dst_w: Long, dst_h: Long)
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long,
+      mean_byte: Long, max_byte: Long, n_distinct: Long)
+
+  /** Target box for the q48 resize plan. */
+  val ResizeBox = 256L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary payload + batch decode to typed metadata through the
@@ -114,6 +145,41 @@ object MultimodalOps {
             .map { case (i, v) => Frame(m.doc_id, i, v) }
         }.flatten
       }.toDF().orderBy($"doc_id", $"frame_idx")
+    }),
+
+    // resize planning through the decoder seam: fit each media payload
+    // into a ResizeBox² square preserving aspect ratio (integer
+    // arithmetic, engine-portable). Same per-partition decoder
+    // lifecycle as q32; a production codec re-encodes pixels at
+    // (dst_w, dst_h) in this exact spot.
+    "q48_media_resize" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[MediaRow]
+      media.mapPartitions { it =>
+        Decoder.decodePartition(it, () => new StubDecoder) { (dec, m) =>
+          val meta = dec.decode(m.payload)
+          val (dw, dh) = dec.resizeBox(m.payload, ResizeBox)
+          Resized(m.doc_id, meta.width, meta.height, dw, dh)
+        }
+      }.toDF().orderBy($"doc_id")
+    }),
+
+    // feature extraction through the decoder seam: per-payload byte
+    // statistics (the deterministic stand-in for a pooled embedding
+    // head — same batch-per-partition shape, portable arithmetic).
+    "q49_media_features" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .as[MediaRow]
+      media.mapPartitions { it =>
+        Decoder.decodePartition(it, () => new StubDecoder) { (dec, m) =>
+          val (n, mean, mx, dist) = dec.features(m.payload)
+          MediaFeatures(m.doc_id, n, mean, mx, dist)
+        }
+      }.toDF().orderBy($"doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -132,5 +198,28 @@ object MultimodalOps {
         |SELECT doc_id, CAST((i - 1) // 16 AS INTEGER) AS frame_idx,
         |  ascii(substr(text, CAST(i AS INTEGER), 1)) AS frame_val
         |FROM f
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the stub's width/height arithmetic (as q32) + integer fit-to-box
+    "q48_media_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST((ascii(substr(text, 1, 1)) % 64) * 16 + 64 AS BIGINT) AS width,
+         |    CAST((ascii(substr(text, 2, 1)) % 36) * 16 + 64 AS BIGINT) AS height
+         |  FROM documents)
+         |SELECT doc_id, width, height,
+         |  width * $ResizeBox // greatest(greatest(width, height), 1) AS dst_w,
+         |  height * $ResizeBox // greatest(greatest(width, height), 1) AS dst_h
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // byte statistics over the ascii payload: ord() folds per character
+    "q49_media_features" ->
+      """WITH l AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+        |    list_transform(string_split(text, ''), c -> ord(c)) AS os
+        |  FROM documents)
+        |SELECT doc_id, n AS n_bytes,
+        |  CAST(CASE WHEN n = 0 THEN 0
+        |    ELSE list_aggregate(os, 'sum') // n END AS BIGINT) AS mean_byte,
+        |  CAST(list_aggregate(os, 'max') AS BIGINT) AS max_byte,
+        |  CAST(len(list_distinct(os)) AS BIGINT) AS n_distinct
+        |FROM l ORDER BY doc_id""".stripMargin)
 }

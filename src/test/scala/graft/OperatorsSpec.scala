@@ -172,6 +172,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames(1)._2 === payload(16).toInt)
   }
 
+  test("stub decoder: resize fits the box preserving aspect; features recompute") {
+    val dec = new MultimodalOps.StubDecoder
+    val payload = "some synthetic media payload bytes 0123".getBytes("UTF-8")
+    val m = dec.decode(payload)
+    val (dw, dh) = dec.resizeBox(payload, MultimodalOps.ResizeBox)
+    val mx = math.max(m.width, m.height)
+    assert(dw === m.width * MultimodalOps.ResizeBox / mx)
+    assert(dh === m.height * MultimodalOps.ResizeBox / mx)
+    assert(math.max(dw, dh) === MultimodalOps.ResizeBox) // long side hits the box
+    assert(dw <= MultimodalOps.ResizeBox && dh <= MultimodalOps.ResizeBox)
+    val (n, mean, mxb, dist) = dec.features(payload)
+    assert(n === payload.length.toLong)
+    assert(mean === payload.map(_ & 0xff).map(_.toLong).sum / payload.length)
+    assert(mxb === payload.map(_ & 0xff).max.toLong)
+    assert(dist === payload.map(_ & 0xff).distinct.length.toLong)
+    // empty payload is total
+    assert(dec.features(Array.emptyByteArray) === ((0L, 0L, 0L, 0L)))
+  }
+
   test("Decoder seam: per-partition lifecycle, closed even on early termination") {
     import MultimodalOps._
     val sp = spark
