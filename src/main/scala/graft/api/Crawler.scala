@@ -48,7 +48,10 @@ final case class CrawlerOptions(
     // runs): a pure, deterministic per-round injector — requests
     // enqueue exactly like queue() between drains, and a drain only
     // happens when the injector adds nothing and the frontier is empty
-    midRunQueue: Option[Long => Seq[SeedRequest]] = None)
+    midRunQueue: Option[Long => Seq[SeedRequest]] = None,
+    // mid-crawl setLimiterProperty: per-round extra crawl-delay
+    // overrides, layered over rateLimits for that round only
+    rateLimitSchedule: Option[Long => Map[String, Long]] = None)
 
 /** One fetch attempt as node-crawler's per-task
   * `callback(error, res, done)` observes it [PK:high], in total crawl
@@ -110,7 +113,8 @@ final class Crawler(
         forceUTF8 = options.forceUTF8,
         rateLimitOverrides = rateLimits,
         preRequest = options.preRequest,
-        midRunQueue = options.midRunQueue),
+        midRunQueue = options.midRunQueue,
+        rateLimitSchedule = options.rateLimitSchedule),
       stateDir)
 
   private var currentRateLimits = options.rateLimits

@@ -134,13 +134,34 @@ case class CrawlConfig(
     // drain only happens when the hook injects nothing AND the pending
     // set is empty. The simulator runs the identical function at the
     // identical point, so crawl order stays golden.
-    midRunQueue: Option[Long => Seq[SeedRequest]] = None) {
+    midRunQueue: Option[Long => Seq[SeedRequest]] = None,
+    // mid-crawl limiter changes (node-crawler `setLimiterProperty`
+    // WHILE crawling [PK:high]) as the BSP analog: a PURE function of
+    // the round number yielding extra per-limiter crawl-delay
+    // overrides for that round, layered over `rateLimitOverrides`.
+    // Evaluated identically by engine and simulator, so crawl order
+    // stays golden.
+    rateLimitSchedule: Option[Long => Map[String, Long]] = None) {
 
   /** Effective per-round politeness quota for a limiter key: a runtime
     * rate-limit override beats the policy's crawl delay; same formula
     * as [[HostPolicy.quota]], shared by engine and simulator. */
   def quotaFor(limiterKey: String, policyDelayMs: => Long): Int = {
     val delay = rateLimitOverrides.getOrElse(limiterKey, policyDelayMs)
+    math.max(1L, roundMs / math.max(1L, delay)).toInt
+  }
+
+  /** The overrides in force during round `r`: the static map layered
+    * with the schedule's round-specific entries. */
+  def overridesAt(r: Long): Map[String, Long] =
+    rateLimitSchedule match {
+      case None    => rateLimitOverrides
+      case Some(f) => rateLimitOverrides ++ f(r)
+    }
+
+  /** Round-aware [[quotaFor]] — the form both schedulers use. */
+  def quotaForAt(limiterKey: String, policyDelayMs: => Long, r: Long): Int = {
+    val delay = overridesAt(r).getOrElse(limiterKey, policyDelayMs)
     math.max(1L, roundMs / math.max(1L, delay)).toInt
   }
 }

@@ -377,7 +377,7 @@ final class CrawlEngine(
     // distinct(), no broadcast, no extra job, no bound on #hosts.
     val withLim = cands.withColumn("lim", coalesce($"limiter", $"host"))
     val quotaCol = ColumnShim.column(graft.functions.HostQuotaExpr(
-      ColumnShim.expression($"lim"), w, c))
+      ColumnShim.expression($"lim"), w, c, r))
     val joined = withLim.withColumn("quota", quotaCol)
 
     // W1: per-limiter priority dequeue, two-phase salted top-K. The

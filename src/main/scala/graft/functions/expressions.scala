@@ -59,11 +59,14 @@ case class SimHash64Expr(child: Expression)
   * 100M+ distinct hosts the dimension/broadcast would be a per-round
   * job + memory wall; this is just a projected column. */
 case class HostQuotaExpr(child: Expression, web: graft.core.SyntheticWeb,
-    cfg: graft.core.CrawlConfig) extends UnaryExpression with CodegenFallback {
+    cfg: graft.core.CrawlConfig, round: Long = 0L)
+    extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(h: Any): Any = {
     val key = h.asInstanceOf[UTF8String].toString
-    cfg.quotaFor(key, web.policy(key).crawl_delay_ms)
+    // round-aware: a rateLimitSchedule (mid-crawl setLimiterProperty)
+    // can change a limiter's delay for specific rounds
+    cfg.quotaForAt(key, web.policy(key).crawl_delay_ms, round)
   }
   override protected def withNewChildInternal(c: Expression): HostQuotaExpr =
     copy(child = c)

@@ -134,7 +134,7 @@ object RefSimulator {
         .groupBy(_.limiterKey)
         .iterator
         .flatMap { case (limKey, es) =>
-          val quota = cfg.quotaFor(limKey, policyOf(limKey).crawl_delay_ms)
+          val quota = cfg.quotaForAt(limKey, policyOf(limKey).crawl_delay_ms, r)
           es.sortBy(e => (e.priority, e.seq, e.urlHash)).take(quota)
         }
         .toVector

@@ -56,6 +56,30 @@ class EngineGoldenSpec extends AnyFunSuite {
     assertGolden(sim, eng)
   }
 
+  test("golden equality with a mid-crawl rate-limit schedule " +
+    "(setLimiterProperty while crawling)") {
+    val web = SyntheticWeb(nHosts = 5, pagesPerHost = 8, megaFactor = 3)
+    // throttle the mega-host to 1 fetch/round for rounds 2-3 only —
+    // the same pure schedule evaluated by both schedulers
+    val schedule: Long => Map[String, Long] = r =>
+      if (r == 2L || r == 3L) Map(web.hostName(0) -> 500L) else Map.empty
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 8,
+      rateLimitSchedule = Some(schedule))
+    val (sim, eng, _) = runBoth(web, 10, cfg)
+    assertGolden(sim, eng)
+    // the throttle really bit in its window and ONLY there: host 0's
+    // normal quota is 10/round (50 ms delay), throttled quota is 1
+    import eng.spark.implicits._
+    val byRound = eng.crawlLog()
+      .filter($"url_canon".contains(web.hostName(0)))
+      .groupBy($"round").count()
+      .as[(Long, Long)].collect().toMap
+    Seq(2L, 3L).foreach(r =>
+      byRound.get(r).foreach(n => assert(n <= 1L, s"round $r not throttled: $n")))
+    assert(byRound.exists { case (r, n) => r != 2L && r != 3L && n > 1L },
+      s"unthrottled rounds never exceeded the throttle: $byRound")
+  }
+
   test("golden equality with queue-during-crawl (midRunQueue injector)") {
     val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
     val extra = web.seedUrls(24).drop(12).distinct

@@ -86,6 +86,14 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!gate.contains("CartesianProduct") &&
       !gate.contains("BroadcastNestedLoopJoin"), "gate degenerated")
+    // the PRODUCTION gate (bucket-local pair enumeration) is join-free
+    // by construction: one scan, one (band, bkey) aggregate, explode
+    val prod = graft.operators.TextOps.pairsFromSignatures(
+      graft.operators.TextOps.signaturesOf(
+        spark.read.parquet(s"$dir/documents.parquet")))
+      .queryExecution.executedPlan.toString
+    assert(!prod.contains("Join"), s"bucket-enum gate grew a join:\n$prod")
+    assert(prod.contains("Generate"), "bucket-enum gate lost its pair explode")
   }
 
   test("banded exchanges carry ids only — no embedding/text arrays ride a band key") {
