@@ -62,11 +62,16 @@ object CrawlQueries {
     "q19_sessionize" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      // gap arithmetic in exact MICROSECONDS: second-truncating
+      // (unix_timestamp) vs second-rounding (epoch cast) semantics
+      // disagree for sub-second gaps right at the boundary — micros are
+      // exact in both engines at every scale
       val withGap = s.read.parquet(t(dir, "events"))
         .withColumn("prev_ts", lag($"ts", 1).over(w))
         .withColumn("new_session",
           when($"prev_ts".isNull ||
-            unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 3600, 1L)
+            unix_micros($"ts".cast("timestamp")) -
+              unix_micros($"prev_ts".cast("timestamp")) > 3600L * 1000000L, 1L)
             .otherwise(0L))
         .withColumn("session_id", sum($"new_session").over(
           w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -99,7 +104,7 @@ object CrawlQueries {
       """WITH g AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR CAST(epoch(ts) AS BIGINT) - CAST(epoch(lag(ts) OVER w) AS BIGINT) > 3600
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
         |      THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
