@@ -199,16 +199,26 @@ object Bench {
     // points at the file
     val statsPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STATS_OUT",
       "/root/repo/BENCH/driver_stats_last.json")
-    try {
-      val statsJson =
-        s"""{"stats_c2":${sarr(reps2.map(_.rep.stats))},
-           |"stats_c8":${sarr(reps8.map(_.rep.stats))},
-           |"seeds_c2":${reps2.reverse.map(_.seeds).mkString("[", ",", "]")},
-           |"seeds_c8":${reps8.reverse.map(_.seeds).mkString("[", ",", "]")}}""".stripMargin
-      val p = java.nio.file.Paths.get(statsPath)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.writeString(p, statsJson)
-    } catch { case _: Exception => () }
+    // the record must never point at a stale/absent file: delete any
+    // previous file first, and advertise stats_file only if THIS run's
+    // write landed (null otherwise)
+    val statsWritten: Boolean =
+      try {
+        val statsJson =
+          s"""{"stats_c2":${sarr(reps2.map(_.rep.stats))},
+             |"stats_c8":${sarr(reps8.map(_.rep.stats))},
+             |"seeds_c2":${reps2.reverse.map(_.seeds).mkString("[", ",", "]")},
+             |"seeds_c8":${reps8.reverse.map(_.seeds).mkString("[", ",", "]")}}""".stripMargin
+        val p = java.nio.file.Paths.get(statsPath)
+        java.nio.file.Files.deleteIfExists(p)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, statsJson)
+        true
+      } catch { case _: Exception => false }
+    val statsFileField =
+      if (statsWritten)
+        "\"" + statsPath.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      else "null"
     val crawl =
       f"""{"tput_urls_per_s_c32":$tput32%.0f,"wall_s_c32":$wall32%.1f,""" +
         s""""tput_urls_per_s_c32_lean":$leanStr,""" +
@@ -221,7 +231,7 @@ object Bench {
         s""""reps_c32":${arr(reps32.map(_.tput))},""" +
         s""""seeds_c2":${reps2.reverse.map(_.seeds).mkString("[", ",", "]")},""" +
         s""""seeds_c8":${reps8.reverse.map(_.seeds).mkString("[", ",", "]")},""" +
-        s""""stats_file":"$statsPath",""" +
+        s""""stats_file":$statsFileField,""" +
         s""""pair_mode":"local-cluster 1 vs 4 executors x 2 cores, lean frontier workload, 2 big rounds, >=2 interleaved same-size reps/level",""" +
         s""""c32_mode":"local[32] rich pages (BENCH_r01 headline protocol)",""" +
         s""""seeds":$seeds0,"rounds":$rounds}"""

@@ -68,19 +68,19 @@ object ContentCodec {
     * `Accept-Encoding` header means the client transparently accepts
     * gzip [PK:high]; an explicit value negotiates — gzip is served only
     * if the value mentions it. The headers string is the opaque
-    * JSON-ish map `queue({headers})` carries; the value is scanned
-    * between the key's `:` and the next `,`/`}` (synthetic model — a
-    * production HttpFetchSource parses real header maps). */
+    * JSON-ish map `queue({headers})` carries; the key is matched as a
+    * QUOTED JSON key and the whole quoted value is scanned, so commas
+    * inside the value (`"deflate, gzip"`) and the key's text appearing
+    * inside OTHER header values don't confuse the negotiation. (A
+    * production HttpFetchSource parses real header maps.) */
   def acceptsGzip(headers: String): Boolean = {
     if (headers == null) return true
-    val lower = headers.toLowerCase
-    val i = lower.indexOf("accept-encoding")
-    if (i < 0) return true
-    val colon = lower.indexOf(':', i)
-    if (colon < 0) return true
-    val end0 = lower.indexOf(',', colon)
-    val end1 = lower.indexOf('}', colon)
-    val end = Seq(end0, end1, lower.length).filter(_ >= 0).min
-    lower.substring(colon + 1, end).contains("gzip")
+    ContentCodec.AcceptEncodingRe.findFirstMatchIn(headers) match {
+      case None    => true
+      case Some(m) => m.group(1).toLowerCase.contains("gzip")
+    }
   }
+
+  private val AcceptEncodingRe =
+    """(?i)"accept-encoding"\s*:\s*"([^"]*)"""".r
 }

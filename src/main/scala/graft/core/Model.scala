@@ -146,10 +146,13 @@ case class CrawlConfig(
   /** Effective per-round politeness quota for a limiter key: a runtime
     * rate-limit override beats the policy's crawl delay; same formula
     * as [[HostPolicy.quota]], shared by engine and simulator. */
-  def quotaFor(limiterKey: String, policyDelayMs: => Long): Int = {
-    val delay = rateLimitOverrides.getOrElse(limiterKey, policyDelayMs)
-    math.max(1L, roundMs / math.max(1L, delay)).toInt
-  }
+  def quotaFor(limiterKey: String, policyDelayMs: => Long): Int =
+    quotaOfDelay(rateLimitOverrides.getOrElse(limiterKey, policyDelayMs))
+
+  /** THE quota formula for a resolved crawl delay — single-sourced for
+    * engine (HostQuotaExpr) and simulator. */
+  def quotaOfDelay(delayMs: Long): Int =
+    math.max(1L, roundMs / math.max(1L, delayMs)).toInt
 
   /** The overrides in force during round `r`: the static map layered
     * with the schedule's round-specific entries. */
@@ -160,10 +163,8 @@ case class CrawlConfig(
     }
 
   /** Round-aware [[quotaFor]] — the form both schedulers use. */
-  def quotaForAt(limiterKey: String, policyDelayMs: => Long, r: Long): Int = {
-    val delay = overridesAt(r).getOrElse(limiterKey, policyDelayMs)
-    math.max(1L, roundMs / math.max(1L, delay)).toInt
-  }
+  def quotaForAt(limiterKey: String, policyDelayMs: => Long, r: Long): Int =
+    quotaOfDelay(overridesAt(r).getOrElse(limiterKey, policyDelayMs))
 }
 
 /** Result of fetching+extracting one page (shared shape between engine

@@ -230,18 +230,24 @@ final class CrawlEngine(
       val s = roundCore(r)
       stats += s
       r += 1
-      // queue-during-crawl (node-crawler callbacks enqueue while the
-      // loop runs): the injector's requests land exactly like a
-      // between-drains queue() — the tail must commit first so the
-      // delta appends to round r+1's root
-      val injected = cfg.midRunQueue.map(_(r - 1)).getOrElse(Nil)
-      val nFresh =
-        if (injected.nonEmpty) enqueueRequests(injected) else 0L // awaits tail
-      if (s.admitted == 0 && nFresh == 0L) {
+      // drain probe FIRST when the round was empty: the simulator only
+      // runs (and only invokes the injector after) rounds where pending
+      // work existed, so a fully-drained frontier must exit WITHOUT
+      // consulting midRunQueue — the engine's trailing empty round is a
+      // probe, not a round the reference semantics ever execute
+      if (s.admitted == 0) {
         // no attempts → no links → nothing enqueued this round; the
         // drain probe needs the committed pending set, so sync first
         awaitTail()
         draining = pending().limit(1).count() == 0
+      }
+      if (!draining) {
+        // queue-during-crawl (node-crawler callbacks enqueue while the
+        // loop runs): the injector's requests land exactly like a
+        // between-drains queue() — the tail must commit first so the
+        // delta appends to round r+1's root
+        val injected = cfg.midRunQueue.map(_(r - 1)).getOrElse(Nil)
+        if (injected.nonEmpty) enqueueRequests(injected) // awaits the tail
       }
     }
     awaitTail()

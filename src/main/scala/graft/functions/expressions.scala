@@ -61,12 +61,18 @@ case class SimHash64Expr(child: Expression)
 case class HostQuotaExpr(child: Expression, web: graft.core.SyntheticWeb,
     cfg: graft.core.CrawlConfig, round: Long = 0L)
     extends UnaryExpression with CodegenFallback {
+  // round-aware: a rateLimitSchedule (mid-crawl setLimiterProperty) can
+  // change a limiter's delay for specific rounds. `round` is a
+  // constructor constant, so the effective override map (base ++
+  // schedule(round)) is computed ONCE per expression instance — never
+  // per candidate row (the schedule function + map merge on the
+  // dequeue hot path would be millions of allocations per round).
+  @transient private lazy val effOverrides: Map[String, Long] =
+    cfg.overridesAt(round)
   override def dataType: DataType = IntegerType
   override def nullSafeEval(h: Any): Any = {
     val key = h.asInstanceOf[UTF8String].toString
-    // round-aware: a rateLimitSchedule (mid-crawl setLimiterProperty)
-    // can change a limiter's delay for specific rounds
-    cfg.quotaForAt(key, web.policy(key).crawl_delay_ms, round)
+    cfg.quotaOfDelay(effOverrides.getOrElse(key, web.policy(key).crawl_delay_ms))
   }
   override protected def withNewChildInternal(c: Expression): HostQuotaExpr =
     copy(child = c)

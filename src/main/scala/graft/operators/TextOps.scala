@@ -357,8 +357,9 @@ object TextOps {
   }
 
   /** Release a cached entry's localCheckpoint storage (no-op for plans
-    * without one, e.g. a store-served parquet read). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+    * without one, e.g. a store-served parquet read). Shared with the
+    * streaming dedup's per-batch intermediate. */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
@@ -372,16 +373,15 @@ object TextOps {
     val fp = fingerprint(signatureSource(dir))
     val hit = cache.get(key)
     if (hit != null && hit.fp == fp) hit.df
-    else cache.synchronized {
-      val h2 = cache.get(key)
-      if (h2 != null && h2.fp == fp) h2.df
+    // per-KEY atomicity (CHM.compute): unrelated (session, dir) entries
+    // build concurrently — a global monitor would serialize every
+    // build behind whichever shingle scan got there first
+    else cache.compute(key, (_, old) =>
+      if (old != null && old.fp == fp) old
       else {
-        if (h2 != null) releaseCheckpoint(h2.df) // stale: corpus refreshed
-        val df = build
-        cache.put(key, CachedDf(fp, df))
-        df
-      }
-    }
+        if (old != null) releaseCheckpoint(old.df) // stale: corpus refreshed
+        CachedDf(fp, build)
+      }).df
   }
 
   /** Drop and release every cached intermediate for `dir` (all
@@ -390,13 +390,9 @@ object TextOps {
     * rather than at the next fingerprint miss. */
   def invalidateDir(dir: String): Unit =
     Seq(sigCache, pairsCache).foreach { cache =>
-      cache.synchronized {
-        val stale = cache.keySet().toArray(Array.empty[String])
-          .filter(_.endsWith("|" + dir))
-        stale.foreach { k =>
-          Option(cache.remove(k)).foreach(e => releaseCheckpoint(e.df))
-        }
-      }
+      cache.keySet().toArray(Array.empty[String])
+        .filter(_.endsWith("|" + dir))
+        .foreach(k => Option(cache.remove(k)).foreach(e => releaseCheckpoint(e.df)))
     }
 
   /** Session-scoped convenience: invalidate `dir`'s intermediates. */

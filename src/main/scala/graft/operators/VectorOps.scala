@@ -141,11 +141,14 @@ object VectorOps {
         .filter($"vec_id" % 10 === 0)
       // bucket-local pair enumeration: ONE scan + ONE (band, chunk)
       // aggregate + explode replaces the two-sided band self-join
-      // (same pair set; the oracle keeps the join formulation)
+      // (same pair set; the oracle mirrors the valve). The skew valve
+      // is MANDATORY in this formulation: a hot chunk would otherwise
+      // materialize all B²/2 pair structs of its bucket in one eval —
+      // the join form streamed them, the enum form must cap them.
       val cand = signBands(emb)
         .groupBy($"band", $"chunk")
         .agg(sort_array(collect_set($"vec_id")).as("ids"))
-        .filter(size($"ids") >= 2)
+        .filter(size($"ids") >= 2 && size($"ids") <= TextOps.MaxLshBucket)
         .select(explode(TextOps.bucketPairsExpr("vec_a", "vec_b")).as("p"))
         .select($"p.vec_a", $"p.vec_b")
         .distinct()
@@ -320,7 +323,11 @@ object VectorOps {
         |ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin,
     "q30_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
-         |bands AS (${signBandsSql("e")}),
+         |bands0 AS (${signBandsSql("e")}),
+         |bands AS (
+         |  SELECT vec_id, embedding, band, chunk FROM (
+         |    SELECT *, COUNT(*) OVER (PARTITION BY band, chunk) AS bsz FROM bands0)
+         |  WHERE bsz <= ${TextOps.MaxLshBucket}),
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bands a JOIN bands b

@@ -179,15 +179,9 @@ object StreamingOps {
     val survivors = sigs
       .join(dropVsStore.union(dropWithin).distinct(), Seq("doc_id"), "left_anti")
     survivors.write.mode("append").parquet(s"$storeDir/signatures")
-    releaseLocalCheckpoint(sigs) // the batch intermediate dies with the trigger
+    // the batch intermediate dies with the trigger
+    graft.operators.TextOps.releaseCheckpoint(sigs)
   }
-
-  private def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 
   /** Watermarked windowed aggregation over a parquet file stream of
     * events: count + sum(value) per (1h window, event_type). */

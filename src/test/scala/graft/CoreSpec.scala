@@ -407,6 +407,11 @@ class CoreSpec extends AnyFunSuite {
     assert(ContentCodec.acceptsGzip("""{"Accept-Encoding":"x-gzip"}"""))
     assert(!ContentCodec.acceptsGzip("""{"accept-encoding":"identity"}"""))
     assert(!ContentCodec.acceptsGzip("""{"accept-encoding":"deflate","x":"1"}"""))
+    // commas INSIDE the quoted value must not truncate the scan
+    assert(ContentCodec.acceptsGzip("""{"accept-encoding":"deflate, gzip"}"""))
+    // the key text appearing inside another header's VALUE is not a key
+    assert(ContentCodec.acceptsGzip(
+      """{"referer":"http://x/accept-encoding","cookie":"a=b"}"""))
   }
 
   test("gzip hosts serve Content-Encoding: gzip; decompress precedes charset " +

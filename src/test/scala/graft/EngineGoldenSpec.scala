@@ -104,6 +104,30 @@ class EngineGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("midRunQueue is NOT consulted at the drain round: an injector firing " +
+    "only after the reference's last round changes nothing (golden)") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5, megaFactor = 2)
+    val base = CrawlConfig(numBuckets = 4, roundMs = 2000, maxRounds = 20)
+    // learn where the reference drains with no injector...
+    val plain = RefSimulator.run(web, web.seedUrls(6), base)
+    val drainRound = plain.rounds.toLong // first round NEITHER scheduler runs
+    // ...then arm an injector that fires exactly there, with
+    // out-of-web URLs (they canonicalize, pass robots, and would fetch
+    // as 404 ATTEMPTS — observable rows). The simulator never invokes
+    // it; the engine's trailing empty probe round must not either.
+    val late = Seq("http://h0098.example/p/1", "http://h0099.example/p/2")
+    val injector: Long => Seq[SeedRequest] =
+      r => if (r >= drainRound) late.map(SeedRequest(_)) else Nil
+    val cfg = base.copy(midRunQueue = Some(injector))
+    val (sim, eng, _) = runBoth(web, 6, cfg)
+    assert(sim.crawlOrder === plain.crawlOrder, "sim fixture drifted")
+    assertGolden(sim, eng)
+    import eng.spark.implicits._
+    val order = eng.crawlLog().select("url_canon").as[String].collect().toSet
+    late.flatMap(UrlCanonicalizer.canonicalize).foreach(u =>
+      assert(!order.contains(u), s"post-drain injection was crawled: $u"))
+  }
+
   test("golden equality on the byte path across gzip hosts, HEAD requests, " +
     "and Accept-Encoding negotiation") {
     // nHosts=6 ⇒ hosts 1 and 5 serve Content-Encoding: gzip; the
