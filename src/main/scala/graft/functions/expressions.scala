@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -115,6 +115,103 @@ object Md5Ints4Expr {
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }
 
+/** `minhash_sig(text)`: the per-document MinHash signature — 32
+  * universal-hash minhashes over stride-4 8-char shingles plus the
+  * distinct 32-bit shingle-hash set — as ONE native expression.
+  *
+  * A document's signature is a pure function of its own text, so the
+  * classic shingle-explode → md5 → 33-way hash-aggregate formulation
+  * (millions of intermediate rows and a SHUFFLE per corpus scan) is
+  * structural overhead: this expression computes the identical values
+  * in a single pass per row — scan → project, embarrassingly parallel,
+  * zero exchanges at any corpus size. Bit-parity with the SQL
+  * formulation (the DuckDB oracles keep it) is by construction: the
+  * same character windows (substr semantics, UTF-8 encoded per
+  * window), the same md5-digest→4×int32 split as [[Md5Ints4Expr]],
+  * the same (a·h + b) mod 2³¹−1 transforms — asserted end-to-end by
+  * FunctionsSpec (incl. non-ASCII) and the store-vs-fresh-gate test.
+  *
+  * Output: struct(ss: array<long> ASC-sorted distinct h0 values,
+  * mh_0..mh_31: long) — the [[graft.operators.TextOps.signaturesOf]]
+  * row shape. Sorting `ss` makes persisted signature artifacts fully
+  * deterministic (collect_set order was not). */
+case class MinhashSigExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  import MinhashSigExpr._
+  override def dataType: DataType = schema
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    // SQL length()/substr() count CODE POINTS, not UTF-16 units — for
+    // supplementary characters the two diverge, so index by code point
+    // (identity mapping on the BMP-only fast path)
+    val utf16Len = text.length
+    val bmpOnly = text.codePointCount(0, utf16Len) == utf16Len
+    val cpOffsets: Array[Int] =
+      if (bmpOnly) null
+      else {
+        val cnt = text.codePointCount(0, utf16Len)
+        val o = new Array[Int](cnt + 1)
+        var u = 0; var c = 0
+        while (u < utf16Len) { o(c) = u; u = text.offsetByCodePoints(u, 1); c += 1 }
+        o(cnt) = utf16Len
+        o
+      }
+    val n = if (bmpOnly) utf16Len else cpOffsets.length - 1
+    def u16(cp: Int): Int = if (bmpOnly) cp else cpOffsets(cp)
+    val digest = digests.get()
+    val mins = new Array[Long](32)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val ssSet = new java.util.HashSet[Long]()
+    val lastStart = math.max(n - 7, 1) // 1-based, inclusive (substr semantics)
+    var i = 1
+    while (i <= lastStart) {
+      // substr(text, i, 8): code-point window, UTF-8 encoded per window
+      val end = math.min(i - 1 + 8, n)
+      val window = text.substring(u16(i - 1), u16(end))
+      digest.reset()
+      val d = digest.digest(window.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 4) {
+        val h = ((d(4 * j) & 0xFFL) << 24) | ((d(4 * j + 1) & 0xFFL) << 16) |
+          ((d(4 * j + 2) & 0xFFL) << 8) | (d(4 * j + 3) & 0xFFL)
+        if (j == 0) ssSet.add(h)
+        var k = j
+        while (k < 32) { // functions k with k % 4 == j consume h_j
+          val m = (h * A(k) + B(k)) % graft.operators.TextOps.MinhashP
+          if (m < mins(k)) mins(k) = m
+          k += 4
+        }
+        j += 1
+      }
+      i += 4
+    }
+    val ss = new Array[Long](ssSet.size())
+    val it = ssSet.iterator()
+    var z = 0
+    while (it.hasNext) { ss(z) = it.next(); z += 1 }
+    java.util.Arrays.sort(ss)
+    val out = new Array[Any](33)
+    out(0) = new GenericArrayData(ss)
+    var k = 0
+    while (k < 32) { out(k + 1) = mins(k); k += 1 }
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
+  override protected def withNewChildInternal(c: Expression): MinhashSigExpr =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinhashSigExpr {
+  import graft.operators.TextOps.minhashParams
+  private val A: Array[Long] = Array.tabulate(32)(i => minhashParams(i)._1)
+  private val B: Array[Long] = Array.tabulate(32)(i => minhashParams(i)._2)
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+  val schema: StructType = StructType(
+    StructField("ss", ArrayType(LongType, containsNull = false)) +:
+      (0 until 32).map(i => StructField(s"mh_$i", LongType, nullable = false)))
+}
+
 /** `ivf_assign(array<double>)`: k-means argmin assignment — cid of the
   * centroid minimizing (c·c − 2 v·c), ties to the lowest cid (the
   * oracle's row_number() OVER (ORDER BY d, cid)). Centroids ride a
@@ -194,6 +291,8 @@ object GraftFunctions {
     ColumnShim.column(SimHash64Expr(ColumnShim.expression(c)))
   def md5_ints4(c: Column): Column =
     ColumnShim.column(Md5Ints4Expr(ColumnShim.expression(c)))
+  def minhash_sig(c: Column): Column =
+    ColumnShim.column(MinhashSigExpr(ColumnShim.expression(c)))
 
   /** Register for SQL use in an existing session. */
   def register(spark: SparkSession): Unit = {
@@ -203,6 +302,8 @@ object GraftFunctions {
       "simhash64", es => SimHash64Expr(es.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_ints4", es => Md5Ints4Expr(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", es => MinhashSigExpr(es.head), "scala_udf")
   }
 }
 
@@ -224,5 +325,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_ints4"),
       new ExpressionInfo(classOf[Md5Ints4Expr].getName, "md5_ints4"),
       (es: Seq[Expression]) => Md5Ints4Expr(es.head)))
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash_sig"),
+      (es: Seq[Expression]) => MinhashSigExpr(es.head)))
   }
 }

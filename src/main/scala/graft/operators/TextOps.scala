@@ -412,8 +412,28 @@ object TextOps {
     * signatures table refreshed with the corpus. */
   /** The signature computation for an ARBITRARY documents frame
     * (doc_id, text, ...) — the batch body of [[perDocSignatures]] and
-    * the per-micro-batch step of the streaming near-dup dedup. */
+    * the per-micro-batch step of the streaming near-dup dedup.
+    *
+    * ONE native expression per row ([[graft.functions.MinhashSigExpr]]):
+    * a document's signature is a pure function of its own text, so the
+    * plan is scan → project — no shingle explode, no md5 row stream,
+    * no 33-way hash aggregate, NO SHUFFLE at any corpus size. The SQL
+    * formulation survives as [[signaturesOfSql]] (cross-checked
+    * bit-equal in FunctionsSpec) and in the DuckDB oracles. */
   def signaturesOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val sig = ColumnShim.column(
+      graft.functions.MinhashSigExpr(ColumnShim.expression(col("text"))))
+    docs.select(col("doc_id"), sig.as("s"))
+      .select(col("doc_id") +: col("s.ss").as("ss") +:
+        (0 until 32).map(i => col(s"s.mh_$i").as(s"mh_$i")): _*)
+  }
+
+  /** The classic relational formulation of [[signaturesOf]] (shingle
+    * explode → md5 → hash aggregate) — kept as the cross-check twin of
+    * the native expression and as documentation of the oracle's shape.
+    * `ss` is sorted to match the native output's deterministic order. */
+  private[graft] def signaturesOfSql(docs: DataFrame): DataFrame = {
     val shr = docs
       .select(col("doc_id"),
         explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)), lit(4))).as("i"),
@@ -425,7 +445,7 @@ object TextOps {
       .withColumn("hs", md5Ints4(col("sh")))
       .select(col("doc_id") +: (0 until 4).map(j =>
         element_at(col("hs"), j + 1).as(s"h$j")): _*)
-    val aggs = collect_set(col("h0")).as("ss") +: (0 until 32).map { i =>
+    val aggs = sort_array(collect_set(col("h0"))).as("ss") +: (0 until 32).map { i =>
       val (a, b) = minhashParams(i)
       min((col(s"h${i % 4}") * a + b) % MinhashP).as(s"mh_$i")
     }

@@ -85,6 +85,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(SpanCodec.unpackRows(Array.emptyByteArray).numElements() === 0)
   }
 
+  test("minhash_sig native expression is bit-equal to the relational " +
+    "formulation (shingle explode + md5 + 33-way aggregate), incl. edges") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // real corpus texts + adversarial edges: shorter than one shingle,
+    // exactly one shingle, non-ASCII (UTF-8 multi-byte windows),
+    // repeated content (min saturation)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().take(60)
+    val edges = Seq(
+      (100001L, "tiny"), (100002L, "exactly8"), (100003L, "nine char"),
+      (100004L, "héllo wörld über ångström œuvre déjà-vu " * 3),
+      (100005L, "samesame" * 40), (100006L, "a"),
+      (100007L, "日本語のテキストです、マルチバイト文字。" * 2),
+      // supplementary plane: code-point vs UTF-16 indexing must agree
+      (100008L, "emoji 😀 and more 🎉 text with 𝕌𝕟𝕚𝕔𝕠𝕕𝕖 beyond the BMP here"))
+    val docs = (corpus.toSeq ++ edges).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getAs[Long]("doc_id"),
+          r.getAs[scala.collection.Seq[Long]]("ss").toSeq,
+          (0 until 32).map(i => r.getAs[Long](s"mh_$i")))
+      }.sortBy(_._1).toSeq
+    val native = canon(TextOps.signaturesOf(docs))
+    val sql = canon(TextOps.signaturesOfSql(docs))
+    assert(native.length === sql.length)
+    native.zip(sql).foreach { case (n, s) =>
+      assert(n._1 === s._1)
+      assert(n._2 === s._2, s"ss mismatch for doc ${n._1}")
+      assert(n._3 === s._3, s"minhash mismatch for doc ${n._1}")
+    }
+    // and the plan really is shuffle-free: scan → project, no exchange
+    val plan = TextOps.signaturesOf(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"native signature plan shuffles:\n$plan")
+  }
+
   test("BloomAggregator: partial-merge build, no false negatives") {
     import spark.implicits._
     val keys = (0L until 2000L).map(graft.core.Hashing.splitmix64)
