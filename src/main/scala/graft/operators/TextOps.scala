@@ -150,6 +150,14 @@ object TextOps {
       val perDoc = perDocSignatures(s, dir)
       // 16 bands × 2 rows (skew-valved, mirrored in the oracle)
       val cand = pairsFromSignatures(perDoc, nBands = 16, rowsPerBand = 2)
+      // re-rank: id-keyed shuffle joins of the candidate pairs against
+      // the per-doc hashed-int sets. Deliberately NOT the broadcast-
+      // candidate shape (q30): the sets are compact (~250 ints/doc,
+      // ~1% of corpus bytes — the same table SignatureStore persists),
+      // so shuffling them is cheap and parallel, while two serial
+      // driver-side broadcast builds measured SLOWER at every scale
+      // tried. Unlike q30's wide float arrays, there is no heavy-array
+      // shuffle to avoid here.
       val sets = perDoc.select($"doc_id", $"ss")
       cand
         .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), "doc_a")
