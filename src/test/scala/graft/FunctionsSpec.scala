@@ -53,6 +53,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(0) === "http://h.example/y")
     val h = spark.sql("SELECT simhash64(array('a','b','c')) AS h").head()
     assert(h.getLong(0) === graft.operators.TextOps.simhash(Seq("a", "b", "c")))
+    // minhash_sig in SQL: struct field access, values match the API form
+    val sig = spark.sql(
+      "SELECT minhash_sig('the quick brown fox jumps over me').mh_0 AS m").head()
+    import spark.implicits._
+    val viaApi = graft.operators.TextOps.signaturesOf(
+      Seq((1L, "the quick brown fox jumps over me")).toDF("doc_id", "text"))
+      .select($"mh_0").head().getLong(0)
+    assert(sig.getLong(0) === viaApi)
   }
 
   test("simhash64 expression equals the Scala implementation") {
