@@ -191,21 +191,20 @@ final class Crawler(
   def run(onAttempt: AttemptEvent => Unit): CrawlResult = {
     val startRound = engine.nextRound
     val result = run()
-    val it = engine.attemptEvents(startRound).toLocalIterator()
+    val events = engine.attemptEvents(startRound)
+    if (events.columns.isEmpty) return result // no attempts table yet
+    // hoist the name→ordinal resolution out of the per-attempt loop
+    val idx = Seq("round", "url_canon", "priority", "discovered_seq",
+      "retry_count", "ok", "has_doc", "user_data", "limiter", "method",
+      "headers").map(events.schema.fieldIndex)
+    val it = events.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
       onAttempt(AttemptEvent(
-        r.getLong(r.fieldIndex("round")),
-        r.getString(r.fieldIndex("url_canon")),
-        r.getInt(r.fieldIndex("priority")),
-        r.getLong(r.fieldIndex("discovered_seq")),
-        r.getInt(r.fieldIndex("retry_count")),
-        r.getBoolean(r.fieldIndex("ok")),
-        r.getBoolean(r.fieldIndex("has_doc")),
-        r.getString(r.fieldIndex("user_data")),
-        r.getString(r.fieldIndex("limiter")),
-        r.getString(r.fieldIndex("method")),
-        r.getString(r.fieldIndex("headers"))))
+        r.getLong(idx(0)), r.getString(idx(1)), r.getInt(idx(2)),
+        r.getLong(idx(3)), r.getInt(idx(4)), r.getBoolean(idx(5)),
+        r.getBoolean(idx(6)), r.getString(idx(7)), r.getString(idx(8)),
+        r.getString(idx(9)), r.getString(idx(10))))
     }
     result
   }

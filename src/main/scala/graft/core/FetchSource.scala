@@ -99,10 +99,18 @@ final class TimeoutFetchSource(inner: FetchSource, timeoutMs: Long)
         // the watchdog thread occupied after the cancel — if so, abandon
         // the executor and give later fetches a fresh thread; otherwise
         // every subsequent fetch in the partition would queue behind the
-        // stuck one and falsely time out, cascading ok=false
+        // stuck one and falsely time out, cascading ok=false. Stuckness
+        // is judged by the EXECUTOR's active count, not only the
+        // callable's own flag — that closes the (theoretical) window
+        // where the cancel lands after the task started but before the
+        // flag was set.
+        def occupied: Boolean = running.get() || (exec match {
+          case t: java.util.concurrent.ThreadPoolExecutor => t.getActiveCount > 0
+          case _ => false
+        })
         val grace = System.nanoTime() + 20L * 1000 * 1000
-        while (running.get() && System.nanoTime() < grace) Thread.onSpinWait()
-        if (running.get()) { exec.shutdownNow(); exec = mkExec() }
+        while (occupied && System.nanoTime() < grace) Thread.onSpinWait()
+        if (occupied) { exec.shutdownNow(); exec = mkExec() }
         FetchResult(ok = false, Nil, Nil)
       case e: ExecutionException => throw e.getCause
     }

@@ -141,7 +141,8 @@ final class CrawlEngine(
     * snapshot. Call between runs (or via `midRunQueue` between
     * rounds), never concurrently with an in-flight round. Returns the
     * number of genuinely NEW rows enqueued (0 = everything was a
-    * duplicate or inadmissible — the drain probe relies on this). */
+    * duplicate or inadmissible) — informational for callers; the run
+    * loop's drain probe reads the committed pending set directly. */
   def enqueueRequests(reqs: Seq[SeedRequest]): Long = {
     if (ice.currentManifest(FRONTIER).isEmpty) {
       initRequests(reqs)

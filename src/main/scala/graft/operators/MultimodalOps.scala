@@ -38,12 +38,14 @@ object MultimodalOps {
     /** Fit the decoded dimensions into a `box`×`box` square preserving
       * aspect ratio (integer arithmetic — exact in any engine). The
       * geometry planning is codec-independent; a real decoder also
-      * re-encodes pixels at the new size inside this seam. */
-    def resizeBox(payload: Array[Byte], box: Long): (Long, Long) = {
-      val m = decode(payload)
-      val mx = math.max(m.width, m.height) max 1L
-      (m.width * box / mx, m.height * box / mx)
+      * re-encodes pixels at the new size inside this seam. Callers
+      * that already decoded pass the meta — no second decode per row. */
+    def resizeBox(meta: DecodedMeta, box: Long): (Long, Long) = {
+      val mx = math.max(meta.width, meta.height) max 1L
+      (meta.width * box / mx, meta.height * box / mx)
     }
+    def resizeBox(payload: Array[Byte], box: Long): (Long, Long) =
+      resizeBox(decode(payload), box)
     /** Payload feature extraction: byte-level statistics (count, mean,
       * max, distinct) — the shape of a real feature head (a pooled
       * embedding) with a deterministic, engine-portable body. */
@@ -159,8 +161,8 @@ object MultimodalOps {
         .as[MediaRow]
       media.mapPartitions { it =>
         Decoder.decodePartition(it, () => new StubDecoder) { (dec, m) =>
-          val meta = dec.decode(m.payload)
-          val (dw, dh) = dec.resizeBox(m.payload, ResizeBox)
+          val meta = dec.decode(m.payload) // ONE decode per row
+          val (dw, dh) = dec.resizeBox(meta, ResizeBox)
           Resized(m.doc_id, meta.width, meta.height, dw, dh)
         }
       }.toDF().orderBy($"doc_id")

@@ -308,7 +308,7 @@ object TextOps {
     * snapshot-id analog a table format would provide). A read against a
     * refreshed corpus misses the fingerprint, releases the stale
     * entry's localCheckpoint blocks, and rebuilds — no stale results,
-    * no executor storage pinned past a refresh. [[invalidateCaches]]
+    * no executor storage pinned past a refresh. [[invalidateDir]]
     * releases explicitly. */
   private final case class CachedDf(fp: String, df: DataFrame)
   private val pairsCache =
@@ -349,19 +349,30 @@ object TextOps {
   /** Content fingerprint of a parquet path (file or directory): every
     * data file's (relative path, length, mtime) folded into one hash.
     * Any rewrite — even same-size — bumps mtime, so a refreshed corpus
-    * can't serve a stale intermediate. */
-  private def fingerprint(path: String): String = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(path)
-    if (!Files.exists(root)) return "missing"
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walk(p: java.nio.file.Path): Unit =
-      if (Files.isDirectory(p)) {
-        val it = Files.list(p)
-        try it.iterator().forEachRemaining(c => walk(c)) finally it.close()
-      } else entries += s"${root.relativize(p)}|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
-    walk(root)
-    java.lang.Long.toHexString(Hashing.xxhash64(entries.sorted.mkString("\n")))
+    * can't serve a stale intermediate. Resolved through the session's
+    * HADOOP FileSystem, so hdfs://, s3a://, file:// and bare local
+    * paths all fingerprint correctly (a java.nio walk would silently
+    * return a constant for remote URIs — and a constant fingerprint is
+    * a stale-cache bug, the exact failure this mechanism exists to
+    * prevent). */
+  private def fingerprint(s: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    try {
+      val root = new HPath(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) return "missing"
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(root, true) // recursive, files only
+      while (it.hasNext) {
+        val f = it.next()
+        entries += s"${f.getPath.toUri.getPath}|${f.getLen}|${f.getModificationTime}"
+      }
+      java.lang.Long.toHexString(Hashing.xxhash64(entries.sorted.mkString("\n")))
+    } catch {
+      // a listing failure must NOT silently pin a stale entry: a
+      // unique token forces a rebuild instead
+      case e: Exception => s"unreadable-${System.nanoTime()}"
+    }
   }
 
   /** Release a cached entry's localCheckpoint storage (no-op for plans
@@ -378,7 +389,7 @@ object TextOps {
       cache: java.util.concurrent.ConcurrentHashMap[String, CachedDf],
       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     val key = sessionKey(s) + "|" + dir
-    val fp = fingerprint(signatureSource(dir))
+    val fp = fingerprint(s, signatureSource(dir))
     val hit = cache.get(key)
     if (hit != null && hit.fp == fp) hit.df
     // per-KEY atomicity (CHM.compute): unrelated (session, dir) entries
@@ -403,8 +414,6 @@ object TextOps {
         .foreach(k => Option(cache.remove(k)).foreach(e => releaseCheckpoint(e.df)))
     }
 
-  /** Session-scoped convenience: invalidate `dir`'s intermediates. */
-  def invalidateCaches(s: SparkSession, dir: String): Unit = invalidateDir(dir)
 
   /** Native md5→4×int32 column (the shingle-hash hot path). */
   private def md5Ints4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -496,6 +505,14 @@ object TextOps {
     * one exchange and zero joins instead of a window + two shuffled
     * join sides. Shared by the session cache,
     * [[SignatureStore.candidatePairs]], and the streaming dedup. */
+  /** `capped_sorted_set(c, cap)` as a Column — the O(cap)-state bucket
+    * collector (NULL past the cap; see [[graft.functions.CappedSortedSetAgg]]). */
+  def cappedSortedSet(c: Column, cap: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.CappedSortedSetAgg(
+      ColumnShim.expression(c), cap).toAggregateExpression())
+  }
+
   def pairsFromSignatures(sigs: DataFrame, nBands: Int = 8,
       rowsPerBand: Int = 4): DataFrame = {
     val bandCols = array((0 until nBands).map(b =>
@@ -505,9 +522,12 @@ object TextOps {
     sigs.select(col("doc_id"), explode(bandCols).as("bc"))
       .select(col("doc_id"), col("bc.band"), col("bc.bkey"))
       .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      // skew valve (oracle-mirrored) + singleton buckets carry no pairs
-      .filter(size(col("ids")) <= MaxLshBucket && size(col("ids")) >= 2)
+      // the skew valve lives INSIDE the aggregation buffer: an over-cap
+      // bucket collapses to NULL at O(cap) state instead of
+      // materializing its full id set first (oracle-mirrored semantics:
+      // NULL here ≡ the bsz > cap window filter there)
+      .agg(cappedSortedSet(col("doc_id"), MaxLshBucket).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(bucketPairsExpr("doc_a", "doc_b")).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()

@@ -147,8 +147,8 @@ object VectorOps {
       // the join form streamed them, the enum form must cap them.
       val cand = signBands(emb)
         .groupBy($"band", $"chunk")
-        .agg(sort_array(collect_set($"vec_id")).as("ids"))
-        .filter(size($"ids") >= 2 && size($"ids") <= TextOps.MaxLshBucket)
+        .agg(TextOps.cappedSortedSet($"vec_id", TextOps.MaxLshBucket).as("ids"))
+        .filter($"ids".isNotNull && size($"ids") >= 2)
         .select(explode(TextOps.bucketPairsExpr("vec_a", "vec_b")).as("p"))
         .select($"p.vec_a", $"p.vec_b")
         .distinct()

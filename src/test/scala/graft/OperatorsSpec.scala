@@ -172,6 +172,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames(1)._2 === payload(16).toInt)
   }
 
+  test("multimodal fixture contract: documents.text is pure ASCII (the byte " +
+    "arithmetic the q32/q33/q48/q49 oracles share)") {
+    import spark.implicits._
+    val nonAscii = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .filter(org.apache.spark.sql.functions.length($"text") !==
+        org.apache.spark.sql.functions.octet_length($"text"))
+      .count()
+    assert(nonAscii === 0L,
+      "corpus gained non-ASCII text: the multimodal oracles' ord()/ascii() " +
+        "byte arithmetic no longer matches UTF-8 payload bytes")
+  }
+
+  test("capped_sorted_set: exact sorted set under the cap, NULL past it, " +
+    "O(cap) buffer via overflow collapse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextOps
+    val df = (0L until 2000L).map(i => (if (i < 1800) "big" else "small", i % 600))
+      .toDF("g", "v")
+      .repartition(8) // force partial buffers + merges
+      .groupBy($"g").agg(TextOps.cappedSortedSet($"v", 512).as("ids"))
+    val rows = df.collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(rows("big").isEmpty, "600 distinct values > cap 512 must be NULL")
+    val small = rows("small").get
+    assert(small === small.sorted && small.toSet === (1800L until 2000L).map(_ % 600).toSet)
+  }
+
   test("stub decoder: resize fits the box preserving aspect; features recompute") {
     val dec = new MultimodalOps.StubDecoder
     val payload = "some synthetic media payload bytes 0123".getBytes("UTF-8")
