@@ -145,6 +145,11 @@ object VectorOps {
       // is MANDATORY in this formulation: a hot chunk would otherwise
       // materialize all B²/2 pair structs of its bucket in one eval —
       // the join form streamed them, the enum form must cap them.
+      // (a localCheckpoint of cand — it feeds both broadcast builds —
+      // was measured a wash at every scale tried: the saved re-eval
+      // equals the checkpoint job, and the blocks would pin storage
+      // per call. A pipeline reusing the pair set materializes it to a
+      // table instead, the SignatureStore pattern.)
       val cand = signBands(emb)
         .groupBy($"band", $"chunk")
         .agg(TextOps.cappedSortedSet($"vec_id", TextOps.MaxLshBucket).as("ids"))
