@@ -26,9 +26,10 @@ object SparkEntry {
       VectorOps.queries ++ MultimodalOps.queries ++ PipelineOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
-    * on the same parquet tables. Every query has an oracle (45/45 —
+    * on the same parquet tables. Every query has an oracle —
     * q27/q28/q31 gained portable SQL formulations in round 2; the
-    * round-3 curation ops q40–q45 shipped with theirs). */
+    * curation ops q40–q45 (round 3) and the cleaning/multimodal ops
+    * q46–q49 (round 4) shipped with theirs. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CrawlQueries.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles

@@ -133,14 +133,18 @@ case class CrawlConfig(
     // drains (seen-deduped, seq strictly after existing, due r+1). A
     // drain only happens when the hook injects nothing AND the pending
     // set is empty. The simulator runs the identical function at the
-    // identical point, so crawl order stays golden.
+    // identical point, so crawl order stays golden. Must be
+    // SERIALIZABLE (it rides CrawlConfig into executor-shipped
+    // expressions — a lambda is; one capturing non-serializable driver
+    // state fails task serialization), same contract as preRequest.
     midRunQueue: Option[Long => Seq[SeedRequest]] = None,
     // mid-crawl limiter changes (node-crawler `setLimiterProperty`
     // WHILE crawling [PK:high]) as the BSP analog: a PURE function of
     // the round number yielding extra per-limiter crawl-delay
     // overrides for that round, layered over `rateLimitOverrides`.
     // Evaluated identically by engine and simulator, so crawl order
-    // stays golden.
+    // stays golden. Must be SERIALIZABLE — HostQuotaExpr evaluates it
+    // ON EXECUTORS (same contract as preRequest/midRunQueue).
     rateLimitSchedule: Option[Long => Map[String, Long]] = None) {
 
   /** Effective per-round politeness quota for a limiter key: a runtime

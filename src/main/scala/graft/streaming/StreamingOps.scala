@@ -134,10 +134,18 @@ object StreamingOps {
     * q23/q24/q40. State is the store itself (~1% of corpus bytes, the
     * batch pipeline's own table) — no unbounded in-memory state, and a
     * batch rebuild of the store over the surviving documents
-    * reproduces it row-for-row (StreamingSpec). At warehouse scale the
-    * append becomes a MERGE keyed by (batchId, doc_id) for exactly-once
-    * re-delivery; the sandbox test drives one AvailableNow pass per
-    * batch. */
+    * reproduces it row-for-row (StreamingSpec).
+    *
+    * EXACTLY-ONCE under foreachBatch retry (round-4 verdict #1): each
+    * micro-batch owns the `signatures/batch=<batchId>/` subdirectory
+    * and OVERWRITES it, so a replay of a failed batch atomically
+    * replaces its own partial rows instead of appending duplicates,
+    * and the cross-batch gate reads only batches strictly BEFORE the
+    * current one — a replay sees exactly the pre-batch store. Store
+    * paths resolve through the session's Hadoop FileSystem, so
+    * hdfs:// and s3a:// store dirs gate correctly (a java.nio
+    * existence check silently returned false there — the round-4
+    * defect). */
   def nearDupDedupStream(spark: SparkSession, inputDir: String,
       storeDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -145,17 +153,19 @@ object StreamingOps {
       .schema(documentsSchema)
       .parquet(inputDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        dedupBatchAppend(batch.toDF(), storeDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        dedupBatchAppend(batch.toDF(), batchId, storeDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
   /** One micro-batch of the incremental dedup: band-gate the batch
-    * against the store and itself, append survivors' signatures. */
-  def dedupBatchAppend(batch: DataFrame, storeDir: String): Unit = {
-    import graft.operators.{SignatureStore, TextOps}
+    * against the prior-batch store and itself, then atomically
+    * (re)write this batch's survivor partition. Idempotent: calling it
+    * again with the same (batch, batchId) leaves the store row-equal. */
+  def dedupBatchAppend(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
+    import graft.operators.TextOps
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
@@ -163,24 +173,37 @@ object StreamingOps {
     // once and reused by both gates and the append
     val sigs = TextOps.signaturesOf(batch.select($"doc_id", $"text"))
       .localCheckpoint(true)
-    // (a) cross-batch gate: any band-bucket match against the store
+    // (a) cross-batch gate: any band-bucket match against the store —
+    // prior batches only, discovered through the session's Hadoop FS
     val batchBands = TextOps.signatureBands(sigs)
-    val storeExists =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(s"$storeDir/signatures"))
+    val sigRoot = new org.apache.hadoop.fs.Path(s"$storeDir/signatures")
+    val fs = sigRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val priorBatches: Seq[Long] =
+      if (!fs.exists(sigRoot)) Nil
+      else fs.listStatus(sigRoot).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        .filter(_ < batchId) // a retry must not gate on its own partial rows
     val dropVsStore =
-      if (!storeExists) spark.emptyDataset[Long].toDF("doc_id")
-      else batchBands
-        .join(TextOps.signatureBands(SignatureStore.signatures(spark, storeDir))
-          .select($"band", $"bkey"), Seq("band", "bkey"))
-        .select($"doc_id").distinct()
+      if (priorBatches.isEmpty) spark.emptyDataset[Long].toDF("doc_id")
+      else {
+        val store = spark.read.parquet(s"$storeDir/signatures")
+          .where($"batch".isin(priorBatches: _*)) // partition-pruned scan
+          .drop("batch")
+        batchBands
+          .join(TextOps.signatureBands(store).select($"band", $"bkey"),
+            Seq("band", "bkey"))
+          .select($"doc_id").distinct()
+      }
     // (b) within-batch gate: min-id survivor per candidate pair
     val dropWithin = TextOps.pairsFromSignatures(sigs)
       .select($"doc_b".as("doc_id")).distinct()
     val survivors = sigs
       .join(dropVsStore.union(dropWithin).distinct(), Seq("doc_id"), "left_anti")
-    survivors.write.mode("append").parquet(s"$storeDir/signatures")
+    survivors.write.mode("overwrite")
+      .parquet(s"$storeDir/signatures/batch=$batchId")
     // the batch intermediate dies with the trigger
-    graft.operators.TextOps.releaseCheckpoint(sigs)
+    TextOps.releaseCheckpoint(sigs)
   }
 
   /** Watermarked windowed aggregation over a parquet file stream of

@@ -78,6 +78,34 @@ class SignatureStoreSpec extends AnyFunSuite {
       "invalidateDir left checkpoint blocks pinned")
   }
 
+  test("a pinned snapshot token makes cache validation listing-free") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val txt = "lithium sodium potassium rubidium caesium francium metal " * 8
+    writeDocs(dir, Seq(20L -> txt, 21L -> (txt + " y"), 22L -> ("halogen fluorine chlorine " * 15)))
+    val store = Files.createTempDirectory("graft-snap-store").toString
+    SignatureStore.build(spark, dir, store)
+    // attach WITH a snapshot token: the token is the fingerprint — no
+    // recursive store listing on any subsequent query-call validation
+    SignatureStore.attach(dir, store, snapshot = "v1")
+    try {
+      val n0 = TextOps.fingerprintListings.get()
+      val p1 = TextOps.lshCandidatePairs(spark, dir).as[(Long, Long)].collect().toSet
+      (1 to 5).foreach { _ =>
+        val p = TextOps.lshCandidatePairs(spark, dir).as[(Long, Long)].collect().toSet
+        assert(p === p1)
+        TextOps.perDocSignatures(spark, dir).count()
+      }
+      assert(TextOps.fingerprintListings.get() === n0,
+        "pinned-token validation still performed file listings")
+      // rotating the token invalidates: the next call rebuilds (and the
+      // result stays correct — the store is unchanged, so pairs agree)
+      TextOps.pinSnapshot(dir, "v2")
+      val p2 = TextOps.lshCandidatePairs(spark, dir).as[(Long, Long)].collect().toSet
+      assert(p2 === p1)
+    } finally TextOps.detachStore(dir)
+  }
+
   test("attachStore routes the session intermediates through the store") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-attach").toString

@@ -171,6 +171,49 @@ class StreamingSpec extends AnyFunSuite {
       "incremental store diverges from batch rebuild")
   }
 
+  test("incremental MinHash dedup gates on a scheme-qualified (file:) store " +
+    "path and a replayed batch leaves the store row-equal") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // the round-4 defect class: a java.nio existence probe returns
+    // false for any scheme-qualified URI, silently disabling the
+    // cross-batch gate. The store dir here is a file:-scheme URI that
+    // only resolves through the Hadoop FileSystem — the same resolution
+    // path hdfs:// and s3a:// take.
+    val localStore = Files.createTempDirectory("graft-snd-uri").toString
+    val store = "file:" + localStore
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val tC = "quark lepton boson gluon photon meson baryon hadron spin charm " * 8
+    def mk(rows: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+      rows.map { case (i, t) => (i, t, "en", "web") }
+        .toDF("doc_id", "text", "lang", "source")
+    def storeIds: Set[Long] = spark.read.parquet(s"$store/signatures")
+      .select("doc_id").as[Long].collect().toSet
+
+    StreamingOps.dedupBatchAppend(mk(Seq(1L -> tA)), batchId = 0L, store)
+    assert(storeIds === Set(1L))
+    // batch 1: doc 4 near-dups batch 0's tA — MUST drop via the store
+    // gate (with the java.nio probe this leaked through); doc 5 is new
+    StreamingOps.dedupBatchAppend(mk(Seq(4L -> (tA + " more"), 5L -> tC)),
+      batchId = 1L, store)
+    assert(storeIds === Set(1L, 5L),
+      s"cross-batch gate did not fire on a file:-scheme store: $storeIds")
+
+    // foreachBatch RETRY: replaying batch 1 must not duplicate rows or
+    // drop extra docs (the batch=1 partition is atomically replaced and
+    // the gate reads only batch < 1)
+    StreamingOps.dedupBatchAppend(mk(Seq(4L -> (tA + " more"), 5L -> tC)),
+      batchId = 1L, store)
+    val rows = spark.read.parquet(s"$store/signatures")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(rows.sorted === Seq(1L, 5L),
+      s"replayed batch changed the store: $rows")
+    // and the replayed store still equals a clean batch rebuild
+    val rebuilt = TextOps.signaturesOf(mk(Seq(1L -> tA, 5L -> tC)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(storeIds === rebuilt)
+  }
+
   test("watermarked windowed aggregation over the events file stream") {
     val cp = Files.createTempDirectory("graft-cp3").toString
     val q = StreamingOps.eventWindowCounts(spark, "/root/testdata/sf0.001")
