@@ -51,7 +51,16 @@ final case class CrawlerOptions(
     midRunQueue: Option[Long => Seq[SeedRequest]] = None,
     // mid-crawl setLimiterProperty: per-round extra crawl-delay
     // overrides, layered over rateLimits for that round only
-    rateLimitSchedule: Option[Long => Map[String, Long]] = None)
+    rateLimitSchedule: Option[Long => Map[String, Long]] = None,
+    // HTTP identity (node-crawler `userAgent`/`rotateUA`/`referer`/
+    // `jar`/proxy pool [PK:high]): one UA or a rotated pool, a fixed
+    // Referer, the per-host session-cookie jar, and a rotated proxy
+    // pool recorded on every attempt row
+    userAgents: Seq[String] = Nil,
+    rotateUA: Boolean = false,
+    referer: Option[String] = None,
+    cookieJar: Boolean = false,
+    proxies: Seq[String] = Nil)
 
 /** One fetch attempt as node-crawler's per-task
   * `callback(error, res, done)` observes it [PK:high], in total crawl
@@ -64,7 +73,10 @@ final case class CrawlerOptions(
 final case class AttemptEvent(
     round: Long, urlCanon: String, priority: Int, discoveredSeq: Long,
     retryCount: Int, ok: Boolean, hasDoc: Boolean,
-    userData: String, limiter: String, method: String, headers: String)
+    userData: String, limiter: String, method: String, headers: String,
+    // resolved HTTP identity of the attempt (node-crawler options
+    // surface): effective User-Agent, assigned proxy, cookie presented
+    ua: String = null, proxy: String = null, cookieSent: Boolean = false)
 
 /** What a drain returns. node-crawler hands each page to
   * `callback(error, res, done)` inside one process; a cluster engine
@@ -114,7 +126,12 @@ final class Crawler(
         rateLimitOverrides = rateLimits,
         preRequest = options.preRequest,
         midRunQueue = options.midRunQueue,
-        rateLimitSchedule = options.rateLimitSchedule),
+        rateLimitSchedule = options.rateLimitSchedule,
+        userAgents = options.userAgents,
+        rotateUA = options.rotateUA,
+        referer = options.referer,
+        cookieJar = options.cookieJar,
+        proxies = options.proxies),
       stateDir)
 
   private var currentRateLimits = options.rateLimits
@@ -136,10 +153,54 @@ final class Crawler(
   def setLimiterProperty(limiter: String, rateLimitMs: Long): this.type = {
     currentRateLimits += (limiter -> rateLimitMs)
     engDirty = true
+    limiterListeners.foreach(_(limiter, rateLimitMs))
     this
   }
 
   private val buffered = mutable.ListBuffer.empty[SeedRequest]
+
+  // ---- EventEmitter analog (node-crawler events [PK:med]) ------------
+  // Driver-side observers; golden-neutral (they observe, never steer).
+  private val scheduleListeners = mutable.ListBuffer.empty[SeedRequest => Unit]
+  private val limiterListeners = mutable.ListBuffer.empty[(String, Long) => Unit]
+
+  /** node-crawler `crawler.on('schedule', options => ...)`: fires once
+    * per facade-queued request as it is handed to the scheduler (at
+    * `run()`'s queue flush, in deterministic queue order). Requests
+    * injected by `midRunQueue` or discovered links are engine-internal
+    * and do not fire it — same scope as the reference, whose schedule
+    * event covers `queue()`d tasks. */
+  def onSchedule(f: SeedRequest => Unit): this.type = {
+    scheduleListeners += f; this
+  }
+
+  /** node-crawler `crawler.on('limiterChange', ...)`: fires whenever a
+    * limiter's effective rate limit changes — immediately on
+    * `setLimiterProperty`, and (after each `run()`) once per
+    * (round, limiter) where the `rateLimitSchedule` changed the
+    * effective override relative to the previous round, in round
+    * order. */
+  def onLimiterChange(f: (String, Long) => Unit): this.type = {
+    limiterListeners += f; this
+  }
+
+  /** Replay the schedule's limiter changes for the rounds [from, until)
+    * to the listeners, in round order — the driver-side view of the
+    * engine's per-round overridesAt evaluation. */
+  private def fireScheduleLimiterChanges(from: Long, until: Long): Unit = {
+    if (limiterListeners.isEmpty || engine.cfg.rateLimitSchedule.isEmpty) return
+    // before the first round only the static overrides are in force
+    var prev =
+      if (from <= 0L) engine.cfg.rateLimitOverrides
+      else engine.cfg.overridesAt(from - 1)
+    (from until until).foreach { r =>
+      val cur = engine.cfg.overridesAt(r)
+      (cur.toSeq.sortBy(_._1)).foreach { case (k, v) =>
+        if (!prev.get(k).contains(v)) limiterListeners.foreach(_(k, v))
+      }
+      prev = cur
+    }
+  }
 
   /** Queue a bare URI with default options. */
   def queue(uri: String): this.type = queue(SeedRequest(uri))
@@ -167,16 +228,31 @@ final class Crawler(
         graft.core.RobotsMatcher.allows(web.policy(host).rules,
           graft.core.UrlCanonicalizer.pathOf(u))
       }
-      .map(u => graft.core.Fetcher.fetch(web, u, retryCount, engine.cfg))
+      .map { u =>
+        // direct() sends the configured identity (UA/referer) like any
+        // request, but bypasses the jar along with the rest of the
+        // scheduler state (no round, no cookie visibility rule)
+        val cfg = engine.cfg
+        val ctx = graft.core.RequestCtx(
+          graft.core.HttpIdentity.uaFor(cfg, null, 0L),
+          cookie = false,
+          referer = cfg.referer.orNull)
+        graft.core.Fetcher.fetch(web, u, retryCount, cfg, ctx = ctx)
+      }
 
   /** Flush queued requests and run rounds until drain (no admissible
     * candidates) or `maxRounds` — the `drain` event, as a return. */
   def run(): CrawlResult = {
     if (buffered.nonEmpty) {
-      engine.enqueueRequests(buffered.toList)
+      val flushing = buffered.toList
+      engine.enqueueRequests(flushing)
       buffered.clear()
+      // 'schedule' events: one per queued request, queue order
+      scheduleListeners.foreach(l => flushing.foreach(l))
     }
+    val startRound = engine.nextRound
     val stats = engine.run()
+    fireScheduleLimiterChanges(startRound, engine.nextRound)
     CrawlResult(stats, engine.documents(), engine.crawlLog(), engine.lineage())
   }
 
@@ -196,7 +272,7 @@ final class Crawler(
     // hoist the name→ordinal resolution out of the per-attempt loop
     val idx = Seq("round", "url_canon", "priority", "discovered_seq",
       "retry_count", "ok", "has_doc", "user_data", "limiter", "method",
-      "headers").map(events.schema.fieldIndex)
+      "headers", "ua", "proxy", "cookie_sent").map(events.schema.fieldIndex)
     val it = events.toLocalIterator()
     while (it.hasNext) {
       val r = it.next()
@@ -204,7 +280,8 @@ final class Crawler(
         r.getLong(idx(0)), r.getString(idx(1)), r.getInt(idx(2)),
         r.getLong(idx(3)), r.getInt(idx(4)), r.getBoolean(idx(5)),
         r.getBoolean(idx(6)), r.getString(idx(7)), r.getString(idx(8)),
-        r.getString(idx(9)), r.getString(idx(10))))
+        r.getString(idx(9)), r.getString(idx(10)),
+        r.getString(idx(11)), r.getString(idx(12)), r.getBoolean(idx(13))))
     }
     result
   }

@@ -20,9 +20,15 @@ object Fetcher {
     *    `Accept-Encoding` without gzip makes a gzip-serving host
     *    respond identity; absent = transparently accepts gzip, the
     *    `request` default. The decompress step runs BEFORE charset
-    *    sniffing, as node-crawler does via `request`. */
+    *    sniffing, as node-crawler does via `request`.
+    *  - `ctx` is the resolved HTTP identity ([[HttpIdentity]] — the
+    *    scheduler resolves it, engine and simulator identically):
+    *    UA-cloaking / cookie-personalizing / referer-tracking hosts
+    *    serve identity-dependent content on BOTH byte and direct
+    *    paths. */
   def fetch(web: SyntheticWeb, urlCanon: String, retryCount: Int,
-      cfg: CrawlConfig, method: String = null, headers: String = null): FetchResult = {
+      cfg: CrawlConfig, method: String = null, headers: String = null,
+      ctx: RequestCtx = RequestCtx.Empty): FetchResult = {
     if (web.fetchFails(urlCanon, retryCount, cfg)) FetchResult(ok = false, Nil, Nil)
     else if (method != null && method.equalsIgnoreCase("HEAD"))
       FetchResult(ok = true, Nil, Nil)
@@ -30,7 +36,7 @@ object Fetcher {
       // production-shaped path: wire bytes → content-decoding → charset
       // sniff → decode → HTML parse (byte-identical to the direct path
       // by the round-trip property, HtmlSpec — gzip hosts included)
-      web.pageResponse(urlCanon, ContentCodec.acceptsGzip(headers)) match {
+      web.pageResponse(urlCanon, ContentCodec.acceptsGzip(headers), ctx) match {
         case None => FetchResult(ok = true, Nil, Nil)
         case Some((wire, contentEncoding)) =>
           val bytes = ContentCodec.decode(wire, contentEncoding)
@@ -44,7 +50,7 @@ object Fetcher {
           val (spans, links) = extractor.extract(html)
           FetchResult(ok = true, spans, links.take(SpanExtractor.MaxLinksPerPage))
       }
-    } else web.content(urlCanon) match {
+    } else web.content(urlCanon, ctx) match {
       case None => FetchResult(ok = true, Nil, Nil)
       case Some((spans, links)) =>
         // content() IS the page (the textual format is a render of it;

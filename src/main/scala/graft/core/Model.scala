@@ -145,7 +145,30 @@ case class CrawlConfig(
     // Evaluated identically by engine and simulator, so crawl order
     // stays golden. Must be SERIALIZABLE — HostQuotaExpr evaluates it
     // ON EXECUTORS (same contract as preRequest/midRunQueue).
-    rateLimitSchedule: Option[Long => Map[String, Long]] = None) {
+    rateLimitSchedule: Option[Long => Map[String, Long]] = None,
+    // ---- HTTP identity options (node-crawler [PK:high]) ------------
+    // `userAgent`: one UA, or a pool rotated per request when
+    // rotateUA=true — rotation is keyed by discovered_seq (the
+    // deterministic, parallelism-invariant request ordinal: the
+    // logical-clock analog of node-crawler's submission-order
+    // round-robin). A per-request "user-agent" header beats both.
+    // UA-cloaking hosts serve UA-dependent content (SyntheticWeb).
+    userAgents: Seq[String] = Nil,
+    rotateUA: Boolean = false,
+    // `referer`: a fixed Referer on every request; a per-request
+    // "referer" header beats it. Referer-tracking hosts surface it.
+    referer: Option[String] = None,
+    // `jar`: the cookie jar. A host grants its session cookie on its
+    // first OK fetch; requests in STRICTLY LATER rounds present it
+    // (BSP visibility — within-round fetches are concurrent, so none
+    // sees a cookie granted the same round). Jar state is DERIVED
+    // from the retired table, so it is crash/resume-consistent with
+    // no extra state table. Cookie-personalizing hosts serve extra
+    // content to cookie-bearing requests.
+    cookieJar: Boolean = false,
+    // proxy pool, rotated per request by the same ordinal; transport
+    // identity only — recorded on the attempt row, no content effect.
+    proxies: Seq[String] = Nil) {
 
   /** Effective per-round politeness quota for a limiter key: a runtime
     * rate-limit override beats the policy's crawl delay; same formula
@@ -198,3 +221,56 @@ final case class PreRequest(urlCanon: String, host: String, priority: Int,
   * serialized map) passed through to the fetch seam. */
 case class SeedRequest(url: String, priority: Int = 5, userData: String = null,
     limiter: String = null, method: String = null, headers: String = null)
+
+/** Content-affecting request identity as the server sees it — resolved
+  * by the SCHEDULER (engine and simulator run the identical
+  * [[HttpIdentity]] resolution) and honored by [[SyntheticWeb]].
+  * `cookie` is jar STATE, not an option: true iff the host granted a
+  * session cookie in a strictly earlier round. */
+final case class RequestCtx(
+    userAgent: String = null,
+    cookie: Boolean = false,
+    referer: String = null)
+
+object RequestCtx {
+  val Empty: RequestCtx = RequestCtx()
+}
+
+/** Single-sourced resolution of the per-request HTTP identity
+  * (node-crawler `userAgent`/`rotateUA`/`referer`/`proxy`/`jar`
+  * [PK:high]) — shared verbatim by the engine's FetchExtractExpr and
+  * the reference simulator so crawl order and content stay golden.
+  * Row-local and deterministic: rotation is a pure function of
+  * `discovered_seq`, so the result is invariant to partitioning. */
+object HttpIdentity {
+
+  private val UaRe = """(?i)"user-agent"\s*:\s*"([^"]*)"""".r
+  private val RefererRe = """(?i)"referer"\s*:\s*"([^"]*)"""".r
+
+  /** Effective User-Agent: per-request header > rotating pool > single
+    * UA > null (the source default). */
+  def uaFor(cfg: CrawlConfig, headers: String, seq: Long): String = {
+    if (headers != null) {
+      val m = UaRe.findFirstMatchIn(headers)
+      if (m.isDefined) return m.get.group(1)
+    }
+    if (cfg.userAgents.isEmpty) null
+    else if (!cfg.rotateUA || cfg.userAgents.size == 1) cfg.userAgents.head
+    else cfg.userAgents(Hashing.pmod(seq, cfg.userAgents.size).toInt)
+  }
+
+  /** Effective Referer: per-request header > the global option. */
+  def refererFor(cfg: CrawlConfig, headers: String): String = {
+    if (headers != null) {
+      val m = RefererRe.findFirstMatchIn(headers)
+      if (m.isDefined) return m.get.group(1)
+    }
+    cfg.referer.orNull
+  }
+
+  /** Proxy-pool rotation by request ordinal (recorded on the attempt
+    * row; transport-only). */
+  def proxyFor(cfg: CrawlConfig, seq: Long): String =
+    if (cfg.proxies.isEmpty) null
+    else cfg.proxies(Hashing.pmod(seq, cfg.proxies.size).toInt)
+}

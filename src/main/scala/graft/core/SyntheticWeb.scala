@@ -69,6 +69,29 @@ final case class SyntheticWeb(
     HostPolicy(host, delay, rules)
   }
 
+  /** UA-cloaking hosts (every 5th, offset 2): the served page is a
+    * deterministic function of (url, User-Agent) — the content draw
+    * root mixes the UA hash. A request with no UA gets the base page,
+    * so runs without identity options are byte-identical to before. */
+  def uaCloaks(host: String): Boolean = {
+    val i = hostIndex(host); i >= 0 && i % 5 == 2
+  }
+
+  /** Cookie-personalizing hosts (every 5th, offset 3): a request
+    * presenting the host's session cookie gets one extra "logged-in"
+    * text span and one extra same-host link appended — the
+    * authenticated view. */
+  def cookiePersonalizes(host: String): Boolean = {
+    val i = hostIndex(host); i >= 0 && i % 5 == 3
+  }
+
+  /** Referer-tracking hosts (every 5th, offset 4): a request carrying
+    * a Referer gets a tracking span appended, deterministic in
+    * (url, referer). */
+  def refererTracks(host: String): Boolean = {
+    val i = hostIndex(host); i >= 0 && i % 5 == 4
+  }
+
   def seedUrls(n: Int): Seq[String] =
     (0 until n).map { k =>
       val h = pmod(draw(seed ^ 0x5EED, k), nHosts).toInt
@@ -77,11 +100,16 @@ final case class SyntheticWeb(
     }
 
   /** Generate page CONTENT for a canonical URL — the source of truth.
-    * Deterministic in the URL alone; None for URLs outside the web
-    * (404). The textual page format (`page`) is a render of this, so
-    * direct consumers (the fetch hot path) and parse consumers (the
-    * SpanExtractor tests) agree by construction. */
-  def content(urlCanon: String): Option[(IndexedSeq[Span], IndexedSeq[DiscoveredLink])] = {
+    * Deterministic in (URL, request identity); None for URLs outside
+    * the web (404). The textual page format (`page`) is a render of
+    * this, so direct consumers (the fetch hot path) and parse
+    * consumers (the SpanExtractor tests) agree by construction.
+    * With the default (empty) [[RequestCtx]] the output is exactly the
+    * pre-identity page — UA cloaking, cookie personalization, and
+    * referer tracking only engage when the request carries the
+    * corresponding identity AND the host is in that host class. */
+  def content(urlCanon: String, ctx: RequestCtx = RequestCtx.Empty)
+      : Option[(IndexedSeq[Span], IndexedSeq[DiscoveredLink])] = {
     val host = UrlCanonicalizer.hostOf(urlCanon)
     if (!host.endsWith(".example")) return None
     val hi = hostIndex(host)
@@ -96,7 +124,12 @@ final case class SyntheticWeb(
       } else return None
     if (pageNo >= nPages) return None
 
-    val r = xxhash64(urlCanon)
+    // cloaking: the UA hash perturbs the draw root — a different UA is
+    // a genuinely different page (spans AND links), like real cloaking
+    val r0 = xxhash64(urlCanon)
+    val r =
+      if (ctx.userAgent != null && uaCloaks(host)) r0 ^ xxhash64("ua|" + ctx.userAgent)
+      else r0
     val nSpans = spanBase + pmod(draw(r, 1), spanRange).toInt
     val spans = new Array[Span](nSpans)
     var k = 0
@@ -126,12 +159,26 @@ final case class SyntheticWeb(
       links(j) = DiscoveredLink(target, pri)
       j += 1
     }
-    Some((spans, links))
+    var outSpans: IndexedSeq[Span] = scala.collection.immutable.ArraySeq.unsafeWrapArray(spans)
+    var outLinks: IndexedSeq[DiscoveredLink] = scala.collection.immutable.ArraySeq.unsafeWrapArray(links)
+    if (ctx.cookie && cookiePersonalizes(host)) {
+      // the authenticated view: one extra text span + one extra
+      // same-host link, deterministic in the (possibly cloaked) page
+      val d = draw(r, 7001)
+      outSpans = outSpans :+ Span("text", "session " + textFor(d), null, outSpans.length)
+      outLinks = outLinks :+ DiscoveredLink(s"/p/${pmod(draw(d, 1), nPages)}", pmod(d, 10).toInt)
+    }
+    if (ctx.referer != null && refererTracks(host)) {
+      val d = draw(r ^ xxhash64("ref|" + ctx.referer), 7002)
+      outSpans = outSpans :+ Span("text", "via " + textFor(d), null, outSpans.length)
+    }
+    Some((outSpans, outLinks))
   }
 
   /** Render the textual page format (FIXTURES.md A6) from `content` —
     * used by the parse-path tests and any consumer that wants bytes. */
-  def page(urlCanon: String): Option[String] = content(urlCanon).map {
+  def page(urlCanon: String, ctx: RequestCtx = RequestCtx.Empty): Option[String] =
+    content(urlCanon, ctx).map {
     case (spans, links) =>
       val sb = new StringBuilder
       spans.foreach { s =>
@@ -147,8 +194,9 @@ final case class SyntheticWeb(
   /** The same page as HTML bytes (UTF-8 with a meta charset tag) — the
     * fetch path input when CrawlConfig.parseHtml exercises the full
     * decode+parse pipeline (CharsetSniffer → HtmlSpanExtractor). */
-  def pageHtmlBytes(urlCanon: String): Option[Array[Byte]] =
-    content(urlCanon).map { case (spans, links) =>
+  def pageHtmlBytes(urlCanon: String,
+      ctx: RequestCtx = RequestCtx.Empty): Option[Array[Byte]] =
+    content(urlCanon, ctx).map { case (spans, links) =>
       HtmlRenderer.render(urlCanon, spans, links)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     }
@@ -166,9 +214,9 @@ final case class SyntheticWeb(
     * accepts it (no Accept-Encoding header = accepts, the `request`
     * default [PK:high]); everything else is identity. The fetch path
     * must run [[ContentCodec.decode]] before charset sniffing. */
-  def pageResponse(urlCanon: String,
-      acceptGzip: Boolean = true): Option[(Array[Byte], Option[String])] =
-    pageHtmlBytes(urlCanon).map { b =>
+  def pageResponse(urlCanon: String, acceptGzip: Boolean = true,
+      ctx: RequestCtx = RequestCtx.Empty): Option[(Array[Byte], Option[String])] =
+    pageHtmlBytes(urlCanon, ctx).map { b =>
       if (acceptGzip && servesGzip(UrlCanonicalizer.hostOf(urlCanon)))
         (ContentCodec.gzip(b), Some("gzip"))
       else (b, None)

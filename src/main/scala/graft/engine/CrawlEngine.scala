@@ -318,7 +318,8 @@ final class CrawlEngine(
     readPinned(ATTEMPTS)
       .map(_.select($"round", $"priority", $"discovered_seq", $"url_hash",
         $"url_canon", $"retry_count", $"user_data",
-        $"limiter", $"method", $"headers")
+        $"limiter", $"method", $"headers",
+        $"ua", $"proxy", $"cookie_sent")
         .orderBy($"round", $"priority", $"discovered_seq", $"url_hash"))
       .getOrElse(spark.emptyDataFrame)
 
@@ -335,7 +336,8 @@ final class CrawlEngine(
       .map(_.filter($"round" >= fromRound)
         .select($"round", $"priority", $"discovered_seq", $"url_hash",
           $"url_canon", $"retry_count", $"ok", $"has_doc",
-          $"user_data", $"limiter", $"method", $"headers")
+          $"user_data", $"limiter", $"method", $"headers",
+          $"ua", $"proxy", $"cookie_sent")
         .orderBy($"round", $"priority", $"discovered_seq", $"url_hash"))
       .getOrElse(spark.emptyDataFrame)
 
@@ -442,17 +444,46 @@ final class CrawlEngine(
       ColumnShim.expression($"retry_count"),
       ColumnShim.expression($"discovered_seq"), w, c, c.packedSpans,
       method = Some(ColumnShim.expression($"method")),
-      headers = Some(ColumnShim.expression($"headers"))))
-    val attemptsOut = capped
+      headers = Some(ColumnShim.expression($"headers")),
+      cookie = Some(ColumnShim.expression($"cookie_in"))))
+    // HTTP identity (node-crawler userAgent/rotateUA/referer/proxy/jar
+    // [PK:high]): ua/proxy/referer resolve ROW-LOCALLY inside
+    // FetchExtractExpr (pure functions of cfg/headers/discovered_seq —
+    // no extra job, no bound on cluster size). Only the cookie-jar bit
+    // needs crawl state: hosts with an OK fetch in a strictly EARLIER
+    // round, derived from the pinned retired table (Done rows retire
+    // with due_round = their completion round), so the jar is
+    // crash/resume-consistent with no extra table or commit. The
+    // distinct done-host set is broadcast (bounded by hosts crawled so
+    // far — fine at sandbox scale); at 10^10-frontier scale this
+    // becomes a bucketed co-located join on host_bucket, the same
+    // shape as the seen-set join. cookieJar=false keeps the column a
+    // literal and the round pipeline untouched.
+    val preFetch0 = capped
       .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
         $"priority", $"discovered_seq", $"retry_count", $"user_data",
         $"limiter", $"method", $"headers")
+    val preFetch =
+      if (!c.cookieJar) preFetch0.withColumn("cookie_in", lit(false))
+      else {
+        awaitTail() // the jar must see round r-1's retirees
+        val jar = retired()
+          .filter($"state" === FrontierEntry.Done && $"due_round" < r)
+          .select($"host").distinct()
+          .withColumn("has_cookie", lit(true))
+        preFetch0.join(broadcast(jar), Seq("host"), "left")
+          .withColumn("cookie_in", coalesce($"has_cookie", lit(false)))
+          .drop("has_cookie")
+      }
+    val attemptsOut = preFetch
       .repartition($"url_hash")
       .withColumn("f", fetchCol)
       .select($"url", $"url_canon", $"url_hash", $"host", $"host_bucket",
         $"priority", $"discovered_seq", $"retry_count", $"user_data",
         $"limiter", $"method", $"headers",
         $"f.ok".as("ok"), $"f.has_doc".as("has_doc"),
+        $"f.ua".as("ua"), $"f.proxy".as("proxy"),
+        $"f.cookie_sent".as("cookie_sent"),
         $"f.spans".as("spans"), $"f.links".as("links"))
       .withColumn("round", lit(r))
     // round stats ride the write itself (Dataset.observe / CollectMetrics)

@@ -36,10 +36,16 @@ case class FetchExtractExpr(
     // [PK:high]); None = source defaults. Nullable columns — link-
     // discovered rows carry nulls.
     method: Option[Expression] = None,
-    headers: Option[Expression] = None) extends Expression with CodegenFallback {
+    headers: Option[Expression] = None,
+    // cookie-jar bit (node-crawler `jar` [PK:high]): true iff the
+    // URL's host granted its session cookie in a strictly earlier
+    // round. The only identity input that needs crawl STATE — ua /
+    // referer / proxy resolve row-locally from (cfg, headers, seq)
+    // via the shared HttpIdentity, identical in the simulator.
+    cookie: Option[Expression] = None) extends Expression with CodegenFallback {
 
   override def children: Seq[Expression] =
-    Seq(urlCanon, retryCount, discoveredSeq) ++ method ++ headers
+    Seq(urlCanon, retryCount, discoveredSeq) ++ method ++ headers ++ cookie
 
   override def dataType: DataType =
     if (packedSpans) FetchExtractExpr.packedSchema else FetchExtractExpr.schema
@@ -62,15 +68,23 @@ case class FetchExtractExpr(
       case Some(u: UTF8String) => u.toString
       case _ => null
     }
-    nullSafeEval(canonAny, retryAny, seqAny, strOf(method), strOf(headers))
+    val cookieSent = cookie.exists(_.eval(input) == true)
+    nullSafeEval(canonAny, retryAny, seqAny, strOf(method), strOf(headers),
+      cookieSent)
   }
 
   private def nullSafeEval(canonAny: Any, retryAny: Any, seqAny: Any,
-      methodStr: String, headersStr: String): Any = {
+      methodStr: String, headersStr: String, cookieSent: Boolean): Any = {
     val canon = canonAny.asInstanceOf[UTF8String].toString
     val retry = retryAny.asInstanceOf[Int]
     val seq = seqAny.asInstanceOf[Long]
-    val res = Fetcher.fetch(web, canon, retry, cfg, methodStr, headersStr)
+    // resolved identity — recorded on the attempt row (output struct)
+    // and honored by identity-sensitive hosts
+    val ua = HttpIdentity.uaFor(cfg, headersStr, seq)
+    val proxy = HttpIdentity.proxyFor(cfg, seq)
+    val referer = HttpIdentity.refererFor(cfg, headersStr)
+    val res = Fetcher.fetch(web, canon, retry, cfg, methodStr, headersStr,
+      RequestCtx(ua, cookieSent, referer))
 
     val spansOut: Any =
       if (packedSpans) SpanCodec.pack(res.spans)
@@ -104,18 +118,22 @@ case class FetchExtractExpr(
       res.ok,
       res.ok && (res.spans.nonEmpty || res.links.nonEmpty),
       spansOut,
-      new GenericArrayData(links))
+      new GenericArrayData(links),
+      if (ua == null) null else UTF8String.fromString(ua),
+      if (proxy == null) null else UTF8String.fromString(proxy),
+      cookieSent)
   }
 
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): FetchExtractExpr = {
-    val base = copy(urlCanon = cs(0), retryCount = cs(1), discoveredSeq = cs(2))
-    (method, headers) match {
-      case (Some(_), Some(_)) => base.copy(method = Some(cs(3)), headers = Some(cs(4)))
-      case (Some(_), None)    => base.copy(method = Some(cs(3)))
-      case (None, Some(_))    => base.copy(headers = Some(cs(3)))
-      case (None, None)       => base
-    }
+    // optional children appear in `children` order: method, headers,
+    // cookie — consume positionally after the three fixed ones
+    var i = 3
+    def next(): Expression = { val e = cs(i); i += 1; e }
+    copy(urlCanon = cs(0), retryCount = cs(1), discoveredSeq = cs(2),
+      method = method.map(_ => next()),
+      headers = headers.map(_ => next()),
+      cookie = cookie.map(_ => next()))
   }
 
   override def prettyName: String = "fetch_extract"
@@ -155,18 +173,28 @@ object FetchExtractExpr {
     StructField("priority", IntegerType, nullable = false),
     StructField("discovered_seq", LongType, nullable = false)))
 
+  /** Resolved HTTP identity, recorded per attempt: effective UA,
+    * assigned proxy (null when no pool), and whether the jar's
+    * session cookie was presented. */
+  private val identFields = Seq(
+    StructField("ua", StringType),
+    StructField("proxy", StringType),
+    StructField("cookie_sent", BooleanType, nullable = false))
+
   val schema: StructType = StructType(Seq(
     StructField("ok", BooleanType, nullable = false),
     StructField("has_doc", BooleanType, nullable = false),
     StructField("spans", ArrayType(spanType, containsNull = false)),
-    StructField("links", ArrayType(linkType, containsNull = false))))
+    StructField("links", ArrayType(linkType, containsNull = false)))
+    ++ identFields)
 
   /** Packed variant: spans as one binary cell (SpanCodec format). */
   val packedSchema: StructType = StructType(Seq(
     StructField("ok", BooleanType, nullable = false),
     StructField("has_doc", BooleanType, nullable = false),
     StructField("spans", BinaryType),
-    StructField("links", ArrayType(linkType, containsNull = false))))
+    StructField("links", ArrayType(linkType, containsNull = false)))
+    ++ identFields)
 }
 
 /** Compact span-sequence codec: per span `kind:byte, len:int32(LE),

@@ -55,13 +55,19 @@ object RefSimulator {
       round: Long, candidates: Long, admitted: Long, fetchedOk: Long,
       failed: Long, discovered: Long, enqueued: Long)
 
+  /** Resolved per-attempt HTTP identity, in crawl order — the golden
+    * twin of the engine's attempt-row ua/proxy/cookie_sent columns. */
+  final case class AttemptMeta(
+      urlCanon: String, ua: String, proxy: String, cookieSent: Boolean)
+
   final case class SimResult(
       crawlOrder: Vector[String],
       seenSet: Set[Long],
       docs: Vector[Doc],
       rounds: Int,
       stats: Vector[RoundStats],
-      finalEntries: Vector[SimEntry])
+      finalEntries: Vector[SimEntry],
+      attempts: Vector[AttemptMeta] = Vector.empty)
 
   def run(web: SyntheticWeb, seeds: Seq[String], cfg: CrawlConfig): SimResult =
     runRequests(web, seeds.map(SeedRequest(_)), cfg)
@@ -82,6 +88,11 @@ object RefSimulator {
     val crawlOrder = Vector.newBuilder[String]
     val docs = Vector.newBuilder[Doc]
     val stats = Vector.newBuilder[RoundStats]
+    val attempts = Vector.newBuilder[AttemptMeta]
+    // cookie jar: hosts that granted their session cookie in a
+    // strictly EARLIER round (node-crawler `jar` under the logical
+    // clock — same rule the engine derives from the retired table)
+    val cookieHosts = mutable.Set.empty[String]
     val policyCache = mutable.Map.empty[String, HostPolicy]
     def policyOf(host: String): HostPolicy =
       policyCache.getOrElseUpdate(host, web.policy(host))
@@ -143,10 +154,19 @@ object RefSimulator {
 
       var ok = 0L; var failed = 0L; var discovered = 0L
       val roundCands = Vector.newBuilder[Cand]
+      val okHostsThisRound = mutable.Set.empty[String]
       capped.foreach { e =>
         crawlOrder += e.urlCanon
+        // per-attempt HTTP identity — the IDENTICAL HttpIdentity
+        // resolution the engine's FetchExtractExpr runs
+        val ua = HttpIdentity.uaFor(cfg, e.headers, e.seq)
+        val proxy = HttpIdentity.proxyFor(cfg, e.seq)
+        val referer = HttpIdentity.refererFor(cfg, e.headers)
+        val cookie = cfg.cookieJar && cookieHosts.contains(e.host)
+        attempts += AttemptMeta(e.urlCanon, ua, proxy, cookie)
         val res = Fetcher.fetch(web, e.urlCanon, e.retryCount, cfg,
-          e.method, e.headers)
+          e.method, e.headers, RequestCtx(ua, cookie, referer))
+        if (res.ok) okHostsThisRound += e.host
         if (!res.ok) {
           failed += 1
           e.retryCount += 1
@@ -166,6 +186,9 @@ object RefSimulator {
       }
       val enq = enqueue(roundCands.result(), due = r + 1)
       stats += RoundStats(r, candidates.size, capped.size, ok, failed, discovered, enq)
+      // cookies granted this round become visible NEXT round (BSP
+      // visibility — within-round fetches are concurrent)
+      if (cfg.cookieJar) cookieHosts ++= okHostsThisRound
       r += 1
       roundsRun += 1
       // queue-during-crawl: the identical pure injector the engine
@@ -192,6 +215,6 @@ object RefSimulator {
     }
 
     SimResult(crawlOrder.result(), entries.keySet.toSet, docs.result(),
-      roundsRun, stats.result(), entries.values.toVector)
+      roundsRun, stats.result(), entries.values.toVector, attempts.result())
   }
 }

@@ -131,6 +131,59 @@ class ApiSpec extends AnyFunSuite {
     assert(row.head.getString(2) === "HEAD")
   }
 
+  test("EventEmitter analog: schedule fires per queued request in queue order; " +
+    "limiterChange fires on setLimiterProperty and on schedule-round changes") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 6, megaFactor = 2)
+    val sched: Long => Map[String, Long] =
+      r => if (r == 1L) Map(web.hostName(1) -> 777L) else Map.empty
+    val dir = Files.createTempDirectory("graft-events").toString
+    val crawler = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 1000, maxRounds = 4, numBuckets = 4,
+        rateLimitSchedule = Some(sched)))
+    val scheduled = scala.collection.mutable.ListBuffer.empty[String]
+    val limiterEvents = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    crawler.onSchedule(q => scheduled += q.url)
+    crawler.onLimiterChange((k, v) => limiterEvents += (k -> v))
+    // immediate event on setLimiterProperty, before any run
+    crawler.setLimiterProperty(web.hostName(0), 250L)
+    assert(limiterEvents.toList === List(web.hostName(0) -> 250L))
+    val seeds = web.seedUrls(6).distinct
+    crawler.queue(seeds.map(SeedRequest(_))).run()
+    // schedule events: one per queued request, queue order
+    assert(scheduled.toList === seeds.toList)
+    // the schedule's round-1 override fired exactly once during the run
+    assert(limiterEvents.toList.count(_ == (web.hostName(1) -> 777L)) === 1,
+      s"limiterChange events: $limiterEvents")
+    // the crawl itself is untouched by listeners (golden)
+    import spark.implicits._
+    val sim = RefSimulator.run(web, seeds,
+      CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 4,
+        rateLimitOverrides = Map(web.hostName(0) -> 250L),
+        rateLimitSchedule = Some(sched)))
+    val order = crawler.engine.crawlLog()
+      .select("url_canon").as[String].collect().toVector
+    assert(order === sim.crawlOrder, "listeners steered the crawl")
+  }
+
+  test("identity options flow through the facade and surface on onAttempt events") {
+    val web = SyntheticWeb(nHosts = 10, pagesPerHost = 6, megaFactor = 2)
+    val dir = Files.createTempDirectory("graft-api-ident").toString
+    val crawler = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 500, maxRounds = 5, numBuckets = 4,
+        userAgents = Seq("fa/1", "fa/2"), rotateUA = true,
+        cookieJar = true, proxies = Seq("px0")))
+    val uas = scala.collection.mutable.Set.empty[String]
+    var sawCookie = false
+    crawler.queue(web.seedUrls(10).distinct.map(SeedRequest(_)))
+    crawler.run { ev =>
+      uas += ev.ua
+      if (ev.cookieSent) sawCookie = true
+      assert(ev.proxy === "px0")
+    }
+    assert(uas.size >= 2, s"rotation never rotated: $uas")
+    assert(sawCookie, "cookie jar never fired through the facade")
+  }
+
   test("Crawler: run(onAttempt) observes each attempt in crawl order; " +
     "golden equality preserved; later runs replay only their own attempts") {
     import spark.implicits._

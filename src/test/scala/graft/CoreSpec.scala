@@ -7,6 +7,79 @@ import graft.core._
 class CoreSpec extends AnyFunSuite {
   import GenCheck.forAllGen
 
+  // ---- HTTP identity content effects ---------------------------------
+
+  test("SyntheticWeb identity effects: UA cloaking, authenticated view, " +
+    "referer tracking; the empty ctx is byte-identical to the legacy page") {
+    val web = SyntheticWeb(nHosts = 10, pagesPerHost = 8)
+    val u2 = s"http://${web.hostName(2)}/p/1" // cloaking host (i%5==2)
+    assert(web.content(u2).get === web.content(u2, RequestCtx.Empty).get)
+    val base = web.content(u2).get
+    val ua1 = web.content(u2, RequestCtx(userAgent = "bot-A")).get
+    val ua2 = web.content(u2, RequestCtx(userAgent = "bot-B")).get
+    assert(ua1 !== base, "cloaking host ignored the UA")
+    assert(ua1 !== ua2, "two UAs served the same cloaked page")
+    // non-cloaking host ignores UA entirely
+    val u0 = s"http://${web.hostName(0)}/p/1"
+    assert(web.content(u0, RequestCtx(userAgent = "bot-A")).get
+      === web.content(u0).get)
+
+    // cookie personalization (i%5==3): exactly one extra span + link,
+    // appended after the anonymous view, offsets contiguous
+    val u3 = s"http://${web.hostName(3)}/p/1"
+    val anon = web.content(u3).get
+    val auth = web.content(u3, RequestCtx(cookie = true)).get
+    assert(auth._1.size === anon._1.size + 1)
+    assert(auth._1.init === anon._1)
+    assert(auth._1.last.text.startsWith("session "))
+    assert(auth._1.last.offset === anon._1.size)
+    assert(auth._2.size === anon._2.size + 1)
+    assert(web.content(u0, RequestCtx(cookie = true)).get === web.content(u0).get)
+
+    // referer tracking (i%5==4): one extra span, deterministic in the
+    // referer value
+    val u4 = s"http://${web.hostName(4)}/p/1"
+    val r0 = web.content(u4).get
+    val r1 = web.content(u4, RequestCtx(referer = "http://a.example/")).get
+    val r2 = web.content(u4, RequestCtx(referer = "http://b.example/")).get
+    assert(r1._1.size === r0._1.size + 1)
+    assert(r1._1.last.text.startsWith("via "))
+    assert(r1._1.last !== r2._1.last, "tracking span ignores the referer")
+
+    // identity-affected pages still render→parse round-trip, so the
+    // byte path serves the same identity view as the direct path
+    val ctx = RequestCtx(userAgent = "bot-A", cookie = true,
+      referer = "http://a.example/")
+    Seq(u2, u3, u4).foreach { u =>
+      val (spans, links) = web.content(u, ctx).get
+      val (ps, pl) = HtmlSpanExtractor.extract(HtmlRenderer.render(u, spans, links))
+      assert(ps.toSeq === spans.toSeq, s"span round-trip broke under identity ctx: $u")
+      assert(pl.toSeq === links.toSeq, s"link round-trip broke under identity ctx: $u")
+    }
+  }
+
+  test("HttpIdentity resolution: header overrides, rotation by ordinal, proxy pool") {
+    val cfg = CrawlConfig(
+      userAgents = Seq("ua-0", "ua-1", "ua-2"), rotateUA = true,
+      referer = Some("http://global.ref/"), proxies = Seq("p0", "p1"))
+    // rotation is pmod(seq, n) — deterministic, row-local
+    assert((0L to 5L).map(HttpIdentity.uaFor(cfg, null, _))
+      === Seq("ua-0", "ua-1", "ua-2", "ua-0", "ua-1", "ua-2"))
+    assert((0L to 3L).map(HttpIdentity.proxyFor(cfg, _))
+      === Seq("p0", "p1", "p0", "p1"))
+    // per-request headers beat the global options (case-insensitive key)
+    assert(HttpIdentity.uaFor(cfg, """{"User-Agent":"custom/9"}""", 1L) === "custom/9")
+    assert(HttpIdentity.refererFor(cfg, """{"referer":"http://task.ref/"}""")
+      === "http://task.ref/")
+    assert(HttpIdentity.refererFor(cfg, """{"x":"y"}""") === "http://global.ref/")
+    // no rotation: first UA always; empty config: nulls
+    assert(HttpIdentity.uaFor(cfg.copy(rotateUA = false), null, 7L) === "ua-0")
+    val none = CrawlConfig()
+    assert(HttpIdentity.uaFor(none, null, 3L) == null)
+    assert(HttpIdentity.proxyFor(none, 3L) == null)
+    assert(HttpIdentity.refererFor(none, null) == null)
+  }
+
   // ---- canonicalizer -------------------------------------------------
 
   test("canonicalize: lowercases scheme+host, strips fragment/default port") {

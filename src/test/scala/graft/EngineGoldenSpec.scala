@@ -162,6 +162,70 @@ class EngineGoldenSpec extends AnyFunSuite {
       "HEAD request produced a document body")
   }
 
+  test("golden equality with the full HTTP identity family (rotating UA " +
+    "cloaking, cookie jar, referer tracking, proxy rotation) on both fetch paths") {
+    Seq(false, true).foreach { viaBytes =>
+      // nHosts=10 ⇒ cloaking hosts 2/7, personalizing 3/8, tracking 4/9
+      val web = SyntheticWeb(nHosts = 10, pagesPerHost = 8, megaFactor = 2)
+      val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6,
+        parseHtml = viaBytes,
+        userAgents = Seq("graft-bot/1.0", "graft-bot/2.0", "mobile-bot/7"),
+        rotateUA = true,
+        referer = Some("http://portal.example/start"),
+        cookieJar = true,
+        proxies = Seq("proxy://p0", "proxy://p1"))
+      val (sim, eng, _) = runBoth(web, 14, cfg)
+      assertGolden(sim, eng)
+      // attempt-level identity matches the simulator ROW-FOR-ROW in
+      // crawl order: effective UA, assigned proxy, cookie presented
+      import eng.spark.implicits._
+      val engIdent = eng.crawlLog()
+        .select($"url_canon", $"ua", $"proxy", $"cookie_sent")
+        .as[(String, String, String, Boolean)].collect().toVector
+      val simIdent = sim.attempts.map(a => (a.urlCanon, a.ua, a.proxy, a.cookieSent))
+      assert(engIdent === simIdent, s"identity rows diverge (viaBytes=$viaBytes)")
+      // the options actually bit: rotation used >1 UA and both proxies,
+      // and the jar presented a cookie somewhere
+      assert(engIdent.map(_._2).toSet.size >= 2, "UA rotation never rotated")
+      assert(engIdent.map(_._3).toSet === Set("proxy://p0", "proxy://p1"))
+      assert(engIdent.exists(_._4), "cookie jar never presented a cookie")
+      // a cookie-bearing fetch on a personalizing host served the
+      // authenticated view (the session span) — observable content
+      val personalized = engIdent.filter(t =>
+        t._4 && web.cookiePersonalizes(UrlCanonicalizer.hostOf(t._1))).map(_._1)
+      assert(personalized.nonEmpty, "no cookie-bearing fetch hit a personalizing host")
+      val docs = eng.documents().as[Doc].collect()
+        .map(d => d.doc_id -> d.spans.sortBy(_.offset)).toMap
+      assert(personalized.exists(u => docs.get(u).exists(_.exists(s =>
+        s.kind == "text" && s.text != null && s.text.startsWith("session ")))),
+        "authenticated view never served")
+    }
+  }
+
+  test("changing the userAgent observably changes cloaking-host content; " +
+    "each run stays golden and non-cloaking hosts are unaffected") {
+    val web = SyntheticWeb(nHosts = 5, pagesPerHost = 6, megaFactor = 2)
+    def docsFor(ua: String) = {
+      val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 4,
+        userAgents = Seq(ua))
+      val (sim, eng, _) = runBoth(web, 10, cfg)
+      assertGolden(sim, eng)
+      import eng.spark.implicits._
+      eng.documents().as[Doc].collect()
+        .map(d => d.doc_id -> d.spans.sortBy(_.offset)).toMap
+    }
+    val a = docsFor("bot-A")
+    val b = docsFor("bot-B")
+    val both = a.keySet.intersect(b.keySet)
+    val cloaked = both.filter(u => web.uaCloaks(UrlCanonicalizer.hostOf(u)))
+    assert(cloaked.nonEmpty, "fixture never crawled the cloaking host")
+    assert(cloaked.exists(u => a(u) !== b(u)),
+      "cloaking host served identical content to different UAs")
+    val plain = both.filterNot(u => web.uaCloaks(UrlCanonicalizer.hostOf(u)))
+    assert(plain.nonEmpty && plain.forall(u => a(u) === b(u)),
+      "UA change leaked into non-cloaking hosts")
+  }
+
   test("golden equality with a global per-round cap (maxConnections analog)") {
     val web = SyntheticWeb(nHosts = 5, pagesPerHost = 6, megaFactor = 2)
     val cfg = CrawlConfig(numBuckets = 8, roundMs = 1000, maxRounds = 5,
