@@ -288,6 +288,87 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // repetition removal (the Gopher-style repetition signals, public
+    // knowledge): per-document duplicate-word fraction and duplicate-
+    // 2-gram fraction, with keep verdicts decided by INTEGER
+    // cross-multiplication (10·distinct ≥ 4·words ⟺ dup_word ≤ 0.6;
+    // 100·distinct2g ≥ 95·2grams ⟺ dup_2gram ≤ 0.05) so the thresholds
+    // are exact in both engines — no float boundary. Scale shape: the
+    // whole query is per-row array expressions over ONE scan — zero
+    // shuffle, embarrassingly parallel at any corpus size.
+    "q50_repetition" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = s.read.parquet(t(dir, "documents"))
+      val m = d.select($"doc_id", split($"text", " ").as("ws"))
+        .select($"doc_id", $"ws",
+          size($"ws").cast("long").as("n_words"),
+          size(array_distinct($"ws")).cast("long").as("n_distinct"))
+        .withColumn("gs", zip_with(
+          slice($"ws", lit(1), greatest(size($"ws") - 1, lit(0))),
+          slice($"ws", lit(2), greatest(size($"ws") - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)))
+        .select($"doc_id", $"n_words", $"n_distinct",
+          size($"gs").cast("long").as("n_grams"),
+          size(array_distinct($"gs")).cast("long").as("nd_grams"))
+      m.select($"doc_id", $"n_words", $"n_distinct",
+        (lit(1) - $"n_distinct" / $"n_words").as("dup_word_frac"),
+        when($"n_grams" > 0, lit(1) - $"nd_grams" / $"n_grams")
+          .otherwise(lit(0.0)).as("dup_2gram_frac"),
+        ($"n_distinct" * 10 >= $"n_words" * 4 &&
+          $"nd_grams" * 100 >= $"n_grams" * 95).as("keep"))
+        .orderBy($"doc_id")
+    }),
+
+    // PII scrubbing: regex redaction of emails and phone-shaped
+    // numbers with match counts — the standard pre-training privacy
+    // pass (public knowledge). The synthetic corpus carries no PII, so
+    // every 7th document is planted with a deterministic contact line
+    // IN-QUERY (both engines plant the identical text — the q47
+    // pattern of sourcing the fixture from the table itself); the
+    // SCRUB is the operator under test. Scale shape: pure per-row
+    // regex over one scan, zero shuffle.
+    "q51_pii_scrub" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phonePat = "555-[0-9]{4}"
+      val d = s.read.parquet(t(dir, "documents"))
+      val planted = when($"doc_id" % 7 === 0,
+        concat($"text", lit(" contact user"), $"doc_id",
+          lit("@example.com or call 555-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+        .otherwise($"text")
+      d.select($"doc_id", planted.as("raw"))
+        .select($"doc_id",
+          regexp_count($"raw", lit(emailPat)).cast("long").as("n_emails"),
+          regexp_count($"raw", lit(phonePat)).cast("long").as("n_phones"),
+          md5(regexp_replace(
+            regexp_replace($"raw", emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>")).as("clean_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // domain-mixture reweighting: per-(source, lang) cell sampling
+    // rates that rebalance the corpus toward a uniform cell mixture —
+    // the data-mixing step that decides how much of each domain a
+    // training run consumes. rate = min(1, total/(cells·n)) caps
+    // upsampling at 1 (dedup-safe). Scale shape: one hash aggregate
+    // over the corpus; the window runs over the CELL table (domains ×
+    // languages — bounded and tiny), never the corpus rows.
+    "q52_domain_mix" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val cells = s.read.parquet(t(dir, "documents"))
+        .groupBy($"source", $"lang").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy() // over the bounded cell aggregate
+      val rate = least(lit(1.0), $"total" / ($"cells" * $"n"))
+      cells
+        .withColumn("total", sum($"n").over(w))
+        .withColumn("cells", count(lit(1)).over(w))
+        .select($"source", $"lang", $"n",
+          rate.as("rate"), ($"n" * rate).as("expected_rows"))
+        .orderBy($"source", $"lang")
+    }),
+
     // exact per-language quantiles of the whitespace token count:
     // percentile() is the EXACT linear-interpolation quantile (the
     // same definition as DuckDB quantile_cont), computed per group in
@@ -418,6 +499,43 @@ object PipelineOps {
          |FROM documents d LEFT JOIN h USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+    "q50_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+        |  list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1]) AS gs
+        |  FROM w),
+        |g AS (SELECT doc_id, n_words, n_distinct,
+        |  CAST(len(gs) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(gs)) AS BIGINT) AS nd_grams
+        |  FROM m)
+        |SELECT doc_id, n_words, n_distinct,
+        |  1 - n_distinct / n_words AS dup_word_frac,
+        |  CASE WHEN n_grams > 0 THEN 1 - nd_grams / n_grams ELSE 0.0 END AS dup_2gram_frac,
+        |  (10 * n_distinct >= 4 * n_words AND 100 * nd_grams >= 95 * n_grams) AS keep
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q51_pii_scrub" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' contact user' || doc_id || '@example.com or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(raw, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "q52_domain_mix" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS cells FROM c)
+        |SELECT c.source, c.lang, c.n,
+        |  LEAST(CAST(1 AS DOUBLE), total / (cells * n)) AS rate,
+        |  n * LEAST(CAST(1 AS DOUBLE), total / (cells * n)) AS expected_rows
+        |FROM c CROSS JOIN t ORDER BY c.source, c.lang""".stripMargin,
     "q43_token_quantiles" ->
       """WITH d AS (SELECT lang,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens

@@ -163,7 +163,13 @@ object VectorOps {
       // broadcast side of BOTH joins, so the embedding scans stream
       // through broadcast-hash joins with zero array shuffle; if a
       // corpus ever produced a non-broadcastable candidate set, drop
-      // the hints and the same plan degrades to id-keyed shuffle joins
+      // the hints and the same plan degrades to id-keyed shuffle joins.
+      // (Round-5 measurement, same warm-JVM protocol: fusing the two
+      // dependent builds into one reused cand broadcast + a closing
+      // candidate-sized (vec_a, vec_b) shuffle join was TRIED and
+      // measured SLOWER — best 0.93 s vs 0.66 s at sf0.1 — the extra
+      // shuffle+sort outweighs the serialized second build at every
+      // rep; decision recorded here, don't redo it.)
       val withA = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
         .join(broadcast(cand), "vec_a")
       emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))

@@ -175,6 +175,75 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q50: repetition fractions recompute by hand; verdicts are the exact " +
+    "integer-threshold rule; zero shuffle before the presentation sort") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q50_repetition")(spark, dir01)
+    val rows = out
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+    assert(rows.length === 500)
+    val texts = spark.read.parquet(s"$dir01/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, n, nd, dw, dg, keep) =>
+      val ws = texts(id).split(" ", -1).toSeq
+      val gs = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      assert(n === ws.size.toLong, s"doc $id n_words")
+      assert(nd === ws.distinct.size.toLong, s"doc $id n_distinct")
+      assert(dw === 1.0 - ws.distinct.size.toDouble / ws.size, s"doc $id dw")
+      val expDg = if (gs.isEmpty) 0.0 else 1.0 - gs.distinct.size.toDouble / gs.size
+      assert(dg === expDg, s"doc $id dg")
+      assert(keep === (ws.distinct.size * 10 >= ws.size * 4 &&
+        gs.distinct.size * 100 >= gs.size * 95), s"doc $id keep")
+    }
+    // the filter is real (both rules fire) and not vacuous
+    assert(rows.count(_._6) > 100 && rows.count(!_._6) > 50)
+    // scale shape: per-row expressions only — the single exchange is
+    // the presentation orderBy's range partitioning, nothing else
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"repetition metrics must be shuffle-free below the sort:\n$plan")
+  }
+
+  test("q51: planted PII is scrubbed (counts + md5 recompute); unplanted docs " +
+    "pass through untouched") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q51_pii_scrub")(spark, dir01)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length === 500)
+    val texts = spark.read.parquet(s"$dir01/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    out.foreach { case (id, ne, np, h) =>
+      if (id % 7 == 0) {
+        assert(ne === 1L && np === 1L, s"doc $id: planted PII not counted")
+        val clean = texts(id) + " contact <EMAIL> or call <PHONE>"
+        assert(h === md5hex(clean), s"doc $id: scrub output wrong")
+      } else {
+        assert(ne === 0L && np === 0L, s"doc $id: phantom PII")
+        assert(h === md5hex(texts(id)), s"doc $id: untouched text changed")
+      }
+    }
+  }
+
+  test("q52: mixture rates rebalance toward uniform cells, capped at 1") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q52_domain_mix")(spark, dir01)
+      .as[(String, String, Long, Double, Double)].collect()
+    val total = out.map(_._3).sum
+    val cells = out.length.toLong
+    out.foreach { case (src, lang, n, rate, exp) =>
+      val want = math.min(1.0, total.toDouble / (cells * n))
+      assert(rate === want, s"cell ($src,$lang)")
+      assert(exp === n * want, s"cell ($src,$lang) expected_rows")
+    }
+    // the reweighting is non-trivial: some cells cap at 1 (upsample
+    // floor), some downsample
+    assert(out.exists(_._4 == 1.0) && out.exists(_._4 < 1.0))
+  }
+
   test("q43: p50 equals the interpolated median computed by hand") {
     import spark.implicits._
     val counts = spark.read.parquet(s"$dir01/documents.parquet")
