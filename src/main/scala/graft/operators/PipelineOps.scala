@@ -369,6 +369,56 @@ object PipelineOps {
         .orderBy($"source", $"lang")
     }),
 
+    // deterministic corpus shuffle + sharding — the final step of
+    // every pretraining data pipeline: give each document a
+    // pseudorandom but reproducible position (seeded md5 sort key),
+    // bucket into NShards, stable rank within the shard. Scale shape:
+    // ONE shuffle keyed by shard + a within-shard sort (at 100 TB:
+    // repartition(shard) + sortWithinPartitions writing one file set
+    // per shard; shard count scales with the cluster, and the window
+    // below IS that plan for the bounded sandbox shard count).
+    "q53_corpus_shard" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val key = conv(substring(md5(concat(lit("shard|"),
+        $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long")
+      s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", key.as("skey"))
+        .withColumn("shard", ($"skey" % 8).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"shard").orderBy($"skey", $"doc_id")).cast("long"))
+        .select($"doc_id", $"shard", $"skey", $"pos")
+        .orderBy($"shard", $"pos")
+    }),
+
+    // sequence packing (concat-and-chunk): documents concatenated in
+    // q53's shuffle order and chunked into fixed 4096-token context
+    // windows — each doc gets its shard-local start offset and the
+    // window its first token lands in. The running total is a
+    // distributed prefix sum: one shuffle to co-locate each shard,
+    // then a rows-unbounded window — per-row state is O(1). Offsets
+    // are exact longs; /4096 is a power-of-two division, so the
+    // double round-trip is exact in both engines.
+    "q54_pack_sequences" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val key = conv(substring(md5(concat(lit("shard|"),
+        $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long")
+      val d = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id",
+          (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
+            .cast("long").as("n_tokens"),
+          key.as("skey"))
+        .withColumn("shard", ($"skey" % 8).cast("int"))
+      val w = Window.partitionBy($"shard").orderBy($"skey", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"shard", $"n_tokens",
+          ($"cum" - $"n_tokens").as("start_offset"),
+          floor(($"cum" - $"n_tokens") / lit(4096L)).cast("long").as("window_id"))
+        .orderBy($"shard", $"start_offset", $"doc_id")
+    }),
+
     // exact per-language quantiles of the whitespace token count:
     // percentile() is the EXACT linear-interpolation quantile (the
     // same definition as DuckDB quantile_cont), computed per group in
@@ -536,6 +586,26 @@ object PipelineOps {
         |  LEAST(CAST(1 AS DOUBLE), total / (cells * n)) AS rate,
         |  n * LEAST(CAST(1 AS DOUBLE), total / (cells * n)) AS expected_rows
         |FROM c CROSS JOIN t ORDER BY c.source, c.lang""".stripMargin,
+    "q53_corpus_shard" ->
+      """WITH k AS (SELECT doc_id,
+        |  ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey
+        |  FROM documents)
+        |SELECT doc_id, CAST(skey % 8 AS INTEGER) AS shard, skey,
+        |  row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
+    "q54_pack_sequences" ->
+      """WITH k AS (SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(skey % 8 AS INTEGER) AS shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM k)
+        |SELECT doc_id, shard, n_tokens,
+        |  cum - n_tokens AS start_offset,
+        |  CAST(floor((cum - n_tokens) / 4096) AS BIGINT) AS window_id
+        |FROM c ORDER BY shard, start_offset, doc_id""".stripMargin,
     "q43_token_quantiles" ->
       """WITH d AS (SELECT lang,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
