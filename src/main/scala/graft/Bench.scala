@@ -254,6 +254,10 @@ object Bench {
       new java.io.File("BENCH/last_record.json").getAbsolutePath)
     try {
       val p = java.nio.file.Paths.get(recordPath)
+      // a failed write must leave NO file, never a previous run's
+      // record masquerading as this run's (same discipline as the
+      // stats side file above)
+      java.nio.file.Files.deleteIfExists(p)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.writeString(p, line.toString + "\n")
     } catch { case _: Exception => () }

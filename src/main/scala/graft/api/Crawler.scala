@@ -179,7 +179,9 @@ final class Crawler(
     * `setLimiterProperty`, and (after each `run()`) once per
     * (round, limiter) where the `rateLimitSchedule` changed the
     * effective override relative to the previous round, in round
-    * order. */
+    * order. A schedule override DISAPPEARING also fires, carrying the
+    * delay the limiter reverts to (its host policy's crawl delay) —
+    * a listener mirroring limiter state never goes stale. */
   def onLimiterChange(f: (String, Long) => Unit): this.type = {
     limiterListeners += f; this
   }
@@ -195,8 +197,15 @@ final class Crawler(
       else engine.cfg.overridesAt(from - 1)
     (from until until).foreach { r =>
       val cur = engine.cfg.overridesAt(r)
-      (cur.toSeq.sortBy(_._1)).foreach { case (k, v) =>
-        if (!prev.get(k).contains(v)) limiterListeners.foreach(_(k, v))
+      (prev.keySet ++ cur.keySet).toSeq.sorted.foreach { k =>
+        (prev.get(k), cur.get(k)) match {
+          case (p, Some(v)) if !p.contains(v) =>
+            limiterListeners.foreach(_(k, v))
+          case (Some(_), None) =>
+            // override expired: the limiter reverts to its policy delay
+            limiterListeners.foreach(_(k, web.policy(k).crawl_delay_ms))
+          case _ => ()
+        }
       }
       prev = cur
     }

@@ -32,11 +32,16 @@ package graft.core
   * through, with the same output schema.
   */
 /** One fetch task as the seam sees it: canonical URL, retry ordinal,
-  * and the per-request HTTP options node-crawler's `queue()` carries
+  * the per-request HTTP options node-crawler's `queue()` carries
   * (`method`, `headers` as an opaque serialized map; null = source
-  * defaults — GET, no extra headers) [PK:high]. */
+  * defaults — GET, no extra headers) [PK:high], plus the scheduler
+  * inputs the HTTP identity resolution needs: `discoveredSeq` (the
+  * deterministic request ordinal UA/proxy rotation keys on) and the
+  * resolved cookie-jar bit (jar state belongs to the SCHEDULER — the
+  * seam just presents it). */
 final case class FetchRequest(urlCanon: String, retryCount: Int,
-    method: String = null, headers: String = null)
+    method: String = null, headers: String = null,
+    discoveredSeq: Long = 0L, cookie: Boolean = false)
 
 trait FetchSource {
   def fetch(urlCanon: String, retryCount: Int): FetchResult
@@ -49,13 +54,22 @@ trait FetchSource {
 
 /** The sandbox source: deterministic synthetic web (shared with the
   * reference simulator). Honors per-request method/headers (HEAD,
-  * Accept-Encoding negotiation) via the shared [[Fetcher]]. */
+  * Accept-Encoding negotiation) AND the HTTP identity options via the
+  * same [[HttpIdentity]] resolution the engine's FetchExtractExpr and
+  * the simulator run — the seam serves identical content for the
+  * identical cfg, whichever path fetches. */
 final class SyntheticFetchSource(web: SyntheticWeb, cfg: CrawlConfig)
     extends FetchSource {
   def fetch(urlCanon: String, retryCount: Int): FetchResult =
-    Fetcher.fetch(web, urlCanon, retryCount, cfg)
-  override def fetch(req: FetchRequest): FetchResult =
-    Fetcher.fetch(web, req.urlCanon, req.retryCount, cfg, req.method, req.headers)
+    fetch(FetchRequest(urlCanon, retryCount))
+  override def fetch(req: FetchRequest): FetchResult = {
+    val ctx = RequestCtx(
+      HttpIdentity.uaFor(cfg, req.headers, req.discoveredSeq),
+      req.cookie,
+      HttpIdentity.refererFor(cfg, req.headers))
+    Fetcher.fetch(web, req.urlCanon, req.retryCount, cfg, req.method,
+      req.headers, ctx)
+  }
 }
 
 /** Timeout decorator for any [[FetchSource]] — node-crawler's

@@ -314,8 +314,21 @@ final class CrawlEngine(
 
   /** Crawl order — a slim projection of the attempts fact table,
     * totally ordered by (round, priority, discovered_seq, url_hash). */
+  /** Attempts tables written before the HTTP-identity columns existed
+    * (an older state dir resumed by this build) read with synthesized
+    * defaults instead of failing the select — identity was "none". */
+  private def withIdentityCols(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
+    var out = df
+    if (!cols("ua")) out = out.withColumn("ua", lit(null).cast("string"))
+    if (!cols("proxy")) out = out.withColumn("proxy", lit(null).cast("string"))
+    if (!cols("cookie_sent")) out = out.withColumn("cookie_sent", lit(false))
+    out
+  }
+
   def crawlLog(): DataFrame =
     readPinned(ATTEMPTS)
+      .map(withIdentityCols)
       .map(_.select($"round", $"priority", $"discovered_seq", $"url_hash",
         $"url_canon", $"retry_count", $"user_data",
         $"limiter", $"method", $"headers",
@@ -333,6 +346,7 @@ final class CrawlEngine(
     * attempts fact table — span/link columns are never touched. */
   def attemptEvents(fromRound: Long = 0L): DataFrame =
     readPinned(ATTEMPTS)
+      .map(withIdentityCols)
       .map(_.filter($"round" >= fromRound)
         .select($"round", $"priority", $"discovered_seq", $"url_hash",
           $"url_canon", $"retry_count", $"ok", $"has_doc",

@@ -35,6 +35,21 @@ object PipelineOps {
     val DecontamMinHits = 3L
   }
 
+  /** q53/q54 shared shard key (seeded md5-derived 32-bit uniform) and
+    * its DuckDB twin — ONE definition each side, so the packing op
+    * (q54) provably rides the sharding op's (q53) order: a change to
+    * the seed or key width cannot drift between them. */
+  private def shardKey: org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("shard|"), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+  private val ShardKeySql =
+    "('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+  /** Whitespace token count (the q43/q54 formula). */
+  private def tokenCountCol: org.apache.spark.sql.Column =
+    (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+      .cast("long")
+
   /** Per-language keep-rate for the stratified sample (q41):
     * downsample the majority language, keep most of the tail — the
     * standard data-mixing shape. Rates are exact multiples of 2⁻³²
@@ -380,10 +395,8 @@ object PipelineOps {
     "q53_corpus_shard" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val key = conv(substring(md5(concat(lit("shard|"),
-        $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long")
       s.read.parquet(t(dir, "documents"))
-        .select($"doc_id", key.as("skey"))
+        .select($"doc_id", shardKey.as("skey"))
         .withColumn("shard", ($"skey" % 8).cast("int"))
         .withColumn("pos", row_number().over(
           Window.partitionBy($"shard").orderBy($"skey", $"doc_id")).cast("long"))
@@ -402,13 +415,8 @@ object PipelineOps {
     "q54_pack_sequences" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val key = conv(substring(md5(concat(lit("shard|"),
-        $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long")
       val d = s.read.parquet(t(dir, "documents"))
-        .select($"doc_id",
-          (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
-            .cast("long").as("n_tokens"),
-          key.as("skey"))
+        .select($"doc_id", tokenCountCol.as("n_tokens"), shardKey.as("skey"))
         .withColumn("shard", ($"skey" % 8).cast("int"))
       val w = Window.partitionBy($"shard").orderBy($"skey", $"doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -428,9 +436,7 @@ object PipelineOps {
     "q43_token_quantiles" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val d = s.read.parquet(t(dir, "documents"))
-        .withColumn("n_tokens",
-          (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
-            .cast("long"))
+        .withColumn("n_tokens", tokenCountCol)
       d.groupBy($"lang")
         .agg(
           expr("percentile(n_tokens, 0.25)").as("p25"),
@@ -587,16 +593,16 @@ object PipelineOps {
         |  n * LEAST(CAST(1 AS DOUBLE), total / (cells * n)) AS expected_rows
         |FROM c CROSS JOIN t ORDER BY c.source, c.lang""".stripMargin,
     "q53_corpus_shard" ->
-      """WITH k AS (SELECT doc_id,
-        |  ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey
+      s"""WITH k AS (SELECT doc_id,
+        |  $ShardKeySql AS skey
         |  FROM documents)
         |SELECT doc_id, CAST(skey % 8 AS INTEGER) AS shard, skey,
         |  row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS pos
         |FROM k ORDER BY shard, pos""".stripMargin,
     "q54_pack_sequences" ->
-      """WITH k AS (SELECT doc_id,
+      s"""WITH k AS (SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
-        |  ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS skey
+        |  $ShardKeySql AS skey
         |  FROM documents),
         |c AS (SELECT doc_id, CAST(skey % 8 AS INTEGER) AS shard, n_tokens,
         |  CAST(sum(n_tokens) OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id

@@ -178,6 +178,29 @@ object StreamingOps {
     val batchBands = TextOps.signatureBands(sigs)
     val sigRoot = new org.apache.hadoop.fs.Path(s"$storeDir/signatures")
     val fs = sigRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // interop with a FLAT-layout store (SignatureStore.build, or a
+    // pre-batch-keyed stream): adopt its data files as the pre-stream
+    // batch `batch=-1` once — so (a) its rows gate like any prior
+    // batch instead of being silently skipped, and (b) partition
+    // discovery never sees a mixed flat/partitioned layout (which
+    // Spark rejects as conflicting directory structures). Renames are
+    // per-file metadata ops; a crash mid-migration just leaves fewer
+    // flat files for the next call to move. Spark readers ignore the
+    // `_SUCCESS`/dot files left in the root.
+    if (fs.exists(sigRoot)) {
+      val flat = fs.listStatus(sigRoot).filter { st =>
+        st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+      }
+      if (flat.nonEmpty) {
+        val legacy = new org.apache.hadoop.fs.Path(sigRoot, "batch=-1")
+        fs.mkdirs(legacy)
+        flat.foreach(st => fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)))
+      }
+    }
     val priorBatches: Seq[Long] =
       if (!fs.exists(sigRoot)) Nil
       else fs.listStatus(sigRoot).toSeq

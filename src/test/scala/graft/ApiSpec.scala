@@ -154,6 +154,14 @@ class ApiSpec extends AnyFunSuite {
     // the schedule's round-1 override fired exactly once during the run
     assert(limiterEvents.toList.count(_ == (web.hostName(1) -> 777L)) === 1,
       s"limiterChange events: $limiterEvents")
+    // and its EXPIRY fired too: round 2 reverts host 1 to its policy
+    // delay, after the 777 event (a state-mirroring listener never
+    // reads 777 forever)
+    val policyDelay = web.policy(web.hostName(1)).crawl_delay_ms
+    val evs = limiterEvents.toList
+    val i777 = evs.indexOf(web.hostName(1) -> 777L)
+    val iRevert = evs.indexOf(web.hostName(1) -> policyDelay)
+    assert(iRevert > i777, s"no revert event after expiry: $evs")
     // the crawl itself is untouched by listeners (golden)
     import spark.implicits._
     val sim = RefSimulator.run(web, seeds,

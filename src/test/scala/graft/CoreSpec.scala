@@ -58,6 +58,27 @@ class CoreSpec extends AnyFunSuite {
     }
   }
 
+  test("SyntheticFetchSource resolves the same HTTP identity as the engine " +
+    "and simulator — the pluggable seam serves identity content too") {
+    val web = SyntheticWeb(nHosts = 10, pagesPerHost = 8)
+    val cfg = CrawlConfig(userAgents = Seq("sa/1", "sa/2"), rotateUA = true,
+      referer = Some("http://r.example/"))
+    val src = new SyntheticFetchSource(web, cfg)
+    val u2 = s"http://${web.hostName(2)}/p/1" // cloaking host
+    val got = src.fetch(FetchRequest(u2, 0, discoveredSeq = 3L))
+    val expect = Fetcher.fetch(web, u2, 0, cfg, null, null,
+      RequestCtx(HttpIdentity.uaFor(cfg, null, 3L), cookie = false,
+        referer = "http://r.example/"))
+    assert(got === expect)
+    // identity really engaged: differs from the anonymous page
+    assert(got.spans !== Fetcher.fetch(web, u2, 0, CrawlConfig()).spans)
+    // the jar bit presented via the request is honored
+    val u3 = s"http://${web.hostName(3)}/p/1" // personalizing host
+    val anon = src.fetch(FetchRequest(u3, 0))
+    val auth = src.fetch(FetchRequest(u3, 0, cookie = true))
+    assert(auth.spans.size === anon.spans.size + 1)
+  }
+
   test("HttpIdentity resolution: header overrides, rotation by ordinal, proxy pool") {
     val cfg = CrawlConfig(
       userAgents = Seq("ua-0", "ua-1", "ua-2"), rotateUA = true,

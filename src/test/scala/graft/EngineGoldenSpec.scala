@@ -226,6 +226,40 @@ class EngineGoldenSpec extends AnyFunSuite {
       "UA change leaked into non-cloaking hosts")
   }
 
+  test("a pre-identity attempts table (no ua/proxy/cookie_sent columns) still " +
+    "serves crawlLog/attemptEvents with synthesized defaults") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5, megaFactor = 2)
+    val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 3)
+    val dir = Files.createTempDirectory("graft-oldschema").toString
+    val eng = new CrawlEngine(spark, web, cfg, dir)
+    eng.init(web.seedUrls(6)); eng.run()
+    val nBefore = eng.crawlLog().count()
+    // rewrite every attempts data dir WITHOUT the identity columns —
+    // the on-disk shape of a state dir written before this build
+    eng.ice.currentManifest("attempts").get.files.foreach { f =>
+      val stripped = spark.read.parquet(f)
+        .drop("ua", "proxy", "cookie_sent").collect()
+      val schema = org.apache.spark.sql.types.StructType(
+        spark.read.parquet(f).drop("ua", "proxy", "cookie_sent").schema)
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) p.listFiles.foreach(rm); p.delete()
+      }
+      rm(new java.io.File(f))
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(stripped: _*)), schema)
+        .write.parquet(f)
+    }
+    import spark.implicits._
+    val log = eng.crawlLog()
+    assert(log.count() === nBefore)
+    val idents = log.select($"ua", $"proxy", $"cookie_sent")
+      .as[(String, String, Boolean)].collect()
+    assert(idents.forall(t => t._1 == null && t._2 == null && !t._3),
+      "old-schema attempts must read as no-identity")
+    // and the facade's event stream works over it too
+    assert(eng.attemptEvents().count() === nBefore)
+  }
+
   test("golden equality with a global per-round cap (maxConnections analog)") {
     val web = SyntheticWeb(nHosts = 5, pagesPerHost = 6, megaFactor = 2)
     val cfg = CrawlConfig(numBuckets = 8, roundMs = 1000, maxRounds = 5,

@@ -214,6 +214,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(storeIds === rebuilt)
   }
 
+  test("incremental dedup adopts a pre-existing FLAT SignatureStore as " +
+    "batch=-1 and gates against it; the store stays readable") {
+    import spark.implicits._
+    import graft.operators.SignatureStore
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val tB = "omega psi chi phi upsilon tau sigma rho pi omicron " * 8
+    val tC = "quark lepton boson gluon photon meson baryon hadron spin charm " * 8
+    // a flat-layout store built by the BATCH pipeline
+    val docsDir = Files.createTempDirectory("graft-flat-docs").toString
+    Seq((1L, tA), (3L, tB)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$docsDir/documents.parquet")
+    val store = Files.createTempDirectory("graft-flat-store").toString
+    SignatureStore.build(spark, docsDir, store)
+    // first streamed batch: 4 near-dups the flat store's tA (must drop
+    // against the ADOPTED batch=-1 rows), 5 is new
+    val batch = Seq((4L, tA + " more", "en", "web"), (5L, tC, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    StreamingOps.dedupBatchAppend(batch, batchId = 0L, store)
+    val ids = SignatureStore.signatures(spark, store)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L, 5L),
+      s"flat store not adopted by the cross-batch gate: $ids")
+    // layout is now uniformly batch-keyed: no mixed-structure failure,
+    // and the batch consumers (candidatePairs) still read it
+    assert(SignatureStore.candidatePairs(spark, store).columns.nonEmpty)
+  }
+
   test("watermarked windowed aggregation over the events file stream") {
     val cp = Files.createTempDirectory("graft-cp3").toString
     val q = StreamingOps.eventWindowCounts(spark, "/root/testdata/sf0.001")
