@@ -427,6 +427,59 @@ object PipelineOps {
         .orderBy($"shard", $"start_offset", $"doc_id")
     }),
 
+    // corpus snapshot diff — the incremental-refresh primitive: which
+    // documents were added / deleted / modified / unchanged between two
+    // corpus versions, keyed by doc_id with content-hash comparison.
+    // The two snapshots are synthesized deterministically IN-QUERY
+    // (v1 = doc_id % 9 ≠ 0, v2 = doc_id % 7 ≠ 0 with % 13 = 0 texts
+    // amended — the q47/q51 fixture-from-the-table pattern), so the
+    // DIFF is the operator under test. Scale shape: two pruned scans +
+    // one full-outer hash join on the key; at 100 TB both sides bucket
+    // by doc_id and the join co-locates — no full-content shuffle,
+    // only (id, md5) pairs move.
+    "q55_corpus_diff" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val docs = s.read.parquet(t(dir, "documents"))
+      val v1 = docs.filter($"doc_id" % 9 =!= 0)
+        .select($"doc_id", md5($"text").as("h1"))
+      val v2 = docs.filter($"doc_id" % 7 =!= 0)
+        .select($"doc_id", md5(when($"doc_id" % 13 === 0,
+          concat($"text", lit(" updated"))).otherwise($"text")).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select($"doc_id",
+          when($"h1".isNull, "added")
+            .when($"h2".isNull, "deleted")
+            .when($"h1" =!= $"h2", "modified")
+            .otherwise("unchanged").as("status"))
+        .orderBy($"doc_id")
+    }),
+
+    // token-budget data selection: keep the highest-quality documents
+    // until a token budget is exhausted — the data-selection step of a
+    // budgeted training run. Quality = distinct-word fraction (the q50
+    // signal; BIGINT/BIGINT division is bit-identical in both
+    // engines), selection = running token total over (score desc,
+    // doc_id) ≤ budget. The global ordered prefix sum is the sandbox
+    // form; at 100 TB the same plan runs two-pass (per-shard totals →
+    // broadcast offsets) or per-shard budgets — same window, bounded
+    // state either way.
+    "q56_token_budget" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val m = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .select($"doc_id",
+          size($"ws").cast("long").as("n_tokens"),
+          (size(array_distinct($"ws")).cast("long") / size($"ws").cast("long"))
+            .as("score"))
+      val w = Window.orderBy($"score".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      m.withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .withColumn("selected", $"cum_tokens" <= 8192L)
+        .select($"doc_id", $"n_tokens", $"score", $"cum_tokens", $"selected")
+        .orderBy($"cum_tokens")
+    }),
+
     // exact per-language quantiles of the whitespace token count:
     // percentile() is the EXACT linear-interpolation quantile (the
     // same definition as DuckDB quantile_cont), computed per group in
@@ -612,6 +665,32 @@ object PipelineOps {
         |  cum - n_tokens AS start_offset,
         |  CAST(floor((cum - n_tokens) / 4096) AS BIGINT) AS window_id
         |FROM c ORDER BY shard, start_offset, doc_id""".stripMargin,
+    "q55_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1
+        |  FROM documents WHERE doc_id % 9 <> 0),
+        |v2 AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 13 = 0 THEN text || ' updated' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'deleted'
+        |       WHEN h1 <> h2 THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q56_token_budget" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |    / CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, score,
+        |  CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM m)
+        |SELECT doc_id, n_tokens, score, cum_tokens,
+        |  cum_tokens <= 8192 AS selected
+        |FROM c ORDER BY cum_tokens""".stripMargin,
     "q43_token_quantiles" ->
       """WITH d AS (SELECT lang,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens

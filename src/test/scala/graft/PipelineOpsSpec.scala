@@ -292,6 +292,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q55: diff statuses recompute from the two synthesized snapshots; " +
+    "every status fires") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q55_corpus_diff")(spark, dir01)
+      .as[(Long, String)].collect().toMap
+    val ids = spark.read.parquet(s"$dir01/documents.parquet")
+      .select($"doc_id").as[Long].collect().toSet
+    ids.foreach { id =>
+      val inV1 = id % 9 != 0
+      val inV2 = id % 7 != 0
+      val expect =
+        if (inV1 && !inV2) Some("deleted")
+        else if (!inV1 && inV2) Some("added")
+        else if (inV1 && inV2 && id % 13 == 0) Some("modified")
+        else if (inV1 && inV2) Some("unchanged")
+        else None // in neither snapshot: not a diff row
+      assert(out.get(id) === expect, s"doc $id")
+    }
+    val byStatus = out.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    Seq("added", "deleted", "modified", "unchanged").foreach(st =>
+      assert(byStatus.getOrElse(st, 0) > 0, s"status $st never fired: $byStatus"))
+  }
+
+  test("q56: budgeted selection is a greedy quality-ordered prefix that " +
+    "never exceeds the token budget") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q56_token_budget")(spark, dir01)
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+    assert(out.length === 500)
+    // cum_tokens is the prefix sum in (score desc, doc_id) order
+    val ordered = out.sortBy(r => (-r._3, r._1))
+    var cum = 0L
+    ordered.foreach { case (id, n, _, c, sel) =>
+      cum += n
+      assert(c === cum, s"doc $id cum")
+      assert(sel === (cum <= 8192L), s"doc $id selected flag")
+    }
+    val kept = out.filter(_._5)
+    assert(kept.nonEmpty && kept.length < out.length, "budget not binding")
+    assert(kept.map(_._2).sum <= 8192L, "selection exceeds the budget")
+    // greedy on quality: the selected set is exactly a PREFIX of the
+    // (score desc, doc_id) ordering — no unselected doc outranks a
+    // selected one
+    assert(ordered.takeWhile(_._5).length === kept.length,
+      "selection is not a quality-ordered prefix")
+  }
+
   test("q43: p50 equals the interpolated median computed by hand") {
     import spark.implicits._
     val counts = spark.read.parquet(s"$dir01/documents.parquet")
