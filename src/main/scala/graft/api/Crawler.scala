@@ -163,6 +163,15 @@ final class Crawler(
   // Driver-side observers; golden-neutral (they observe, never steer).
   private val scheduleListeners = mutable.ListBuffer.empty[SeedRequest => Unit]
   private val limiterListeners = mutable.ListBuffer.empty[(String, Long) => Unit]
+  private val drainListeners = mutable.ListBuffer.empty[() => Unit]
+
+  /** node-crawler `crawler.on('drain', ...)`: fires when a `run()`
+    * ends with the frontier fully drained (no admissible candidates
+    * left) — NOT when the run stops at `maxRounds` with work pending,
+    * matching the reference's drain semantics. The drained state is
+    * also observable as the `run()` return, which remains the primary
+    * surface. */
+  def onDrain(f: => Unit): this.type = { drainListeners += (() => f); this }
 
   /** node-crawler `crawler.on('schedule', options => ...)`: fires once
     * per facade-queued request as it is handed to the scheduler (at
@@ -262,6 +271,8 @@ final class Crawler(
     val startRound = engine.nextRound
     val stats = engine.run()
     fireScheduleLimiterChanges(startRound, engine.nextRound)
+    if (drainListeners.nonEmpty && engine.pending().limit(1).count() == 0)
+      drainListeners.foreach(_())
     CrawlResult(stats, engine.documents(), engine.crawlLog(), engine.lineage())
   }
 

@@ -173,6 +173,26 @@ class ApiSpec extends AnyFunSuite {
     assert(order === sim.crawlOrder, "listeners steered the crawl")
   }
 
+  test("onDrain fires exactly when a run ends drained, not at a maxRounds stop") {
+    val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
+    val dir = Files.createTempDirectory("graft-drain").toString
+    var drains = 0
+    // run 1 stops at maxRounds=1 with discovered links still pending
+    val c1 = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 2000, maxRounds = 1, numBuckets = 4))
+    c1.onDrain { drains += 1 }
+    c1.queue(web.seedUrls(6).map(SeedRequest(_))).run()
+    assert(drains === 0, "drain fired at a maxRounds stop")
+    assert(!c1.engine.pending().isEmpty, "fixture did not leave pending work")
+    // run 2 resumes the same state and drains for real
+    val c2 = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 2000, maxRounds = 32, numBuckets = 4))
+    c2.onDrain { drains += 1 }
+    c2.run()
+    assert(drains === 1, "drain did not fire on the drained run")
+    assert(c2.engine.pending().isEmpty)
+  }
+
   test("identity options flow through the facade and surface on onAttempt events") {
     val web = SyntheticWeb(nHosts = 10, pagesPerHost = 6, megaFactor = 2)
     val dir = Files.createTempDirectory("graft-api-ident").toString
