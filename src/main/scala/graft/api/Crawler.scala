@@ -168,10 +168,18 @@ final class Crawler(
   /** node-crawler `crawler.on('drain', ...)`: fires when a `run()`
     * ends with the frontier fully drained (no admissible candidates
     * left) — NOT when the run stops at `maxRounds` with work pending,
-    * matching the reference's drain semantics. The drained state is
-    * also observable as the `run()` return, which remains the primary
-    * surface. */
+    * matching the reference's drain semantics. With
+    * `run(onAttempt)`, drain fires AFTER every attempt callback has
+    * been delivered — the reference emits 'drain' only once all task
+    * callbacks completed. The drained state is also observable as the
+    * `run()` return, which remains the primary surface. */
   def onDrain(f: => Unit): this.type = { drainListeners += (() => f); this }
+
+  /** Deferred drain event (set by runInner, flushed by the public
+    * entry points once their callbacks are done). */
+  private var drainPending = false
+  private def flushDrainEvent(): Unit =
+    if (drainPending) { drainPending = false; drainListeners.foreach(_()) }
 
   /** node-crawler `crawler.on('schedule', options => ...)`: fires once
     * per facade-queued request as it is handed to the scheduler (at
@@ -261,6 +269,12 @@ final class Crawler(
   /** Flush queued requests and run rounds until drain (no admissible
     * candidates) or `maxRounds` — the `drain` event, as a return. */
   def run(): CrawlResult = {
+    val r = runInner()
+    flushDrainEvent()
+    r
+  }
+
+  private def runInner(): CrawlResult = {
     if (buffered.nonEmpty) {
       val flushing = buffered.toList
       engine.enqueueRequests(flushing)
@@ -271,8 +285,11 @@ final class Crawler(
     val startRound = engine.nextRound
     val stats = engine.run()
     fireScheduleLimiterChanges(startRound, engine.nextRound)
-    if (drainListeners.nonEmpty && engine.pending().limit(1).count() == 0)
-      drainListeners.foreach(_())
+    // drained = the loop's own probe said so, OR the run stopped at
+    // maxRounds exactly as the frontier emptied (one pending probe,
+    // paid only when a listener is registered and the flag is false)
+    drainPending = drainListeners.nonEmpty &&
+      (engine.lastRunDrained || engine.pending().limit(1).count() == 0)
     CrawlResult(stats, engine.documents(), engine.crawlLog(), engine.lineage())
   }
 
@@ -286,9 +303,12 @@ final class Crawler(
     * like `done()` completing a task. */
   def run(onAttempt: AttemptEvent => Unit): CrawlResult = {
     val startRound = engine.nextRound
-    val result = run()
+    val result = runInner()
     val events = engine.attemptEvents(startRound)
-    if (events.columns.isEmpty) return result // no attempts table yet
+    if (events.columns.isEmpty) { // no attempts table yet
+      flushDrainEvent()
+      return result
+    }
     // hoist the name→ordinal resolution out of the per-attempt loop
     val idx = Seq("round", "url_canon", "priority", "discovered_seq",
       "retry_count", "ok", "has_doc", "user_data", "limiter", "method",
@@ -303,6 +323,8 @@ final class Crawler(
         r.getString(idx(9)), r.getString(idx(10)),
         r.getString(idx(11)), r.getString(idx(12)), r.getBoolean(idx(13))))
     }
+    // 'drain' fires only after every attempt callback was delivered
+    flushDrainEvent()
     result
   }
 }

@@ -57,7 +57,13 @@ trait FetchSource {
   * Accept-Encoding negotiation) AND the HTTP identity options via the
   * same [[HttpIdentity]] resolution the engine's FetchExtractExpr and
   * the simulator run — the seam serves identical content for the
-  * identical cfg, whichever path fetches. */
+  * identical cfg, whichever path fetches. CONTRACT: UA/proxy rotation
+  * and the cookie jar key on SCHEDULER inputs (`discoveredSeq`,
+  * `cookie`) that only the [[FetchRequest]] form carries; the
+  * request-less `fetch(url, retry)` form resolves them at their
+  * defaults (ordinal 0 — the pool's FIRST UA — and no cookie), so a
+  * rotating/jar-aware pipeline must drive the FetchRequest seam
+  * (`mapFetchRequests`). */
 final class SyntheticFetchSource(web: SyntheticWeb, cfg: CrawlConfig)
     extends FetchSource {
   def fetch(urlCanon: String, retryCount: Int): FetchResult =

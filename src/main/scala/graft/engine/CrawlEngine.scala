@@ -223,6 +223,12 @@ final class CrawlEngine(
     * strictly one at a time, so commits still land in round order and a
     * crash resumes from the last fully-committed round exactly as in
     * the sequential loop. */
+  /** Whether the most recent `run()` on this engine ended because the
+    * frontier drained (vs stopping at `maxRounds`). Set from the run
+    * loop's own drain probe — no extra job to re-derive it. */
+  @volatile private var lastDrainedFlag = false
+  def lastRunDrained: Boolean = lastDrainedFlag
+
   def run(): Seq[RoundStats] = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
     var r = nextRound
@@ -252,6 +258,7 @@ final class CrawlEngine(
       }
     }
     awaitTail()
+    lastDrainedFlag = draining
     stats.toSeq.map(s => s.copy(enqueued = tailEnqueued.getOrElse(s.round, 0L)))
   }
 
@@ -314,21 +321,34 @@ final class CrawlEngine(
 
   /** Crawl order — a slim projection of the attempts fact table,
     * totally ordered by (round, priority, discovered_seq, url_hash). */
-  /** Attempts tables written before the HTTP-identity columns existed
-    * (an older state dir resumed by this build) read with synthesized
-    * defaults instead of failing the select — identity was "none". */
-  private def withIdentityCols(df: DataFrame): DataFrame = {
-    val cols = df.columns.toSet
-    var out = df
-    if (!cols("ua")) out = out.withColumn("ua", lit(null).cast("string"))
-    if (!cols("proxy")) out = out.withColumn("proxy", lit(null).cast("string"))
-    if (!cols("cookie_sent")) out = out.withColumn("cookie_sent", lit(false))
-    out
-  }
+  /** Attempts reads, schema-evolution-safe across the HTTP-identity
+    * upgrade: a pre-identity table — or a MIXED one, where this build
+    * resumed an old state dir and appended new-schema deltas — always
+    * reads with the identity columns present. Single-footer inference
+    * stays the hot path; only a read whose inferred schema LACKS the
+    * identity columns (inference sampled an old file) pays the
+    * mergeSchema re-read, and `cookie_sent` is null-coalesced because
+    * old files surface merged columns as null (identity was "none"). */
+  private def readAttempts(): Option[DataFrame] =
+    pin(ATTEMPTS).flatMap { id =>
+      ice.read(spark, ATTEMPTS, Some(id)).map { df0 =>
+        val df =
+          if (df0.columns.contains("cookie_sent")) df0
+          else ice.read(spark, ATTEMPTS, Some(id), mergeSchema = true)
+            .getOrElse(df0)
+        val cols = df.columns.toSet
+        var out = df
+        if (!cols("ua")) out = out.withColumn("ua", lit(null).cast("string"))
+        if (!cols("proxy")) out = out.withColumn("proxy", lit(null).cast("string"))
+        out =
+          if (!cols("cookie_sent")) out.withColumn("cookie_sent", lit(false))
+          else out.withColumn("cookie_sent", coalesce($"cookie_sent", lit(false)))
+        out
+      }
+    }
 
   def crawlLog(): DataFrame =
-    readPinned(ATTEMPTS)
-      .map(withIdentityCols)
+    readAttempts()
       .map(_.select($"round", $"priority", $"discovered_seq", $"url_hash",
         $"url_canon", $"retry_count", $"user_data",
         $"limiter", $"method", $"headers",
@@ -345,8 +365,7 @@ final class CrawlEngine(
     * `callback(error, res, done)` [PK:high]); a pruned read of the
     * attempts fact table — span/link columns are never touched. */
   def attemptEvents(fromRound: Long = 0L): DataFrame =
-    readPinned(ATTEMPTS)
-      .map(withIdentityCols)
+    readAttempts()
       .map(_.filter($"round" >= fromRound)
         .select($"round", $"priority", $"discovered_seq", $"url_hash",
           $"url_canon", $"retry_count", $"ok", $"has_doc",

@@ -121,9 +121,16 @@ final class IceLite(rootDir: String) {
   /** Read a table at a snapshot (default: current). None if the table
     * has no snapshot or the snapshot is empty. */
   def read(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None): Option[DataFrame] = {
+      snapshotId: Option[Long] = None, mergeSchema: Boolean = false): Option[DataFrame] = {
     val m = snapshotId.map(manifest(table, _)).orElse(currentManifest(table))
-    m.filter(_.files.nonEmpty).map(mm => spark.read.parquet(mm.files: _*))
+    // mergeSchema reads EVERY file's footer (schema evolution across
+    // appended deltas — e.g. an upgraded build appending wider rows to
+    // a pre-upgrade table); the default single-footer inference stays
+    // the hot path
+    m.filter(_.files.nonEmpty).map(mm =>
+      if (mergeSchema)
+        spark.read.option("mergeSchema", "true").parquet(mm.files: _*)
+      else spark.read.parquet(mm.files: _*))
   }
 
   def props(table: String): Map[String, String] =

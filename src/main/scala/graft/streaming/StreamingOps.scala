@@ -197,8 +197,20 @@ object StreamingOps {
       if (flat.nonEmpty) {
         val legacy = new org.apache.hadoop.fs.Path(sigRoot, "batch=-1")
         fs.mkdirs(legacy)
-        flat.foreach(st => fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)))
+        flat.foreach { st =>
+          val dst = new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)
+          // a previous partially-failed adoption may have copied the
+          // file already (object stores rename by copy+delete): the
+          // source is then a duplicate — drop it, don't re-adopt
+          if (fs.exists(dst)) fs.delete(st.getPath, false)
+          else if (!fs.rename(st.getPath, dst))
+            // a silently-stranded flat file next to batch= dirs would
+            // fail every subsequent read with conflicting directory
+            // structures — fail THIS batch instead (foreachBatch
+            // retries it; the adoption loop is idempotent)
+            throw new java.io.IOException(
+              s"failed to adopt flat signature file ${st.getPath} into $legacy")
+        }
       }
     }
     val priorBatches: Seq[Long] =

@@ -258,6 +258,26 @@ class EngineGoldenSpec extends AnyFunSuite {
       "old-schema attempts must read as no-identity")
     // and the facade's event stream works over it too
     assert(eng.attemptEvents().count() === nBefore)
+
+    // MIXED table: resume the old-schema state dir with an
+    // identity-bearing config and run more rounds — new-schema deltas
+    // append next to the old files. Old rounds must read as
+    // no-identity (null ua, cookie_sent=false — never a null boolean),
+    // new rounds must carry their REAL identity (not be nulled away by
+    // single-footer inference sampling an old file).
+    val eng2 = new CrawlEngine(spark, web,
+      cfg.copy(maxRounds = 5, userAgents = Seq("up/1")), dir)
+    eng2.run()
+    val mixed = eng2.crawlLog()
+      .select($"round", $"ua", $"cookie_sent")
+      .as[(Long, String, Boolean)].collect()
+    assert(mixed.length.toLong > nBefore, "resume appended no new rounds")
+    mixed.filter(_._1 < 3).foreach { case (r, ua, ck) =>
+      assert(ua == null && !ck, s"old round $r row gained identity")
+    }
+    val newRows = mixed.filter(_._1 >= 3)
+    assert(newRows.nonEmpty && newRows.forall(_._2 == "up/1"),
+      s"new rounds lost their identity in the mixed read: ${newRows.take(3).toSeq}")
   }
 
   test("golden equality with a global per-round cap (maxConnections analog)") {
