@@ -135,6 +135,28 @@ class PlanSpec extends AnyFunSuite {
       s"sample must not read the text column: $readSchema")
   }
 
+  test("round-5 curation ops prune their document scans to the columns used") {
+    // q52: the corpus aggregate needs (source, lang) ONLY — neither
+    // the text payload nor doc_id may reach the scan
+    val p52 = planOf("q52_domain_mix")
+    val rs52 = p52.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs52.contains("source") && rs52.contains("lang") &&
+      !rs52.contains("text") && !rs52.contains("doc_id"),
+      s"q52 scan not pruned to (source, lang): $rs52")
+    // q53: the shard permutation is doc_id-keyed — the text payload
+    // must never be read (at 100 TB that is the difference between
+    // shuffling ids and shuffling the corpus)
+    val p53 = planOf("q53_corpus_shard")
+    val rs53 = p53.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs53.contains("doc_id") && !rs53.contains("text"),
+      s"q53 scan reads the text payload: $rs53")
+    // q56: needs doc_id + text, nothing else
+    val p56 = planOf("q56_token_budget")
+    val rs56 = p56.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs56.contains("lang") && !rs56.contains("source"),
+      s"q56 scan reads unused columns: $rs56")
+  }
+
   test("q42: as-of join is one window pass, not a per-row probe join") {
     val df = SparkEntry.queries("q42_asof_join")(spark, dir)
     df.count()
