@@ -179,6 +179,45 @@ object VectorOps {
         .orderBy($"vec_a", $"vec_b")
     }),
 
+    // semantic decontamination — the embedding-space sibling of q47's
+    // verbatim n-gram gate: flag corpus vectors whose embedding is
+    // close (cos ≥ 0.4) to any held-out benchmark vector. The gate
+    // floor sits ABOVE q30's 0.25 near-dup listing floor on purpose:
+    // a decontamination decision wants high-confidence semantic
+    // duplicates, not the exploratory pair listing (at 0.25 this
+    // corpus flags ~60% — noise; at 0.4 a selective handful). Same
+    // re-rank-of-the-candidate-set contract as q30 (banding recall
+    // ≈50% at cos 0.4, →1 toward true duplicates). Bipartite LSH: candidates share a sign-band
+    // chunk ACROSS the two sets, so the join's build side is the TINY
+    // benchmark band table (broadcast — no corpus shuffle, no skew
+    // valve needed: per-bucket fanout is bounded by the benchmark
+    // size, not the corpus). Re-rank joins the benchmark vectors back
+    // broadcast; the corpus arrays never leave their scan.
+    "q57_semantic_decontam" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val bench = emb.filter($"vec_id" % 19 === 0)
+      val corpus = emb.filter($"vec_id" % 19 =!= 0)
+      val cand = signBands(corpus)
+        .join(broadcast(signBands(bench)
+          .select($"band", $"chunk", $"vec_id".as("bvec"))),
+          Seq("band", "chunk"))
+        .select($"vec_id", $"bvec").distinct()
+      val hits = corpus.select($"vec_id", $"embedding".as("ce"))
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(bench.select($"vec_id".as("bvec"), $"embedding".as("be"))),
+          "bvec")
+        .select($"vec_id", cosine($"ce", $"be").as("cos"))
+        .filter($"cos" >= 0.4)
+        .groupBy($"vec_id").agg(count(lit(1)).as("n_hits"))
+      corpus.select($"vec_id")
+        .join(hits, Seq("vec_id"), "left")
+        .select($"vec_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          $"n_hits".isNotNull.as("contaminated"))
+        .orderBy($"vec_id")
+    }),
+
     // ANN, sign-LSH with radius-1 multiprobe: the query's band chunks
     // expand into the Hamming-≤1 ball (1 + bitsPerBand probe chunks per
     // band); a candidate shares at least one band's probe chunk, then
@@ -354,6 +393,30 @@ object VectorOps {
          |WHERE list_dot_product(va, vb)
          |    / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) >= 0.25
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "q57_semantic_decontam" ->
+      s"""WITH bench AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 19 = 0),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 19 <> 0),
+         |cb AS (${signBandsSql("corpus")}),
+         |bb AS (${signBandsSql("bench")}),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id, b.vec_id AS bvec
+         |  FROM cb c JOIN bb b ON c.band = b.band AND c.chunk = b.chunk),
+         |r AS (
+         |  SELECT cand.vec_id,
+         |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(be.embedding AS DOUBLE[]))
+         |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         |       * sqrt(list_dot_product(CAST(be.embedding AS DOUBLE[]), CAST(be.embedding AS DOUBLE[])))) AS cos
+         |  FROM cand
+         |  JOIN corpus e ON e.vec_id = cand.vec_id
+         |  JOIN bench be ON be.vec_id = cand.bvec),
+         |h AS (
+         |  SELECT vec_id, count(*) AS n_hits FROM r WHERE cos >= 0.4 GROUP BY vec_id)
+         |SELECT c.vec_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  h.vec_id IS NOT NULL AS contaminated
+         |FROM corpus c LEFT JOIN h ON h.vec_id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin,
     "q31_ann_lsh" -> {
       val flips = (0 until SignBitsPerBand).map(j => s"xor(chunk, ${1 << j})")
         .mkString(", ")

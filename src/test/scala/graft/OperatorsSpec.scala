@@ -14,6 +14,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q57: flagged set is an LSH-gated subset of the brute-force semantic " +
+    "hits; benchmark rows never appear in the output") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q57_semantic_decontam")(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.forall(_._1 % 19 != 0), "a benchmark row leaked into the output")
+    out.foreach { case (id, n, c) => assert(c === (n >= 1L), s"vec $id flags") }
+    // brute force at the same floor, same sequential-fold arithmetic
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    val bench = emb.filter(_._1 % 19 == 0)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = emb.filter(_._1 % 19 != 0)
+      .filter { case (_, v) => bench.exists(b => cos(v, b._2) >= 0.4) }
+      .map(_._1).toSet
+    val flagged = out.filter(_._3).map(_._1).toSet
+    assert(flagged.subsetOf(brute),
+      s"LSH gate flagged vectors brute force does not: ${flagged -- brute}")
+    assert(flagged.nonEmpty, "gate found nothing at this scale")
+    // and the output covers the whole corpus side exactly once
+    assert(out.length === emb.count(_._1 % 19 != 0))
+  }
+
   test("every query runs at sf0.001 and returns a stable schema") {
     // q29 intentionally crossJoin(broadcast(1-row-query-vector)) — the
     // canonical broadcast-scalar shape; everything else must be free of
