@@ -329,13 +329,25 @@ final class CrawlEngine(
     * identity columns (inference sampled an old file) pays the
     * mergeSchema re-read, and `cookie_sent` is null-coalesced because
     * old files surface merged columns as null (identity was "none"). */
+  /** Merged-schema attempts reads memoized per pinned snapshot id — a
+    * pinned snapshot is immutable, so a pure pre-identity table pays
+    * the every-footer mergeSchema inference once per snapshot, not on
+    * every crawlLog/attemptEvents call. Bounded crudely: a long-lived
+    * engine crossing many snapshots just re-infers after a clear. */
+  private val mergedAttemptsCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, DataFrame]()
+
   private def readAttempts(): Option[DataFrame] =
     pin(ATTEMPTS).flatMap { id =>
       ice.read(spark, ATTEMPTS, Some(id)).map { df0 =>
         val df =
           if (df0.columns.contains("cookie_sent")) df0
-          else ice.read(spark, ATTEMPTS, Some(id), mergeSchema = true)
-            .getOrElse(df0)
+          else {
+            if (mergedAttemptsCache.size > 64) mergedAttemptsCache.clear()
+            mergedAttemptsCache.computeIfAbsent(id, _ =>
+              ice.read(spark, ATTEMPTS, Some(id), mergeSchema = true)
+                .getOrElse(df0))
+          }
         val cols = df.columns.toSet
         var out = df
         if (!cols("ua")) out = out.withColumn("ua", lit(null).cast("string"))

@@ -187,12 +187,19 @@ object VectorOps {
     // duplicates, not the exploratory pair listing (at 0.25 this
     // corpus flags ~60% — noise; at 0.4 a selective handful). Same
     // re-rank-of-the-candidate-set contract as q30 (banding recall
-    // ≈50% at cos 0.4, →1 toward true duplicates). Bipartite LSH: candidates share a sign-band
-    // chunk ACROSS the two sets, so the join's build side is the TINY
-    // benchmark band table (broadcast — no corpus shuffle, no skew
-    // valve needed: per-bucket fanout is bounded by the benchmark
-    // size, not the corpus). Re-rank joins the benchmark vectors back
-    // broadcast; the corpus arrays never leave their scan.
+    // ≈50% at cos 0.4, →1 toward true duplicates). Bipartite LSH:
+    // candidates share a sign-band chunk ACROSS the two sets, so the
+    // candidate join's build side is the TINY benchmark band table
+    // (broadcast — no corpus shuffle, no skew valve needed: per-bucket
+    // fanout is bounded by the benchmark size, not the corpus).
+    // Re-rank joins the benchmark vectors back broadcast; the corpus
+    // arrays never leave their scan. NOTE on the cand broadcast in
+    // the re-rank: |cand| is bounded by corpus-side COLLISIONS with
+    // the benchmark, not by the benchmark alone — on a corpus where
+    // most vectors collide it grows with the corpus, so at true 10^10
+    // scale drop that one hint and the plan degrades to an id-keyed
+    // shuffle join of compact pairs (the q30 degrade path); the two
+    // benchmark-side broadcasts genuinely are benchmark-bounded.
     "q57_semantic_decontam" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))

@@ -201,8 +201,14 @@ object StreamingOps {
           val dst = new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)
           // a previous partially-failed adoption may have copied the
           // file already (object stores rename by copy+delete): the
-          // source is then a duplicate — drop it, don't re-adopt
-          if (fs.exists(dst)) fs.delete(st.getPath, false)
+          // source is then a duplicate — drop it, don't re-adopt. A
+          // failed delete strands the same mixed layout a failed
+          // rename would, so it fails the batch identically.
+          if (fs.exists(dst)) {
+            if (!fs.delete(st.getPath, false))
+              throw new java.io.IOException(
+                s"failed to drop already-adopted flat signature file ${st.getPath}")
+          }
           else if (!fs.rename(st.getPath, dst))
             // a silently-stranded flat file next to batch= dirs would
             // fail every subsequent read with conflicting directory
