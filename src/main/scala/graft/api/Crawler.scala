@@ -149,11 +149,15 @@ final class Crawler(
     * change one limiter's crawl delay at runtime. Takes effect from
     * the next `run()` — the BSP analog of changing a live rate
     * limiter between dequeues. Rebuilds lazily: a setup loop of N
-    * overrides costs one engine build, not N. */
+    * overrides costs one engine build, not N. Change-only semantics
+    * (round-5 ADVICE): setting a limiter to its current value fires
+    * no `limiterChange` — matching what the schedule-driven replay
+    * already does. */
   def setLimiterProperty(limiter: String, rateLimitMs: Long): this.type = {
+    val changed = !currentRateLimits.get(limiter).contains(rateLimitMs)
     currentRateLimits += (limiter -> rateLimitMs)
     engDirty = true
-    limiterListeners.foreach(_(limiter, rateLimitMs))
+    if (changed) fireLimiterChange(limiter, Some(rateLimitMs))
     this
   }
 
@@ -163,6 +167,7 @@ final class Crawler(
   // Driver-side observers; golden-neutral (they observe, never steer).
   private val scheduleListeners = mutable.ListBuffer.empty[SeedRequest => Unit]
   private val limiterListeners = mutable.ListBuffer.empty[(String, Long) => Unit]
+  private val limiterExpiryListeners = mutable.ListBuffer.empty[String => Unit]
   private val drainListeners = mutable.ListBuffer.empty[() => Unit]
 
   /** node-crawler `crawler.on('drain', ...)`: fires when a `run()`
@@ -193,21 +198,42 @@ final class Crawler(
 
   /** node-crawler `crawler.on('limiterChange', ...)`: fires whenever a
     * limiter's effective rate limit changes — immediately on
-    * `setLimiterProperty`, and (after each `run()`) once per
-    * (round, limiter) where the `rateLimitSchedule` changed the
-    * effective override relative to the previous round, in round
-    * order. A schedule override DISAPPEARING also fires, carrying the
-    * delay the limiter reverts to (its host policy's crawl delay) —
-    * a listener mirroring limiter state never goes stale. */
+    * `setLimiterProperty` (when the value actually changes), and
+    * (after each `run()`) once per (round, limiter) where the
+    * `rateLimitSchedule` changed the effective override relative to
+    * the previous round, in round order. A schedule override
+    * DISAPPEARING also fires: for a HOST-keyed (default) limiter it
+    * carries the delay the limiter reverts to (the host policy's crawl
+    * delay); for a CUSTOM politeness group the revert is per-member-
+    * host policy delay — one number cannot represent it (round-5
+    * verdict #1) — so THIS listener is skipped and the expiry is
+    * delivered only to [[onLimiterExpiry]], which carries no
+    * fabricated delay. */
   def onLimiterChange(f: (String, Long) => Unit): this.type = {
     limiterListeners += f; this
   }
+
+  /** Expiry of a schedule override on a CUSTOM (non-host) limiter
+    * group: the group reverts to per-member-host policy delays, so the
+    * event carries the limiter key only. Host-keyed limiters never
+    * fire this — their expiry goes to [[onLimiterChange]] with the
+    * concrete policy delay. */
+  def onLimiterExpiry(f: String => Unit): this.type = {
+    limiterExpiryListeners += f; this
+  }
+
+  private def fireLimiterChange(limiter: String, delay: Option[Long]): Unit =
+    delay match {
+      case Some(d) => limiterListeners.foreach(_(limiter, d))
+      case None    => limiterExpiryListeners.foreach(_(limiter))
+    }
 
   /** Replay the schedule's limiter changes for the rounds [from, until)
     * to the listeners, in round order — the driver-side view of the
     * engine's per-round overridesAt evaluation. */
   private def fireScheduleLimiterChanges(from: Long, until: Long): Unit = {
-    if (limiterListeners.isEmpty || engine.cfg.rateLimitSchedule.isEmpty) return
+    if ((limiterListeners.isEmpty && limiterExpiryListeners.isEmpty) ||
+        engine.cfg.rateLimitSchedule.isEmpty) return
     // before the first round only the static overrides are in force
     var prev =
       if (from <= 0L) engine.cfg.rateLimitOverrides
@@ -217,10 +243,15 @@ final class Crawler(
       (prev.keySet ++ cur.keySet).toSeq.sorted.foreach { k =>
         (prev.get(k), cur.get(k)) match {
           case (p, Some(v)) if !p.contains(v) =>
-            limiterListeners.foreach(_(k, v))
+            fireLimiterChange(k, Some(v))
+          case (Some(_), None) if web.isHost(k) =>
+            // override expired on a default (host) limiter: it reverts
+            // to exactly the host policy's crawl delay
+            fireLimiterChange(k, Some(web.policy(k).crawl_delay_ms))
           case (Some(_), None) =>
-            // override expired: the limiter reverts to its policy delay
-            limiterListeners.foreach(_(k, web.policy(k).crawl_delay_ms))
+            // custom politeness group: reverts to per-member-host
+            // delays — report the expiry without inventing a number
+            fireLimiterChange(k, None)
           case _ => ()
         }
       }

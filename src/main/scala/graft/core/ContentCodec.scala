@@ -68,19 +68,15 @@ object ContentCodec {
     * `Accept-Encoding` header means the client transparently accepts
     * gzip [PK:high]; an explicit value negotiates — gzip is served only
     * if the value mentions it. The headers string is the opaque
-    * JSON-ish map `queue({headers})` carries; the key is matched as a
-    * QUOTED JSON key and the whole quoted value is scanned, so commas
-    * inside the value (`"deflate, gzip"`) and the key's text appearing
-    * inside OTHER header values don't confuse the negotiation. (A
-    * production HttpFetchSource parses real header maps.) */
+    * JSON-ish map `queue({headers})` carries, parsed by the shared
+    * [[HeaderMap]] tokenizer (round-5 ADVICE: a real parse, not a
+    * regex scan — escaped quotes and the key's text appearing inside
+    * OTHER header values cannot confuse the negotiation). */
   def acceptsGzip(headers: String): Boolean = {
     if (headers == null) return true
-    ContentCodec.AcceptEncodingRe.findFirstMatchIn(headers) match {
-      case None    => true
-      case Some(m) => m.group(1).toLowerCase.contains("gzip")
+    HeaderMap.get(headers, "accept-encoding") match {
+      case null => true
+      case v    => v.toLowerCase.contains("gzip")
     }
   }
-
-  private val AcceptEncodingRe =
-    """(?i)"accept-encoding"\s*:\s*"([^"]*)"""".r
 }

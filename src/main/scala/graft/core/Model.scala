@@ -244,16 +244,11 @@ object RequestCtx {
   * `discovered_seq`, so the result is invariant to partitioning. */
 object HttpIdentity {
 
-  private val UaRe = """(?i)"user-agent"\s*:\s*"([^"]*)"""".r
-  private val RefererRe = """(?i)"referer"\s*:\s*"([^"]*)"""".r
-
   /** Effective User-Agent: per-request header > rotating pool > single
     * UA > null (the source default). */
   def uaFor(cfg: CrawlConfig, headers: String, seq: Long): String = {
-    if (headers != null) {
-      val m = UaRe.findFirstMatchIn(headers)
-      if (m.isDefined) return m.get.group(1)
-    }
+    val h = HeaderMap.get(headers, "user-agent")
+    if (h != null) return h
     if (cfg.userAgents.isEmpty) null
     else if (!cfg.rotateUA || cfg.userAgents.size == 1) cfg.userAgents.head
     else cfg.userAgents(Hashing.pmod(seq, cfg.userAgents.size).toInt)
@@ -261,10 +256,8 @@ object HttpIdentity {
 
   /** Effective Referer: per-request header > the global option. */
   def refererFor(cfg: CrawlConfig, headers: String): String = {
-    if (headers != null) {
-      val m = RefererRe.findFirstMatchIn(headers)
-      if (m.isDefined) return m.get.group(1)
-    }
+    val h = HeaderMap.get(headers, "referer")
+    if (h != null) return h
     cfg.referer.orNull
   }
 
@@ -273,4 +266,102 @@ object HttpIdentity {
   def proxyFor(cfg: CrawlConfig, seq: Long): String =
     if (cfg.proxies.isEmpty) null
     else cfg.proxies(Hashing.pmod(seq, cfg.proxies.size).toInt)
+}
+
+/** Tokenizer for the opaque JSON-ish request-headers string
+  * (`queue({headers})` carries `{"key":"value",...}`). Replaces the
+  * round-5 regex scans (round-5 ADVICE): a value containing an escaped
+  * quote, or a value that itself embeds a `"user-agent":"..."`
+  * substring, misparsed under the regex — a real tokenizer walks the
+  * string once, honoring `\\`-escapes, and looks keys up
+  * case-insensitively. Shared by [[HttpIdentity]] and
+  * [[ContentCodec.acceptsGzip]], so engine and simulator stay golden
+  * by construction. Best-effort on malformed input: whatever
+  * well-formed `"key":"value"` prefix pairs exist are returned. */
+object HeaderMap {
+
+  /** Case-insensitive lookup of one header; null if absent, the
+    * headers string is null, or the value is not a JSON string. */
+  def get(headers: String, lowerKey: String): String =
+    if (headers == null) null else parse(headers).getOrElse(lowerKey, null)
+
+  /** Parse the headers string into a lowercase-keyed map. Only
+    * string-valued entries are kept (header values are strings by
+    * convention; non-string values are skipped, not errors). */
+  def parse(headers: String): Map[String, String] = {
+    if (headers == null) return Map.empty
+    val out = Map.newBuilder[String, String]
+    val n = headers.length
+    var i = 0
+    def skipWs(): Unit = while (i < n && headers.charAt(i).isWhitespace) i += 1
+    // reads the JSON string starting at the opening quote headers(i);
+    // returns null (and leaves i past the broken region) on malformed
+    def readString(): String = {
+      val sb = new java.lang.StringBuilder
+      i += 1 // opening quote
+      while (i < n) {
+        val c = headers.charAt(i)
+        if (c == '"') { i += 1; return sb.toString }
+        else if (c == '\\' && i + 1 < n) {
+          val e = headers.charAt(i + 1)
+          e match {
+            case '"'  => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/'  => sb.append('/'); i += 2
+            case 'n'  => sb.append('\n'); i += 2
+            case 't'  => sb.append('\t'); i += 2
+            case 'r'  => sb.append('\r'); i += 2
+            case 'b'  => sb.append('\b'); i += 2
+            case 'f'  => sb.append('\f'); i += 2
+            case 'u' if i + 5 < n =>
+              try {
+                sb.append(Integer.parseInt(headers.substring(i + 2, i + 6), 16)
+                  .toChar)
+                i += 6
+              } catch { case _: NumberFormatException => sb.append(e); i += 2 }
+            case other => sb.append(other); i += 2 // lenient: keep the char
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      null // unterminated string
+    }
+    skipWs()
+    if (i < n && headers.charAt(i) == '{') i += 1
+    var done = false
+    while (!done && i < n) {
+      skipWs()
+      if (i >= n || headers.charAt(i) == '}') done = true
+      else if (headers.charAt(i) == ',') i += 1
+      else if (headers.charAt(i) == '"') {
+        val key = readString()
+        if (key == null) done = true
+        else {
+          skipWs()
+          if (i < n && headers.charAt(i) == ':') {
+            i += 1; skipWs()
+            if (i < n && headers.charAt(i) == '"') {
+              val v = readString()
+              if (v == null) done = true
+              else out += key.toLowerCase -> v
+            } else {
+              // non-string value: skip to the next top-level comma/close
+              var depth = 0
+              var stop = false
+              while (i < n && !stop) {
+                val c = headers.charAt(i)
+                if (c == '[' || c == '{') { depth += 1; i += 1 }
+                else if (c == ']' || c == '}') {
+                  if (depth == 0 && c == '}') stop = true
+                  else { depth -= 1; i += 1 }
+                }
+                else if (c == ',' && depth == 0) stop = true
+                else i += 1
+              }
+            }
+          } else done = true // malformed: key without ':'
+        }
+      } else done = true // unexpected token
+    }
+    out.result()
+  }
 }

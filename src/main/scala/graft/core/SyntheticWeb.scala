@@ -54,6 +54,15 @@ final case class SyntheticWeb(
     else -1
   }
 
+  /** Is this string a host of this web? Used by the facade's limiter
+    * events to tell a default (host-keyed) limiter from a custom
+    * politeness group — a custom group spans hosts and has no single
+    * policy delay to revert to. */
+  def isHost(name: String): Boolean = {
+    val i = hostIndex(name)
+    i >= 0 && i < nHosts
+  }
+
   /** Deterministic per-host politeness + robots config. Unknown
     * (out-of-web) hosts get a permissive default — they fetch as 404s
     * and retire, like any other dead URL. */

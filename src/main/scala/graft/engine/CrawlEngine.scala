@@ -332,10 +332,19 @@ final class CrawlEngine(
   /** Merged-schema attempts reads memoized per pinned snapshot id — a
     * pinned snapshot is immutable, so a pure pre-identity table pays
     * the every-footer mergeSchema inference once per snapshot, not on
-    * every crawlLog/attemptEvents call. Bounded crudely: a long-lived
-    * engine crossing many snapshots just re-infers after a clear. */
+    * every crawlLog/attemptEvents call. Access-ordered LRU (round-5
+    * verdict #3: the old size>64 → clear() re-inferred EVERY live
+    * snapshot after an eviction; evicting only the least-recently-read
+    * entry keeps a long-lived engine alternating across snapshots at
+    * one inference per genuinely-cold snapshot). Reads are
+    * driver-side and engine ops are single-threaded per instance
+    * (facade contract), so a synchronized LinkedHashMap suffices. */
   private val mergedAttemptsCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, DataFrame]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Long, DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Long, DataFrame]): Boolean = size() > 64
+      })
 
   private def readAttempts(): Option[DataFrame] =
     pin(ATTEMPTS).flatMap { id =>
@@ -343,7 +352,6 @@ final class CrawlEngine(
         val df =
           if (df0.columns.contains("cookie_sent")) df0
           else {
-            if (mergedAttemptsCache.size > 64) mergedAttemptsCache.clear()
             mergedAttemptsCache.computeIfAbsent(id, _ =>
               ice.read(spark, ATTEMPTS, Some(id), mergeSchema = true)
                 .getOrElse(df0))

@@ -160,6 +160,72 @@ object StreamingOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Adopt a FLAT-layout store (SignatureStore.build, or a
+    * pre-batch-keyed stream) into the `batch=-1` pre-stream partition:
+    * (a) its rows then gate like any prior batch instead of being
+    * silently skipped, and (b) partition discovery never sees a mixed
+    * flat/partitioned layout (which Spark rejects as conflicting
+    * directory structures). Renames are per-file metadata ops; a crash
+    * mid-migration just leaves fewer flat files for the next call to
+    * move. Spark readers ignore the `_SUCCESS`/dot files left in the
+    * root.
+    *
+    * SINGLE-WRITER CONTRACT (round-5 ADVICE): the migration runs
+    * inside the stream's first micro-batch over the store, so a
+    * CONCURRENT batch reader (`SignatureStore.signatures` /
+    * `candidatePairs` in another session) that lists mid-migration can
+    * observe the mixed layout and fail with a conflicting-directory-
+    * structure error. Either quiesce batch readers while the stream's
+    * first batch runs, or call [[migrateStore]] explicitly BEFORE
+    * starting the stream — after it returns the layout is stable and
+    * concurrent batch reads are safe again. */
+  private def migrateFlatLayout(fs: org.apache.hadoop.fs.FileSystem,
+      sigRoot: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(sigRoot)) return
+    val flat = fs.listStatus(sigRoot).filter { st =>
+      st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    if (flat.isEmpty) return
+    val legacy = new org.apache.hadoop.fs.Path(sigRoot, "batch=-1")
+    fs.mkdirs(legacy)
+    flat.foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)
+      // a previous partially-failed adoption may have copied the
+      // file already (object stores rename by copy+delete): the
+      // source is then a duplicate — drop it, don't re-adopt. A
+      // failed delete strands the same mixed layout a failed
+      // rename would, so it fails the batch identically.
+      if (fs.exists(dst)) {
+        if (!fs.delete(st.getPath, false))
+          throw new java.io.IOException(
+            s"failed to drop already-adopted flat signature file ${st.getPath}")
+      }
+      else if (!fs.rename(st.getPath, dst))
+        // a silently-stranded flat file next to batch= dirs would
+        // fail every subsequent read with conflicting directory
+        // structures — fail THIS batch instead (foreachBatch
+        // retries it; the adoption loop is idempotent)
+        throw new java.io.IOException(
+          s"failed to adopt flat signature file ${st.getPath} into $legacy")
+    }
+  }
+
+  /** One-time explicit flat→batch store migration (the safe ordering
+    * for stores that stay visible to concurrent batch readers): run
+    * this BEFORE starting [[nearDupDedupStream]] on a store built by
+    * `SignatureStore.build`, and the stream's first micro-batch finds
+    * a stable partitioned layout — no reader ever sees the mixed
+    * state. Idempotent; a no-op on an already-partitioned or absent
+    * store. */
+  def migrateStore(spark: SparkSession, storeDir: String): Unit = {
+    val sigRoot = new org.apache.hadoop.fs.Path(s"$storeDir/signatures")
+    val fs = sigRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    migrateFlatLayout(fs, sigRoot)
+  }
+
   /** One micro-batch of the incremental dedup: band-gate the batch
     * against the prior-batch store and itself, then atomically
     * (re)write this batch's survivor partition. Idempotent: calling it
@@ -178,47 +244,7 @@ object StreamingOps {
     val batchBands = TextOps.signatureBands(sigs)
     val sigRoot = new org.apache.hadoop.fs.Path(s"$storeDir/signatures")
     val fs = sigRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // interop with a FLAT-layout store (SignatureStore.build, or a
-    // pre-batch-keyed stream): adopt its data files as the pre-stream
-    // batch `batch=-1` once — so (a) its rows gate like any prior
-    // batch instead of being silently skipped, and (b) partition
-    // discovery never sees a mixed flat/partitioned layout (which
-    // Spark rejects as conflicting directory structures). Renames are
-    // per-file metadata ops; a crash mid-migration just leaves fewer
-    // flat files for the next call to move. Spark readers ignore the
-    // `_SUCCESS`/dot files left in the root.
-    if (fs.exists(sigRoot)) {
-      val flat = fs.listStatus(sigRoot).filter { st =>
-        st.isFile && {
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
-      }
-      if (flat.nonEmpty) {
-        val legacy = new org.apache.hadoop.fs.Path(sigRoot, "batch=-1")
-        fs.mkdirs(legacy)
-        flat.foreach { st =>
-          val dst = new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)
-          // a previous partially-failed adoption may have copied the
-          // file already (object stores rename by copy+delete): the
-          // source is then a duplicate — drop it, don't re-adopt. A
-          // failed delete strands the same mixed layout a failed
-          // rename would, so it fails the batch identically.
-          if (fs.exists(dst)) {
-            if (!fs.delete(st.getPath, false))
-              throw new java.io.IOException(
-                s"failed to drop already-adopted flat signature file ${st.getPath}")
-          }
-          else if (!fs.rename(st.getPath, dst))
-            // a silently-stranded flat file next to batch= dirs would
-            // fail every subsequent read with conflicting directory
-            // structures — fail THIS batch instead (foreachBatch
-            // retries it; the adoption loop is idempotent)
-            throw new java.io.IOException(
-              s"failed to adopt flat signature file ${st.getPath} into $legacy")
-        }
-      }
-    }
+    migrateFlatLayout(fs, sigRoot)
     val priorBatches: Seq[Long] =
       if (!fs.exists(sigRoot)) Nil
       else fs.listStatus(sigRoot).toSeq

@@ -173,6 +173,45 @@ class ApiSpec extends AnyFunSuite {
     assert(order === sim.crawlOrder, "listeners steered the crawl")
   }
 
+  test("limiter events, custom politeness group: schedule expiry reports NO " +
+    "fabricated delay (round-5 verdict #1); no-op setLimiterProperty is silent") {
+    val web = SyntheticWeb(nHosts = 4, pagesPerHost = 6, megaFactor = 2)
+    // a custom group spanning hosts 1+2, overridden for round 1 only
+    val sched: Long => Map[String, Long] =
+      r => if (r == 1L) Map("grp" -> 777L) else Map.empty
+    val dir = Files.createTempDirectory("graft-grp-events").toString
+    val crawler = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 1000, maxRounds = 4, numBuckets = 4,
+        rateLimitSchedule = Some(sched)))
+    val changes = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val expiries = scala.collection.mutable.ListBuffer.empty[String]
+    crawler.onLimiterChange((k, v) => changes += (k -> v))
+    crawler.onLimiterExpiry(k => expiries += k)
+    // change-only semantics: a no-op set fires nothing (a HOST key, so
+    // "grp" stays schedule-only and its round-2 disappearance is a
+    // true expiry below)
+    crawler.setLimiterProperty(web.hostName(0), 400L)
+    crawler.setLimiterProperty(web.hostName(0), 400L)
+    assert(changes.toList === List(web.hostName(0) -> 400L),
+      s"no-op setLimiterProperty fired: $changes")
+    // requests across two hosts share the group's rate bucket
+    val seeds = (1 to 2).flatMap(h =>
+      (0 until 3).map(p => SeedRequest(s"http://${web.hostName(h)}/p/$p",
+        limiter = "grp")))
+    crawler.queue(seeds).run()
+    // round 1's 777 override fired as a change; its round-2 EXPIRY
+    // fired as an expiry-only event — no (grp, <synthetic host
+    // policy>) delay was ever reported (web.policy("grp") is the
+    // policy of a NONEXISTENT host; reporting it was the round-5 bug)
+    assert(changes.toList.contains("grp" -> 777L), s"missing 777 change: $changes")
+    val phantom = web.policy("grp").crawl_delay_ms
+    assert(!changes.toList.contains("grp" -> phantom),
+      s"fabricated policy delay for custom group: $changes")
+    assert(expiries.toList === List("grp"), s"expiry events: $expiries")
+    // host-keyed limiters keep the concrete revert delay on expiry
+    // (the established round-5 behavior, asserted in the test above)
+  }
+
   test("onDrain fires exactly when a run ends drained, not at a maxRounds stop") {
     val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
     val dir = Files.createTempDirectory("graft-drain").toString

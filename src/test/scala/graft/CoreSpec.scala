@@ -101,6 +101,37 @@ class CoreSpec extends AnyFunSuite {
     assert(HttpIdentity.refererFor(none, null) == null)
   }
 
+  test("HeaderMap tokenizer: escaped quotes and embedded key-shaped text " +
+    "cannot misparse (round-5 ADVICE regex fix)") {
+    // a value containing an ESCAPED `"user-agent":"evil"` substring is
+    // data, not a key — the old regex matched it
+    val tricky =
+      """{"x-note":"see \"user-agent\":\"evil\" in docs","user-agent":"good/1"}"""
+    assert(HttpIdentity.uaFor(CrawlConfig(), tricky, 0L) === "good/1")
+    assert(HeaderMap.parse(tricky)("x-note") === """see "user-agent":"evil" in docs""")
+    // the embedded mention ALONE resolves to no UA at all
+    val onlyEmbedded = """{"x-note":"see \"user-agent\":\"evil\" in docs"}"""
+    assert(HttpIdentity.uaFor(CrawlConfig(), onlyEmbedded, 0L) == null)
+    // escaped quotes inside the value round-trip
+    assert(HttpIdentity.uaFor(CrawlConfig(),
+      """{"user-agent":"A \"quoted\" UA"}""", 0L) === """A "quoted" UA""")
+    // backslash + unicode escapes; keys lowercase case-insensitively
+    val esc = """{"User-Agent":"a\\bA","Referer":"http://r/\n"}"""
+    assert(HeaderMap.parse(esc) === Map(
+      "user-agent" -> "a\\bA", "referer" -> "http://r/\n"))
+    // non-string values are skipped, later string entries still parse
+    assert(HeaderMap.parse("""{"retry":3,"tags":["a","b"],"referer":"http://r/"}""")
+      === Map("referer" -> "http://r/"))
+    // malformed input: best-effort prefix, never a throw
+    assert(HeaderMap.parse("""{"user-agent":"ok","broken""") === Map("user-agent" -> "ok"))
+    assert(HeaderMap.parse("not json at all") === Map.empty)
+    assert(HeaderMap.parse(null) === Map.empty)
+    // acceptsGzip negotiation through the same tokenizer: an embedded
+    // `"accept-encoding":"gzip"` inside another value is data
+    assert(!ContentCodec.acceptsGzip(
+      """{"accept-encoding":"identity","x":"try \"accept-encoding\":\"gzip\""}"""))
+  }
+
   // ---- canonicalizer -------------------------------------------------
 
   test("canonicalize: lowercases scheme+host, strips fragment/default port") {
