@@ -95,6 +95,19 @@ object Bench {
       R(rep, seeds, (System.nanoTime() - t0) / 1e9)
     }
 
+    // VM self-labeling (round-5 verdict #1): a ~2 s memory-system
+    // probe brackets the scaling pair, so a record landing in the
+    // box's documented interference phase carries its own evidence —
+    // copy bandwidth below the good-phase floor — instead of needing
+    // same-day side records to explain a low efficiency number.
+    var probes = List.empty[(String, VmCalibration.Probe)]
+    def probe(tag: String): VmCalibration.Probe = {
+      val p = VmCalibration.run()
+      probes ::= (tag -> p)
+      p
+    }
+    if (!skipScaling) probe("pre")
+
     var reps2 = List.empty[R]; var reps8 = List.empty[R]
     var effNote = ""
     if (!skipScaling) {
@@ -143,20 +156,41 @@ object Bench {
     val efficiency: Option[Double] =
       if (enough && effBySize.nonEmpty) Some(effBySize.map(_._2).max)
       else { effNote += "fewer than 2 valid reps per level -> no efficiency recorded; "; None }
+    // the unconditional pre-retry number is recorded alongside the
+    // final one (round-5 ADVICE: the retry levers below resample only
+    // when the sample is LOW, which biases the post-retry best-of
+    // upward relative to an unconditional protocol — readers get both)
+    val efficiencyFirstPass: Option[Double] = efficiency
     // low-efficiency retry: the VM's interference mode is bimodal and
     // the measured pair-efficiency band on this box is ~0.63–0.75
     // (BENCH/BASELINE.md §5) — a pair landing below the band MEDIAN
-    // (~0.68) is sampling the lower noise mode, not the plan, so give
-    // the 4N level one more rep if budget remains (an undershot c8 is
-    // what tanks the ratio; best-of-reps is already the protocol)
+    // (~0.68) is sampling the lower noise mode, not the plan. The
+    // POST-pair probe decides the retry shape: a degraded probe means
+    // the whole window was interference-mode, so rerun the PAIR
+    // (both levels — an inflated c2 biases the ratio too); an ok
+    // probe with a low number gets the one-sided c8 rep (an undershot
+    // c8 is what tanks the ratio; best-of-reps is the protocol).
+    val postProbe = if (skipScaling) None else Some(probe("post"))
+    def recompute(base: Option[Double]): Option[Double] = {
+      val s2 = sizes.filter(s => bestAt(reps8, s) > 0 && bestAt(reps2, s) > 0)
+      if (s2.nonEmpty) Some(s2.map(s => (bestAt(reps8, s) / bestAt(reps2, s)) / 4.0).max)
+      else base
+    }
     val efficiencyFinal: Option[Double] =
-      if (!skipScaling && efficiency.exists(_ < 0.68) &&
-          remaining - c32ReserveS > reps8.head.wallFull * 1.2) {
-        effNote += "eff below 0.68 band median, c8 retried; "
-        reps8 ::= level(8, seeds0)
-        val s2 = sizes.filter(s => bestAt(reps8, s) > 0)
-        if (s2.nonEmpty) Some(s2.map(s => (bestAt(reps8, s) / bestAt(reps2, s)) / 4.0).max)
-        else efficiency
+      if (!skipScaling && efficiency.exists(_ < 0.68)) {
+        val degraded = postProbe.exists(VmCalibration.mode(_) == "degraded")
+        val pairWallNow = reps2.head.wallFull + reps8.head.wallFull
+        if (degraded && remaining - c32ReserveS > pairWallNow * 1.1) {
+          effNote += "eff below 0.68 band median with DEGRADED vm probe, pair rerun; "
+          reps2 ::= level(2, seeds0)
+          reps8 ::= level(8, seeds0)
+          probe("post-rerun")
+          recompute(efficiency)
+        } else if (remaining - c32ReserveS > reps8.head.wallFull * 1.2) {
+          effNote += "eff below 0.68 band median, c8 retried; "
+          reps8 ::= level(8, seeds0)
+          recompute(efficiency)
+        } else efficiency
       } else efficiency
 
     // headline continuity with BENCH_r01: local[32], rich multi-KB
@@ -194,6 +228,15 @@ object Bench {
     def arr(xs: List[Double]) = xs.reverse.map(x => f"$x%.0f").mkString("[", ",", "]")
     def sarr(xs: List[String]) = xs.reverse.mkString("[", ",", "]")
     val effStr = efficiencyFinal.map(e => f"$e%.3f").getOrElse("null")
+    val effFirstStr = efficiencyFirstPass.map(e => f"$e%.3f").getOrElse("null")
+    // vm_mode: worst mode across the probes that bracket the pair —
+    // one degraded bracket is enough to mark the window suspect
+    val vmProbesStr = probes.reverse
+      .map { case (tag, p) => s""""$tag":${p.json}""" }.mkString("{", ",", "}")
+    val vmMode =
+      if (probes.isEmpty) "unprobed"
+      else if (probes.exists(p => VmCalibration.mode(p._2) == "degraded")) "degraded"
+      else "ok"
     val effBySizeStr = effBySize
       .map { case (s, e) => s""""$s":${f"$e%.3f"}""" }.mkString("{", ",", "}")
     val leanStr = repLean32.map(r => f"${r.tput}%.0f").getOrElse("null")
@@ -231,6 +274,8 @@ object Bench {
         f""""tput_urls_per_s_c8":$tput8%.0f,"wall_s_c8":$wall8%.1f,""" +
         f""""tput_urls_per_s_c2":$tput2%.0f,"wall_s_c2":$wall2%.1f,""" +
         s""""scaling_efficiency_n_to_4n":$effStr,""" +
+        s""""efficiency_first_pass":$effFirstStr,""" +
+        s""""vm_mode":"$vmMode","vm_probe":$vmProbesStr,""" +
         s""""efficiency_by_seeds":$effBySizeStr,""" +
         s""""efficiency_note":"${effNote.trim}",""" +
         s""""reps_c2":${arr(reps2.map(_.rep.tput))},"reps_c8":${arr(reps8.map(_.rep.tput))},""" +

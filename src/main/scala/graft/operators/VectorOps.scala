@@ -79,7 +79,11 @@ object VectorOps {
   /** (vec_id, band, chunk) — one row per vector per band. IDS ONLY:
     * the 4× band explode and the bucket-join shuffle must move compact
     * int keys, never the embedding arrays (round-2 verdict); callers
-    * re-join the embeddings table by vec_id for the exact re-rank. */
+    * re-join the embeddings table by vec_id for the exact re-rank.
+    * Shared with [[BenchmarkStore.build]] so the persisted benchmark
+    * bands are bit-identical to the in-query derivation. */
+  private[operators] def signBandsOf(emb: DataFrame): DataFrame = signBands(emb)
+
   private def signBands(emb: DataFrame): DataFrame = {
     val bandCols = array((0 until SignBands).map(b =>
       struct(lit(b).as("band"), signChunk(col("embedding"), b).as("chunk"))): _*)
@@ -203,16 +207,27 @@ object VectorOps {
     "q57_semantic_decontam" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
-      val bench = emb.filter($"vec_id" % 19 === 0)
-      val corpus = emb.filter($"vec_id" % 19 =!= 0)
+      val corpus = emb.filter($"vec_id" % BenchmarkStore.BenchMod =!= 0)
+      // benchmark side: served from an attached BenchmarkStore when
+      // one is routed (two tiny pruned parquet reads — the benchmark
+      // is never re-derived per corpus drop), else derived in-query.
+      // Both paths produce bit-identical tables (shared signBandsOf),
+      // so the result — and the DuckDB oracle — is unchanged either
+      // way (BenchmarkStoreSpec asserts it).
+      val (benchBands, benchVecs) = BenchmarkStore.attachedStore(dir) match {
+        case Some(sd) =>
+          (BenchmarkStore.bands(s, sd), BenchmarkStore.vectors(s, sd))
+        case None =>
+          val bench = emb.filter($"vec_id" % BenchmarkStore.BenchMod === 0)
+          (signBands(bench).select($"band", $"chunk", $"vec_id".as("bvec")),
+            bench.select($"vec_id".as("bvec"), $"embedding"))
+      }
       val cand = signBands(corpus)
-        .join(broadcast(signBands(bench)
-          .select($"band", $"chunk", $"vec_id".as("bvec"))),
-          Seq("band", "chunk"))
+        .join(broadcast(benchBands), Seq("band", "chunk"))
         .select($"vec_id", $"bvec").distinct()
       val hits = corpus.select($"vec_id", $"embedding".as("ce"))
         .join(broadcast(cand), "vec_id")
-        .join(broadcast(bench.select($"vec_id".as("bvec"), $"embedding".as("be"))),
+        .join(broadcast(benchVecs.select($"bvec", $"embedding".as("be"))),
           "bvec")
         .select($"vec_id", cosine($"ce", $"be").as("cos"))
         .filter($"cos" >= 0.4)
