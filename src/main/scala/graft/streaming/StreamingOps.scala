@@ -273,6 +273,125 @@ object StreamingOps {
     TextOps.releaseCheckpoint(sigs)
   }
 
+  // ---- incremental corpus diff (the q55 operator as a stream) --------
+
+  /** Build the baseline (doc_id, content-hash) index a diff stream
+    * starts from — the persisted form of q55's "v1" side. Written as
+    * the pre-stream batch `batch=-1`, the same layout convention as
+    * the dedup store's flat-adoption partition. */
+  def buildDiffIndex(baseline: DataFrame, storeDir: String): Unit = {
+    import baseline.sparkSession.implicits._
+    baseline.select($"doc_id", md5($"text").as("h"))
+      .write.mode("overwrite").parquet(s"$storeDir/index/batch=-1")
+  }
+
+  /** Incremental corpus-snapshot diff (round-5 verdict #4): q55 is the
+    * one-shot two-snapshot compare; the refresh loop wants the same
+    * answer per micro-batch. Each arriving batch of documents (an
+    * upsert set: one row per doc_id per batch, latest batch wins
+    * across batches) is diffed against the store's (doc_id, hash)
+    * index — `added` (id not in the index), `modified` (hash differs),
+    * `unchanged` — and the index is advanced. Deletions are implicit
+    * (ids the new corpus version never mentions), so they are closed
+    * out by [[diffDeletions]] once the version's batches have all
+    * arrived — a micro-batch cannot know global absence.
+    *
+    * EXACTLY-ONCE, same discipline as the dedup stream: deltas and
+    * index rows land in per-batch `batch=<id>/` OVERWRITE partitions,
+    * and each batch reads only index batches strictly BEFORE itself —
+    * a foreachBatch replay recomputes byte-identical outputs and
+    * replaces its own partial writes (StreamingSpec: replay leaves
+    * both tables row-equal).
+    *
+    * Scale shape: identical to q55's — only (id, 16-byte hash) pairs
+    * move through the latest-wins shuffle and the diff join; document
+    * text never leaves its batch scan. At 100 TB the index bucketed by
+    * doc_id co-locates the join, and per-version index partitions
+    * compact into the baseline on the corpus-release cadence. */
+  def corpusDiffStream(spark: SparkSession, inputDir: String,
+      storeDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(documentsSchema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        diffBatchApply(batch.toDF(), batchId, storeDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The latest (doc_id, h) per id across index batches STRICTLY
+    * BEFORE `beforeBatch` (Long.MaxValue = the full index). */
+  private def indexAsOf(spark: SparkSession, storeDir: String,
+      beforeBatch: Long): Option[DataFrame] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/index")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val batches = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(_ < beforeBatch)
+    if (batches.isEmpty) return None
+    val idx = spark.read.parquet(s"$storeDir/index")
+      .where($"batch".isin(batches: _*)) // partition-pruned
+    // latest-wins per doc_id; only (id, hash, batch) rows shuffle
+    val w = Window.partitionBy($"doc_id").orderBy($"batch".desc)
+    Some(idx.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"doc_id", $"h", $"batch"))
+  }
+
+  /** One micro-batch of the incremental diff: emit this batch's delta
+    * rows against the prior index, then advance the index. Idempotent
+    * per (batch, batchId). */
+  def diffBatchApply(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val hashed = batch.select($"doc_id", md5($"text").as("h"))
+      .localCheckpoint(true) // feeds both the delta join and the index write
+    val deltas = indexAsOf(spark, storeDir, beforeBatch = batchId) match {
+      case None =>
+        hashed.select($"doc_id", lit("added").as("status"), $"h")
+      case Some(prior) =>
+        hashed.join(prior.select($"doc_id", $"h".as("h_old")),
+            Seq("doc_id"), "left")
+          .select($"doc_id",
+            when($"h_old".isNull, "added")
+              .when($"h_old" =!= $"h", "modified")
+              .otherwise("unchanged").as("status"),
+            $"h")
+    }
+    deltas.write.mode("overwrite").parquet(s"$storeDir/deltas/batch=$batchId")
+    hashed.write.mode("overwrite").parquet(s"$storeDir/index/batch=$batchId")
+    graft.operators.TextOps.releaseCheckpoint(hashed)
+  }
+
+  /** Close out a finished corpus version: ids whose LATEST index entry
+    * predates `sinceBatch` were never upserted by the new version —
+    * q55's `deleted` rows. Call after the version's stream drains
+    * (deletion is global absence; no micro-batch can decide it). With
+    * `sinceBatch = 0` this is "in the baseline, not in the stream". */
+  def diffDeletions(spark: SparkSession, storeDir: String,
+      sinceBatch: Long = 0L): DataFrame = {
+    import spark.implicits._
+    indexAsOf(spark, storeDir, beforeBatch = Long.MaxValue) match {
+      case None => spark.emptyDataset[Long].toDF("doc_id")
+        .select($"doc_id", lit("deleted").as("status"))
+      case Some(latest) =>
+        latest.where($"batch" < sinceBatch)
+          .select($"doc_id", lit("deleted").as("status"))
+    }
+  }
+
+  /** The accumulated delta rows (all batches, the `batch` partition
+    * column surfaced for lineage). */
+  def diffDeltas(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/deltas")
+
   /** Watermarked windowed aggregation over a parquet file stream of
     * events: count + sum(value) per (1h window, event_type). */
   def eventWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {

@@ -241,6 +241,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(SignatureStore.candidatePairs(spark, store).columns.nonEmpty)
   }
 
+  test("incremental corpus diff: batched deltas + closing deletions equal " +
+    "the one-shot q55 answer; a replayed batch leaves the store row-equal") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    // the exact v1/v2 synthesis rules of q55, applied to real frames
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source")
+    val v1 = docs.filter($"doc_id" % 9 =!= 0)
+    val v2 = docs.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.when($"doc_id" % 13 === 0,
+          org.apache.spark.sql.functions.concat($"text",
+            org.apache.spark.sql.functions.lit(" updated")))
+          .otherwise($"text").as("text"),
+        $"lang", $"source")
+    val in = Files.createTempDirectory("graft-cdiff-in").toString
+    val store = Files.createTempDirectory("graft-cdiff-store").toString
+    val cp = Files.createTempDirectory("graft-cdiff-cp").toString
+    StreamingOps.buildDiffIndex(v1, store)
+    // v2 arrives as two micro-batches (two stream runs, the dedup-test
+    // convention); each doc_id appears in exactly one batch
+    val part0 = v2.filter($"doc_id" % 2 === 0)
+    val part1 = v2.filter($"doc_id" % 2 =!= 0)
+    def runOnce(): Unit =
+      StreamingOps.corpusDiffStream(spark, s"$in/*", store, cp)
+        .awaitTermination()
+    part0.coalesce(1).write.parquet(s"$in/b0.parquet")
+    runOnce()
+    part1.coalesce(1).write.parquet(s"$in/b1.parquet")
+    runOnce()
+
+    def streamedDiff: Set[(Long, String)] =
+      StreamingOps.diffDeltas(spark, store).select($"doc_id", $"status")
+        .union(StreamingOps.diffDeletions(spark, store, sinceBatch = 0L))
+        .as[(Long, String)].collect().toSet
+    val expected = graft.operators.PipelineOps
+      .queries("q55_corpus_diff")(spark, sfDir)
+      .as[(Long, String)].collect().toSet
+    val got = streamedDiff
+    assert(got === expected, "streamed diff diverges from the one-shot q55")
+    // all four statuses genuinely exercised by the fixture
+    assert(Set("added", "deleted", "modified", "unchanged")
+      .subsetOf(got.map(_._2)), s"statuses: ${got.map(_._2)}")
+
+    // replay idempotence: re-applying batch 0 (a foreachBatch retry)
+    // recomputes against strictly-prior index batches only, so both
+    // tables stay row-equal and the diff answer does not move
+    StreamingOps.diffBatchApply(part0.toDF(), 0L, store)
+    assert(streamedDiff === expected, "replayed batch changed the answer")
+  }
+
   test("watermarked windowed aggregation over the events file stream") {
     val cp = Files.createTempDirectory("graft-cp3").toString
     val q = StreamingOps.eventWindowCounts(spark, "/root/testdata/sf0.001")
