@@ -480,6 +480,57 @@ object PipelineOps {
         .orderBy($"cum_tokens")
     }),
 
+    // packing completion (the trainer-facing output of q54): per
+    // (shard, 4096-token window) the packed COMPOSITION — an ordered
+    // array of (doc_id, off, len) segments, with a document that
+    // crosses a window boundary split into one segment per window it
+    // touches (off = its first token's position within the window).
+    // Every window sums to exactly 4096 filled tokens except each
+    // shard's last. Scale shape: q54's per-shard prefix sum (one
+    // shuffle on the shard key), a per-row explode over the 1–2
+    // windows a document touches (bounded by ceil(n_tokens/4096)+1 —
+    // no row amplification beyond the data's own token count), then
+    // one hash aggregate on the compact (shard, window_id) key; the
+    // segment arrays are built window-local (≤ window size), so no
+    // unbounded agg state. /4096 stays the q54 power-of-two exact
+    // division in both engines.
+    "q58_pack_manifest" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val d = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", tokenCountCol.as("n_tokens"), shardKey.as("skey"))
+        .withColumn("shard", ($"skey" % 8).cast("int"))
+      val w = Window.partitionBy($"shard").orderBy($"skey", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val placed = d.withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"shard", $"n_tokens",
+          ($"cum" - $"n_tokens").as("start"))
+      val segs = placed
+        .select($"shard", $"doc_id", $"start", $"n_tokens",
+          explode(sequence(
+            floor($"start" / lit(4096L)).cast("long"),
+            floor(($"start" + $"n_tokens" - 1) / lit(4096L)).cast("long")))
+            .as("window_id"))
+        .select($"shard", $"window_id", $"doc_id",
+          (greatest($"start", $"window_id" * 4096L) - $"window_id" * 4096L)
+            .cast("long").as("off"),
+          (least($"start" + $"n_tokens", ($"window_id" + 1L) * 4096L)
+            - greatest($"start", $"window_id" * 4096L)).cast("long").as("len"))
+      segs.groupBy($"shard", $"window_id")
+        .agg(
+          // sort key first so sort_array orders by in-window offset,
+          // then reshape to the advertised (doc_id, off, len) field
+          // order — deterministic regardless of agg arrival order
+          transform(
+            sort_array(collect_list(struct($"off", $"doc_id", $"len"))),
+            x => struct(x.getField("doc_id").as("doc_id"),
+              x.getField("off").as("off"), x.getField("len").as("len")))
+            .as("segments"),
+          count(lit(1)).as("n_segments"),
+          sum($"len").as("filled_tokens"))
+        .orderBy($"shard", $"window_id")
+    }),
+
     // exact per-language quantiles of the whitespace token count:
     // percentile() is the EXACT linear-interpolation quantile (the
     // same definition as DuckDB quantile_cont), computed per group in
@@ -691,6 +742,34 @@ object PipelineOps {
         |SELECT doc_id, n_tokens, score, cum_tokens,
         |  cum_tokens <= 8192 AS selected
         |FROM c ORDER BY cum_tokens""".stripMargin,
+    "q58_pack_manifest" ->
+      s"""WITH k AS (SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  $ShardKeySql AS skey
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(skey % 8 AS INTEGER) AS shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS start
+        |  FROM k),
+        |segs AS (
+        |  SELECT shard, doc_id, start, n_tokens,
+        |    unnest(generate_series(
+        |      CAST(floor(start / 4096) AS BIGINT),
+        |      CAST(floor((start + n_tokens - 1) / 4096) AS BIGINT))) AS window_id
+        |  FROM c),
+        |seg2 AS (
+        |  SELECT shard, window_id, doc_id,
+        |    GREATEST(start, window_id * 4096) - window_id * 4096 AS off,
+        |    LEAST(start + n_tokens, (window_id + 1) * 4096)
+        |      - GREATEST(start, window_id * 4096) AS len
+        |  FROM segs)
+        |SELECT shard, window_id,
+        |  list(struct_pack(doc_id := doc_id, off := off, len := len)
+        |    ORDER BY off) AS segments,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(len) AS BIGINT) AS filled_tokens
+        |FROM seg2 GROUP BY shard, window_id
+        |ORDER BY shard, window_id""".stripMargin,
     "q43_token_quantiles" ->
       """WITH d AS (SELECT lang,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens

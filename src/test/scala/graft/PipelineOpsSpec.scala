@@ -292,6 +292,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q58: the window manifest tiles q54's packing exactly — contiguous " +
+    "segments, full non-last windows, boundary-crossing docs split") {
+    import spark.implicits._
+    // sf0.1: shards span ~9 windows each, so boundary splits are real
+    val dir1 = "/root/testdata/sf0.1"
+    import PipelineOpsSpec.Seg
+    val rows = SparkEntry.queries("q58_pack_manifest")(spark, dir1)
+      .as[(Int, Long, Seq[Seg], Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (shard, wins) =>
+      val lastWin = wins.map(_._2).max
+      wins.foreach { case (_, win, segs, nSegs, filled) =>
+        assert(nSegs === segs.size)
+        assert(filled === segs.map(_.len).sum)
+        // contiguous tiling from offset 0, no gaps or overlaps
+        var at = 0L
+        segs.foreach { sg =>
+          assert(sg.off === at, s"shard $shard win $win gap at ${sg.off}")
+          assert(sg.len >= 1L)
+          at += sg.len
+        }
+        if (win < lastWin)
+          assert(filled === 4096L, s"shard $shard non-last win $win not full")
+        // consecutive window ids — no empty window can exist when
+        // every window is tiled from 0
+        assert(wins.map(_._2).sorted.toSeq === (0L to lastWin).toSeq)
+      }
+    }
+    // split semantics: a boundary-crossing doc appears once per window
+    // it touches and its segment lengths sum to its q54 token count
+    val q54 = SparkEntry.queries("q54_pack_sequences")(spark, dir1)
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    val segsByDoc = rows.flatMap { case (_, _, segs, _, _) => segs }
+      .groupBy(_.doc_id)
+    val crossing = segsByDoc.filter(_._2.size > 1)
+    assert(crossing.nonEmpty, "sf0.1 fixture produced no boundary crossings")
+    segsByDoc.foreach { case (id, segs) =>
+      assert(segs.map(_.len).sum === q54(id),
+        s"doc $id segment lengths do not sum to its token count")
+    }
+  }
+
   test("q55: diff statuses recompute from the two synthesized snapshots; " +
     "every status fires") {
     import spark.implicits._
@@ -358,4 +401,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(row._1 - q(0.5)) < 1e-9)
     assert(math.abs(row._2 - q(0.95)) < 1e-9)
   }
+}
+
+object PipelineOpsSpec {
+  /** One packed-window segment (q58 manifest element); top-level so the
+    * Dataset encoder derives (local case classes have no TypeTag). */
+  final case class Seg(doc_id: Long, off: Long, len: Long)
 }

@@ -155,6 +155,15 @@ class PlanSpec extends AnyFunSuite {
     val rs56 = p56.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!rs56.contains("lang") && !rs56.contains("source"),
       s"q56 scan reads unused columns: $rs56")
+    // q58: same input profile as q54 (doc_id + text for the token
+    // count) — lang/source must not reach the scan, and the manifest
+    // must not degenerate into a join (prefix sum + explode + one
+    // hash aggregate only)
+    val p58 = planOf("q58_pack_manifest")
+    val rs58 = p58.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs58.contains("lang") && !rs58.contains("source"),
+      s"q58 scan reads unused columns: $rs58")
+    assert(!p58.contains("Join"), s"q58 grew a join:\n${p58.take(1500)}")
   }
 
   test("q42: as-of join is one window pass, not a per-row probe join") {
