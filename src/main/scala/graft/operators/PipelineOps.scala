@@ -480,6 +480,36 @@ object PipelineOps {
         .orderBy($"cum_tokens")
     }),
 
+    // cluster-representative selection — the quality-aware refinement
+    // of q40's keep rule: real curation pipelines keep the BEST
+    // document of a near-dup cluster, not the smallest id. Composes
+    // two existing operators: q40's cluster assignment (pointer
+    // doubling over the shared LSH pair graph) joined with the q56
+    // quality signal (distinct-word fraction — BIGINT/BIGINT division,
+    // bit-identical in both engines); the representative is the
+    // argmax(score, tie: min doc_id) per cluster. Scale shape: q40's
+    // bucketed fixpoint + one id-keyed join of (id, score) pairs + a
+    // window over clusters (near-dup clusters are tiny by
+    // construction — the valve caps bucket fanout upstream, so no
+    // cluster-side skew state).
+    "q59_cluster_rep" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val clusters = queries("q40_dedup_clusters")(s, dir)
+        .select($"doc_id", $"cluster_id")
+      val scores = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", split($"text", " ").as("ws"))
+        .select($"doc_id",
+          (size(array_distinct($"ws")).cast("long") / size($"ws").cast("long"))
+            .as("score"))
+      val w = Window.partitionBy($"cluster_id")
+        .orderBy($"score".desc, $"doc_id")
+      clusters.join(scores, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .select($"doc_id", $"cluster_id", $"score", ($"rn" === 1).as("is_rep"))
+        .orderBy($"doc_id")
+    }),
+
     // packing completion (the trainer-facing output of q54): per
     // (shard, 4096-token window) the packed COMPOSITION — an ordered
     // array of (doc_id, off, len) segments, with a document that
@@ -742,6 +772,26 @@ object PipelineOps {
         |SELECT doc_id, n_tokens, score, cum_tokens,
         |  cum_tokens <= 8192 AS selected
         |FROM c ORDER BY cum_tokens""".stripMargin,
+    "q59_cluster_rep" ->
+      s"""WITH RECURSIVE ${TextOps.lshPairSqlCtes},
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |cc(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, cc.lab FROM cc JOIN edges e ON e.s = cc.node),
+         |lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY node),
+         |sc AS (SELECT doc_id,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |    / CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+         |  FROM documents),
+         |r AS (SELECT lab.doc_id, lab.cluster_id, sc.score,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY score DESC, lab.doc_id) AS rn
+         |  FROM lab JOIN sc ON sc.doc_id = lab.doc_id)
+         |SELECT doc_id, cluster_id, score, rn = 1 AS is_rep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q58_pack_manifest" ->
       s"""WITH k AS (SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,

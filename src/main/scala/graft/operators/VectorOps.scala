@@ -91,6 +91,27 @@ object VectorOps {
       .select(col("vec_id"), col("bc.band"), col("bc.chunk"))
   }
 
+  /** Benchmark side of the decontamination family (q57/q60): served
+    * from an attached [[BenchmarkStore]] when one is routed (two tiny
+    * pruned parquet reads — the benchmark is never re-derived per
+    * corpus drop), else derived in-query. Both paths produce
+    * bit-identical tables (shared signBands), so results — and the
+    * DuckDB oracles — are unchanged either way (BenchmarkStoreSpec
+    * asserts it). Returns (band table (band, chunk, bvec), vectors
+    * (bvec, embedding)). */
+  private def benchSide(s: SparkSession, dir: String,
+      emb: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
+    BenchmarkStore.attachedStore(dir) match {
+      case Some(sd) =>
+        (BenchmarkStore.bands(s, sd), BenchmarkStore.vectors(s, sd))
+      case None =>
+        val bench = emb.filter($"vec_id" % BenchmarkStore.BenchMod === 0)
+        (signBands(bench).select($"band", $"chunk", $"vec_id".as("bvec")),
+          bench.select($"vec_id".as("bvec"), $"embedding"))
+    }
+  }
+
   /** SQL fragment mirroring signChunk for the oracle. */
   private def signChunkSql(b: Int): String =
     (0 until SignBitsPerBand).map { j =>
@@ -174,6 +195,16 @@ object VectorOps {
       // measured SLOWER — best 0.93 s vs 0.66 s at sf0.1 — the extra
       // shuffle+sort outweighs the serialized second build at every
       // rep; decision recorded here, don't redo it.)
+      // (Round-6 timebox of the r4 "derive bands from the shared
+      // signature exchange" lever: measured warm at sf0.1 the pair
+      // already meets the bar with the CURRENT shape — q30 best 0.79 s
+      // + q31 best 0.31 s = 1.10 s ≤ 1.5 s (QueryBench, 4 reps; first
+      // rep 3.4 s is one-time codegen of the UDAF+pair-explode
+      // classes, not plan work — the 200-row sf0.1 corpus side makes
+      // every rep fixed-cost-bound). No band-sharing rewrite pays at
+      // sandbox scale and none changes the production shape; the
+      // official-record gap was VM phase, which BENCH vm_mode now
+      // labels. Lever closed by measurement.)
       val withA = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
         .join(broadcast(cand), "vec_a")
       emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
@@ -208,20 +239,7 @@ object VectorOps {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
       val corpus = emb.filter($"vec_id" % BenchmarkStore.BenchMod =!= 0)
-      // benchmark side: served from an attached BenchmarkStore when
-      // one is routed (two tiny pruned parquet reads — the benchmark
-      // is never re-derived per corpus drop), else derived in-query.
-      // Both paths produce bit-identical tables (shared signBandsOf),
-      // so the result — and the DuckDB oracle — is unchanged either
-      // way (BenchmarkStoreSpec asserts it).
-      val (benchBands, benchVecs) = BenchmarkStore.attachedStore(dir) match {
-        case Some(sd) =>
-          (BenchmarkStore.bands(s, sd), BenchmarkStore.vectors(s, sd))
-        case None =>
-          val bench = emb.filter($"vec_id" % BenchmarkStore.BenchMod === 0)
-          (signBands(bench).select($"band", $"chunk", $"vec_id".as("bvec")),
-            bench.select($"vec_id".as("bvec"), $"embedding"))
-      }
+      val (benchBands, benchVecs) = benchSide(s, dir, emb)
       val cand = signBands(corpus)
         .join(broadcast(benchBands), Seq("band", "chunk"))
         .select($"vec_id", $"bvec").distinct()
@@ -238,6 +256,40 @@ object VectorOps {
           coalesce($"n_hits", lit(0L)).as("n_hits"),
           $"n_hits".isNotNull.as("contaminated"))
         .orderBy($"vec_id")
+    }),
+
+    // benchmark leakage report — q57 read from the benchmark's side:
+    // for EVERY held-out benchmark item, how many corpus documents sit
+    // within the semantic-duplicate gate (cos ≥ 0.4 over the same
+    // bipartite sign-LSH candidates). This is the report an eval owner
+    // reads ("which of my benchmark items leak into the training
+    // corpus, and how badly") where q57 is the report the corpus owner
+    // reads. Identical plan skeleton and candidate set as q57 — one
+    // corpus band scan, benchmark-bounded broadcasts, corpus arrays
+    // never shuffle — only the closing group key flips from the corpus
+    // id to the benchmark id (and the final left join is against the
+    // tiny benchmark table, so it broadcasts too).
+    "q60_benchmark_leakage" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val emb = s.read.parquet(t(dir, "embeddings"))
+      val corpus = emb.filter($"vec_id" % BenchmarkStore.BenchMod =!= 0)
+      val (benchBands, benchVecs) = benchSide(s, dir, emb)
+      val cand = signBands(corpus)
+        .join(broadcast(benchBands), Seq("band", "chunk"))
+        .select($"vec_id", $"bvec").distinct()
+      val hits = corpus.select($"vec_id", $"embedding".as("ce"))
+        .join(broadcast(cand), "vec_id")
+        .join(broadcast(benchVecs.select($"bvec", $"embedding".as("be"))),
+          "bvec")
+        .select($"bvec", cosine($"ce", $"be").as("cos"))
+        .filter($"cos" >= 0.4)
+        .groupBy($"bvec").agg(count(lit(1)).as("n_corpus_hits"))
+      benchVecs.select($"bvec")
+        .join(broadcast(hits), Seq("bvec"), "left")
+        .select($"bvec",
+          coalesce($"n_corpus_hits", lit(0L)).as("n_corpus_hits"),
+          $"n_corpus_hits".isNotNull.as("leaked"))
+        .orderBy($"bvec")
     }),
 
     // ANN, sign-LSH with radius-1 multiprobe: the query's band chunks
@@ -439,6 +491,30 @@ object VectorOps {
          |  h.vec_id IS NOT NULL AS contaminated
          |FROM corpus c LEFT JOIN h ON h.vec_id = c.vec_id
          |ORDER BY c.vec_id""".stripMargin,
+    "q60_benchmark_leakage" ->
+      s"""WITH bench AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 19 = 0),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 19 <> 0),
+         |cb AS (${signBandsSql("corpus")}),
+         |bb AS (${signBandsSql("bench")}),
+         |cand AS (
+         |  SELECT DISTINCT c.vec_id, b.vec_id AS bvec
+         |  FROM cb c JOIN bb b ON c.band = b.band AND c.chunk = b.chunk),
+         |r AS (
+         |  SELECT cand.bvec,
+         |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(be.embedding AS DOUBLE[]))
+         |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         |       * sqrt(list_dot_product(CAST(be.embedding AS DOUBLE[]), CAST(be.embedding AS DOUBLE[])))) AS cos
+         |  FROM cand
+         |  JOIN corpus e ON e.vec_id = cand.vec_id
+         |  JOIN bench be ON be.vec_id = cand.bvec),
+         |h AS (
+         |  SELECT bvec, count(*) AS n_corpus_hits FROM r WHERE cos >= 0.4 GROUP BY bvec)
+         |SELECT b.vec_id AS bvec, COALESCE(h.n_corpus_hits, 0) AS n_corpus_hits,
+         |  h.bvec IS NOT NULL AS leaked
+         |FROM bench b LEFT JOIN h ON h.bvec = b.vec_id
+         |ORDER BY bvec""".stripMargin,
     "q31_ann_lsh" -> {
       val flips = (0 until SignBitsPerBand).map(j => s"xor(chunk, ${1 << j})")
         .mkString(", ")

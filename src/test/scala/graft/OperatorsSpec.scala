@@ -46,6 +46,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.length === emb.count(_._1 % 19 != 0))
   }
 
+  test("q60: the leakage report is q57 read from the benchmark side — " +
+    "total hits agree, leaked items are exactly the hit benchmark ids") {
+    import spark.implicits._
+    val corpusView = SparkEntry.queries("q57_semantic_decontam")(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    val benchView = SparkEntry.queries("q60_benchmark_leakage")(spark, dir)
+      .as[(Long, Long, Boolean)].collect()
+    // one row per benchmark item, benchmark ids only
+    assert(benchView.forall(_._1 % 19 == 0), "non-benchmark id in the report")
+    val nBench = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" % 19 === 0).count()
+    assert(benchView.length.toLong === nBench)
+    // both reports count the SAME qualifying (corpus, benchmark) pairs
+    assert(benchView.map(_._2).sum === corpusView.map(_._2).sum,
+      "hit totals disagree between the corpus and benchmark views")
+    benchView.foreach { case (id, n, leaked) =>
+      assert(leaked === (n >= 1L), s"bvec $id flag")
+    }
+    assert(benchView.exists(_._3), "no leakage found at this scale")
+  }
+
   test("every query runs at sf0.001 and returns a stable schema") {
     // q29 intentionally crossJoin(broadcast(1-row-query-vector)) — the
     // canonical broadcast-scalar shape; everything else must be free of

@@ -292,6 +292,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q59: the cluster representative is the max-score member (tie: min " +
+    "id); exactly one representative per cluster; clusters match q40") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q59_cluster_rep")(spark, dir01)
+      .as[(Long, Long, Double, Boolean)].collect()
+    val q40 = SparkEntry.queries("q40_dedup_clusters")(spark, dir01)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(out.length === q40.size)
+    out.foreach { case (d, cid, _, _) =>
+      assert(cid === q40(d), s"doc $d cluster drifted from q40")
+    }
+    out.groupBy(_._2).foreach { case (cid, members) =>
+      val reps = members.filter(_._4)
+      assert(reps.length === 1, s"cluster $cid has ${reps.length} reps")
+      // argmax(score, tie: min doc_id)
+      val expect = members.minBy { case (d, _, sc, _) => (-sc, d) }._1
+      assert(reps.head._1 === expect, s"cluster $cid rep")
+    }
+    // the quality signal is the q56 score — spot-check one doc by hand
+    val (d0, _, s0, _) = out.head
+    val text = spark.read.parquet(s"$dir01/documents.parquet")
+      .filter($"doc_id" === d0).select($"text").as[String].head()
+    val ws = text.split(" ", -1)
+    assert(s0 === ws.distinct.length.toDouble / ws.length, s"doc $d0 score")
+  }
+
   test("q58: the window manifest tiles q54's packing exactly — contiguous " +
     "segments, full non-last windows, boundary-crossing docs split") {
     import spark.implicits._
