@@ -23,14 +23,18 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CrawlQueries.queries ++ TextOps.queries ++
-      VectorOps.queries ++ MultimodalOps.queries ++ PipelineOps.queries
+      VectorOps.queries ++ MultimodalOps.queries ++ PipelineOps.queries ++
+      InterleavedOps.queries ++ RetrievalOps.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. Every query has an oracle —
     * q27/q28/q31 gained portable SQL formulations in round 2; the
-    * curation ops q40–q45 (round 3) and the cleaning/multimodal ops
-    * q46–q49 (round 4) shipped with theirs. */
+    * curation ops q40–q45 (round 3), the cleaning/multimodal ops
+    * q46–q49 (round 4), the pipeline ops q50–q60 (rounds 5–6), and
+    * the interleaved/retrieval/mixing ops q61–q67 (round 6) shipped
+    * with theirs. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CrawlQueries.oracles ++ TextOps.oracles ++
-      VectorOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles
+      VectorOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles ++
+      InterleavedOps.oracles ++ RetrievalOps.oracles
 }

@@ -92,6 +92,12 @@ case class CrawlConfig(
     // squash the bloom sidecar's per-round delta rows into one blob per
     // bucket every N rounds (merge-on-read stays cheap in between).
     bloomCompactEvery: Int = 8,
+    // URL-seen prefilter sketch: "bloom" (default) or "cuckoo"
+    // (deletion-capable, lower fp — see graft.engine.SeenSketch).
+    // Either way the exact anti-join remains the truth; the crawl
+    // result is identical (golden-tested), only the prefilter routing
+    // changes.
+    seenFilter: String = "bloom",
     // fetch via the full byte pipeline (HTML render → charset sniff →
     // decode → HtmlSpanExtractor parse) instead of the direct content
     // function; results are byte-identical by the round-trip property,

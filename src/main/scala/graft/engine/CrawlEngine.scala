@@ -126,7 +126,19 @@ final class CrawlEngine(
     val bloomSnap = ice.commit(BLOOM, Seq(bloomFile), append = false)
     ice.commit(FRONTIER, Seq(pendFile), append = false,
       props = Map("round" -> "0", "bloom_snap" -> bloomSnap.toString,
+        "seen_filter" -> cfg.seenFilter,
         "attempts_snap" -> "-1", "retired_snap" -> "-1", "lineage_snap" -> "-1"))
+  }
+
+  /** Resume guard: a store's seen-sketch blobs are typed at init —
+    * merging/probing them with the OTHER sketch would be garbage (and
+    * a bloom blob probed as cuckoo could yield a false negative, the
+    * one forbidden outcome). Fail fast on mismatch; a store from
+    * before the seen_filter prop existed is bloom. */
+  def validateSeenFilter(): Unit = {
+    val stored = ice.props(FRONTIER).getOrElse("seen_filter", "bloom")
+    require(stored == cfg.seenFilter,
+      s"frontier store was initialized with seenFilter=$stored but config says ${cfg.seenFilter}")
   }
 
   /** node-crawler's incremental `queue()` between drains [PK:high]:
@@ -230,6 +242,7 @@ final class CrawlEngine(
   def lastRunDrained: Boolean = lastDrainedFlag
 
   def run(): Seq[RoundStats] = {
+    validateSeenFilter()
     val stats = scala.collection.mutable.ArrayBuffer.empty[RoundStats]
     var r = nextRound
     var draining = false
@@ -758,6 +771,7 @@ final class CrawlEngine(
 
     ice.commit(FRONTIER, pendingFiles, append = false,
       Map("round" -> (r + 1).toString,
+        "seen_filter" -> cfg.seenFilter,
         "admitted" -> nAdmitted.toString, "enqueued" -> nEnqueued.toString,
         "attempts_snap" -> attemptsSnap.toString,
         "retired_snap" -> retiredSnap.toString,
@@ -781,14 +795,21 @@ final class CrawlEngine(
     TailDone(r, nEnqueued)
   }
 
-  // ---- bloom sidecar (all executor-side) ------------------------------
+  // ---- bloom/cuckoo sidecar (all executor-side) -----------------------
 
   // expected URLs per bucket: (nHosts-1) ordinary hosts + one mega-host
-  private def bloomBits: Int = {
+  private def expectedPerBucket: Long = {
     val totalPages = (web.nHosts - 1).toLong * web.pagesPerHost +
       web.pagesPerHost.toLong * web.megaFactor
-    Bloom.sizeFor(math.max(1L, totalPages / math.max(1, cfg.numBuckets)))
+    math.max(1L, totalPages / math.max(1, cfg.numBuckets))
   }
+
+  /** The configured seen-sketch (SeenSketch scaladoc): per-bucket blob
+    * construction, probe, and merge all go through this instance, so
+    * the bloom/cuckoo choice is invisible to the dedup plan. */
+  private val sketch: SeenSketch =
+    if (cfg.seenFilter == "cuckoo") CuckooSketch(expectedPerBucket)
+    else BloomSketch(Bloom.sizeFor(expectedPerBucket))
 
   /** Per-bucket bloom delta + enqueued count, built with a
     * per-partition fold over host_bucket-partitioned input (each
@@ -799,13 +820,13 @@ final class CrawlEngine(
     * a 128 KB+ blob per (task, bucket) dwarfs the raw (bucket, hash)
     * pairs at any realistic density. */
   private def bloomDelta(bucketHash: DataFrame): DataFrame = {
-    val bits = bloomBits
+    val sk = sketch
     bucketHash.as[(Int, Long)]
       .mapPartitions { it =>
         val acc = new scala.collection.mutable.HashMap[Int, (Array[Byte], Long)]
         it.foreach { case (b, h) =>
-          val (arr, n) = acc.getOrElseUpdate(b, (Bloom.empty(bits), 0L))
-          Bloom.add(arr, h)
+          val (arr, n) = acc.getOrElseUpdate(b, (sk.empty(), 0L))
+          sk.add(arr, h)
           acc(b) = (arr, n + 1)
         }
         acc.iterator.map { case (b, (arr, n)) => (b, n, arr) }
@@ -826,6 +847,7 @@ final class CrawlEngine(
     * filter bits. */
   private def bloomTag(rawCands: DataFrame): DataFrame = {
     import CrawlEngine.{Cand, TaggedCand}
+    val sk = sketch
     val candDs = rawCands
       .select($"url_hash", $"url_canon", $"host", $"host_bucket",
         $"priority", $"discovered_seq")
@@ -844,11 +866,11 @@ final class CrawlEngine(
             case _ => best(c.url_hash) = c
           }
         }
-        val merged = bit.map(_._2).reduceOption(Bloom.or)
+        val merged = bit.map(_._2).reduceOption(sk.merge)
         best.valuesIterator.map { c =>
           TaggedCand(c.url_hash, c.url_canon, c.host, c.host_bucket,
             c.priority, c.discovered_seq,
-            maybe_seen = merged.exists(Bloom.mightContain(_, c.url_hash)))
+            maybe_seen = merged.exists(sk.mightContain(_, c.url_hash)))
         }
       }
       .toDF()
@@ -858,10 +880,11 @@ final class CrawlEngine(
   private def compactBloom(atSnap: Long): Long = {
     val df = ice.read(spark, BLOOM, Some(atSnap))
       .getOrElse(return atSnap)
+    val sk = sketch
     val compacted = df.select($"host_bucket", $"n", $"bits")
       .as[(Int, Long, Array[Byte])]
       .groupByKey(_._1)
-      .reduceGroups((a, b) => (a._1, a._2 + b._2, Bloom.or(a._3, b._3)))
+      .reduceGroups((a, b) => (a._1, a._2 + b._2, sk.merge(a._3, b._3)))
       .map(_._2)
       .toDF("host_bucket", "n", "bits")
     val f = ice.writeData(compacted, BLOOM, "compact")

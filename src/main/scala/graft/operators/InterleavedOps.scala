@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Operators over the interleaved text+media document shape — the
+  * engine's native row format (`graft.core.Span`: `(doc_id,
+  * spans: array<struct<kind,text,media_ref,offset>>)`) surfaced in the
+  * DuckDB-oracle correctness gate.
+  *
+  * The crawl engine produces this shape from fetched pages (golden
+  * tests cover it end-to-end); here the SAME shape is derived
+  * deterministically from the driver's neutral `documents` table in
+  * BOTH engines — Spark and the oracle build the identical span arrays
+  * from the identical text, so the array-of-struct result hash-matches
+  * at every scale. Derivation: the text splits into 8-word chunks
+  * (each a `text` span); after every chunk `i` with
+  * `(doc_id·31 + i) % 4 == 0` a `media` span is inserted whose blob id
+  * is `(doc_id·31 + i) % 997` — a shared-blob space, so the same
+  * media_ref recurs across documents (the real-web shape: one CDN
+  * image embedded by many pages).
+  *
+  * Scale shape: q61 is one projection over one scan — per-row lambda
+  * expressions only, zero shuffle, embarrassingly parallel; q62 is one
+  * explode + one hash aggregate keyed on the compact media_ref string
+  * (partial aggregation map-side; no join). At 100 TB neither plan
+  * moves document text through a shuffle — q62 shuffles only
+  * (media_ref, doc_id) pairs.
+  */
+object InterleavedOps {
+
+  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  /** Chunk width (words) and the media-insertion / blob-id moduli —
+    * mirrored literally in the oracle SQL below. */
+  private val ChunkWords = 8
+  private val InsertMod = 4
+  private val BlobMod = 997
+
+  /** The per-chunk text-span expression (SQL fragment shared by both
+    * branches of the insertion CASE). */
+  private val TextSpanExpr =
+    s"named_struct('kind', 'text', 'text', array_join(slice(words, cast(i * $ChunkWords + 1 as int), $ChunkWords), ' '), 'media_ref', cast(null as string))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q61: materialize the interleaved span arrays — the exact
+    // (doc_id, spans array<struct<kind,text,media_ref,offset:int>>)
+    // row format the frontier engine writes — plus span-composition
+    // telemetry (span/media counts a corpus dashboard reads).
+    "q61_spanize" -> ((s: SparkSession, dir: String) => {
+      s.read.parquet(t(dir, "documents"))
+        .selectExpr("doc_id", "split(text, ' ') AS words")
+        .selectExpr("doc_id", "words",
+          s"cast(floor((size(words) + ${ChunkWords - 1}) / $ChunkWords) as bigint) AS nch")
+        .selectExpr("doc_id",
+          s"""flatten(transform(sequence(0, nch - 1), i ->
+             |  CASE WHEN (doc_id * 31 + i) % $InsertMod = 0 THEN
+             |    array($TextSpanExpr,
+             |      named_struct('kind', 'media', 'text', cast(null as string),
+             |        'media_ref', concat('media://blob/', cast((doc_id * 31 + i) % $BlobMod as string))))
+             |  ELSE array($TextSpanExpr) END)) AS flat""".stripMargin)
+        .selectExpr("doc_id",
+          "transform(flat, (x, p) -> named_struct('kind', x.kind, 'text', x.text, 'media_ref', x.media_ref, 'offset', cast(p as int))) AS spans",
+          "cast(size(flat) as bigint) AS n_spans",
+          "cast(size(filter(flat, x -> x.kind = 'media')) as bigint) AS n_media")
+        .orderBy("doc_id")
+    }),
+
+    // q62: exact media dedup across the interleaved corpus — group the
+    // media spans by blob reference, pick the keeper (min doc_id), and
+    // flag blobs embedded by more than one document. The media bytes
+    // themselves never move: only (media_ref, doc_id) pairs shuffle.
+    "q62_media_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      s.read.parquet(t(dir, "documents"))
+        .selectExpr("doc_id",
+          s"cast(floor((size(split(text, ' ')) + ${ChunkWords - 1}) / $ChunkWords) as bigint) AS nch")
+        .selectExpr("doc_id",
+          s"explode(filter(sequence(0, nch - 1), i -> (doc_id * 31 + i) % $InsertMod = 0)) AS i")
+        .selectExpr("doc_id",
+          s"concat('media://blob/', cast((doc_id * 31 + i) % $BlobMod as string)) AS media_ref")
+        .groupBy($"media_ref")
+        .agg(count(lit(1)).as("n_refs"),
+          count_distinct($"doc_id").as("n_docs"),
+          min($"doc_id").as("keeper_doc"))
+        .withColumn("is_dup", $"n_docs" > 1)
+        .orderBy($"media_ref")
+    }))
+
+  /** Shared derivation CTEs (the q61 span build), interpolated into
+    * both oracles so Spark and DuckDB cannot drift. */
+  private val SpanCtes =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |c AS (SELECT doc_id, words,
+       |  CAST(floor((len(words) + ${ChunkWords - 1}) / $ChunkWords) AS BIGINT) AS nch FROM w)""".stripMargin
+
+  private val OracleTextSpan =
+    s"struct_pack(kind := 'text', \"text\" := array_to_string(list_slice(words, CAST(i * $ChunkWords + 1 AS BIGINT), CAST(i * $ChunkWords + $ChunkWords AS BIGINT)), ' '), media_ref := CAST(NULL AS VARCHAR))"
+
+  def oracles: Map[String, String] = Map(
+    "q61_spanize" ->
+      s"""WITH $SpanCtes,
+         |f AS (SELECT doc_id, flatten(list_transform(range(0, nch), i ->
+         |    CASE WHEN (doc_id * 31 + i) % $InsertMod = 0 THEN
+         |      [$OracleTextSpan,
+         |       struct_pack(kind := 'media', "text" := CAST(NULL AS VARCHAR),
+         |         media_ref := 'media://blob/' || CAST((doc_id * 31 + i) % $BlobMod AS VARCHAR))]
+         |    ELSE [$OracleTextSpan] END)) AS flat
+         |  FROM c)
+         |SELECT doc_id,
+         |  list_transform(range(0, len(flat)), p -> struct_pack(
+         |    kind := flat[p+1].kind, "text" := flat[p+1].text,
+         |    media_ref := flat[p+1].media_ref, "offset" := CAST(p AS INTEGER))) AS spans,
+         |  CAST(len(flat) AS BIGINT) AS n_spans,
+         |  CAST(len(list_filter(flat, x -> x.kind = 'media')) AS BIGINT) AS n_media
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q62_media_dedup" ->
+      s"""WITH $SpanCtes,
+         |m AS (SELECT doc_id, 'media://blob/' || CAST((doc_id * 31 + i) % $BlobMod AS VARCHAR) AS media_ref
+         |      FROM (SELECT doc_id, unnest(range(0, nch)) AS i FROM c)
+         |      WHERE (doc_id * 31 + i) % $InsertMod = 0)
+         |SELECT media_ref, CAST(count(*) AS BIGINT) AS n_refs,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keeper_doc,
+         |  count(DISTINCT doc_id) > 1 AS is_dup
+         |FROM m GROUP BY media_ref ORDER BY media_ref""".stripMargin)
+}

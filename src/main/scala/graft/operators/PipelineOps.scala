@@ -480,6 +480,51 @@ object PipelineOps {
         .orderBy($"cum_tokens")
     }),
 
+    // curriculum ordering — bucket the corpus into 4 training epochs
+    // by an integer difficulty key (avg chars per token ×1000 — a
+    // BIGINT, so ordering is exact in both engines: no float-order
+    // hazard). ntile over a global order is a single-partition window
+    // at sandbox scale; at 100 TB the same epochs come from the exact
+    // pre-computed key quantiles (q43's percentile machinery) used as
+    // range-partition bounds — the output contract (epoch per doc) is
+    // identical, which is what the oracle pins.
+    "q65_curriculum" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val m = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", tokenCountCol.as("n_tokens"), $"n_chars")
+        .withColumn("diff_key",
+          floor($"n_chars" * lit(1000L) / $"n_tokens").cast("long"))
+      m.withColumn("epoch",
+          ntile(4).over(Window.orderBy($"diff_key", $"doc_id")).cast("long"))
+        .select($"doc_id", $"n_tokens", $"diff_key", $"epoch")
+        .orderBy($"epoch", $"diff_key", $"doc_id")
+    }),
+
+    // temperature-based language-mixture reweighting (the multilingual
+    // alpha-sampling rule, alpha = 0.5): sampling weight ∝ √n_lang,
+    // flattening the head language. All cross-row arithmetic is
+    // INTEGER-exact — the weight is floor(√(n·10⁶)) as BIGINT (IEEE
+    // sqrt is correctly rounded, so both engines produce the same
+    // integer), sums of weights are exact BIGINT sums (no float
+    // accumulation-order hazard), and expected_docs is integer
+    // division. Only the reported rate is a (rounded) float output
+    // column. One tiny agg — broadcast-scale state, like q52.
+    "q66_temperature_mix" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val byLang = s.read.parquet(t(dir, "documents"))
+        .groupBy($"lang").agg(count(lit(1)).as("n"))
+        .withColumn("wgt",
+          floor(sqrt($"n".cast("double") * lit(1000000d))).cast("long"))
+      val tot = byLang.agg(sum($"wgt").as("sumw"), sum($"n").as("total")).head()
+      val (sumw, total) = (tot.getLong(0), tot.getLong(1))
+      byLang
+        .select($"lang", $"n", $"wgt",
+          round($"wgt".cast("double") / lit(sumw.toDouble), 6).as("rate"),
+          expr(s"(wgt * ${total}L) div ${sumw}L").as("expected_docs"))
+        .orderBy($"lang")
+    }),
+
     // cluster-representative selection — the quality-aware refinement
     // of q40's keep rule: real curation pipelines keep the BEST
     // document of a near-dup cluster, not the smallest id. Composes
@@ -820,6 +865,24 @@ object PipelineOps {
         |  CAST(sum(len) AS BIGINT) AS filled_tokens
         |FROM seg2 GROUP BY shard, window_id
         |ORDER BY shard, window_id""".stripMargin,
+    "q65_curriculum" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  n_chars FROM documents),
+        |k AS (SELECT doc_id, n_tokens,
+        |  CAST(floor(n_chars * 1000 / n_tokens) AS BIGINT) AS diff_key FROM m)
+        |SELECT doc_id, n_tokens, diff_key,
+        |  CAST(ntile(4) OVER (ORDER BY diff_key, doc_id) AS BIGINT) AS epoch
+        |FROM k ORDER BY epoch, diff_key, doc_id""".stripMargin,
+    "q66_temperature_mix" ->
+      """WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |  CAST(floor(sqrt(CAST(n AS DOUBLE) * 1000000)) AS BIGINT) AS wgt FROM s),
+        |tot AS (SELECT CAST(sum(wgt) AS BIGINT) AS sumw, CAST(sum(n) AS BIGINT) AS total FROM w)
+        |SELECT lang, n, wgt,
+        |  round(CAST(wgt AS DOUBLE) / CAST(tot.sumw AS DOUBLE), 6) AS rate,
+        |  wgt * tot.total // tot.sumw AS expected_docs
+        |FROM w, tot ORDER BY lang""".stripMargin,
     "q43_token_quantiles" ->
       """WITH d AS (SELECT lang,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens

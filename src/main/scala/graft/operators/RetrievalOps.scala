@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-flavored corpus operators: BM25 relevance scoring and
+  * exact-substring (13-gram) cross-document overlap — the two
+  * remaining public-knowledge staples of a training-data pipeline
+  * (Robertson/Sparck-Jones BM25; Lee et al. "Deduplicating Training
+  * Data Makes Language Models Better" exact-substring dedup).
+  *
+  * Scale shapes:
+  *  - q63 is one scan with per-row array lambdas (tf per query term,
+  *    doc length) plus ONE corpus-constant aggregate (N, avgdl, df per
+  *    term — a handful of scalars, broadcast-scale state exactly like
+  *    q44's N); no join, no explode, zero data shuffled beyond the
+  *    3-scalar agg. Scoring 100 TB is embarrassingly parallel.
+  *  - q64 reuses the LSH bucket-enumeration pattern (one hash agg per
+  *    shingle key + bounded within-bucket pair expansion) instead of a
+  *    shingle self-join: per distinct shingle the capped doc list is
+  *    collected once, pairs are enumerated executor-side, and a
+  *    second hash agg counts shared shingles per pair. The 512-doc
+  *    bucket cap is the same skew valve the LSH gates carry — a
+  *    boilerplate shingle shared by millions of documents at corpus
+  *    scale would otherwise go quadratic.
+  */
+object RetrievalOps {
+
+  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  /** Fixed query terms (k1 = 1.2 and b = 0.75 are inlined in both
+    * formulations). Terms are drawn from the synthetic corpus
+    * vocabulary so document-frequency is non-trivial at every scale. */
+  private val QueryTerms = Seq("join", "window", "scan")
+
+  /** q64 shingle width (words) and the bucket-cap skew valve. */
+  private val ShingleWords = 13
+  private val BucketCap = 512
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q63: BM25 scores for a fixed 3-term query over the corpus.
+    // Ranking keys stay integer-exact (tf, dl); the float score is an
+    // output column rounded to 6 dp (the q44 float-parity protocol) and
+    // rows are ordered by doc_id, never by the float.
+    "q63_bm25" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val tfCols = QueryTerms.map(q =>
+        expr(s"cast(size(filter(words, x -> x = '$q')) as bigint)").as(s"tf_$q"))
+      val m = s.read.parquet(t(dir, "documents"))
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .select(col("doc_id") +: expr("cast(size(words) as bigint)").as("dl") +: tfCols: _*)
+      // Corpus constants: one tiny agg (broadcast-scale state).
+      val statRow = m.agg(
+        count(lit(1)).cast("double").as("n"),
+        (sum($"dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+        count(when($"tf_join" > 0, 1)).cast("double").as("df_join"),
+        count(when($"tf_window" > 0, 1)).cast("double").as("df_window"),
+        count(when($"tf_scan" > 0, 1)).cast("double").as("df_scan")).head()
+      val (n, avgdl) = (statRow.getDouble(0), statRow.getDouble(1))
+      val dfs = QueryTerms.zipWithIndex.map { case (q, i) => q -> statRow.getDouble(2 + i) }.toMap
+      // Written in the oracle's exact textual order: term scores
+      // summed left-to-right, each ln(1 + (N - df + .5)/(df + .5)) ·
+      // tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)) with b = 0.75.
+      val termScore = QueryTerms.map { q =>
+        val df = dfs(q)
+        log(lit(1d) + (lit(n) - lit(df) + lit(0.5)) / (lit(df) + lit(0.5))) *
+          (col(s"tf_$q") * lit(2.2)) /
+          (col(s"tf_$q") + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / lit(avgdl)))
+      }.reduceLeft(_ + _)
+      m.filter($"tf_join" + $"tf_window" + $"tf_scan" > 0)
+        .select($"doc_id", $"dl", $"tf_join", $"tf_window", $"tf_scan",
+          round(termScore, 6).as("bm25"))
+        .orderBy($"doc_id")
+    }),
+
+    // q64: exact-substring overlap — document pairs sharing at least
+    // one 13-word shingle, with the shared-shingle count. Pairs are
+    // bucket-enumerated per shingle (capped collect_set, no self-join).
+    "q64_substring_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val sh = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", split($"text", " ").as("words"))
+        .select($"doc_id",
+          explode(expr(
+            s"""transform(sequence(1, greatest(size(words) - ${ShingleWords - 1}, 1)),
+               |  i -> array_join(slice(words, cast(i as int), $ShingleWords), ' '))""".stripMargin))
+            .as("sg"))
+        .distinct()
+      val buckets = sh.groupBy($"sg")
+        .agg(TextOps.cappedSortedSet($"doc_id", BucketCap).as("docs"))
+        .filter($"docs".isNotNull && size($"docs") >= 2)
+      buckets
+        .select(explode($"docs").as("doc_a"), $"docs")
+        .select($"doc_a", explode($"docs").as("doc_b"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_a", $"doc_b")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q63_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS dl,
+        |  CAST(len(list_filter(words, x -> x = 'join')) AS BIGINT) AS tf_join,
+        |  CAST(len(list_filter(words, x -> x = 'window')) AS BIGINT) AS tf_window,
+        |  CAST(len(list_filter(words, x -> x = 'scan')) AS BIGINT) AS tf_scan
+        |  FROM d),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |  CAST(count(*) FILTER (tf_join > 0) AS DOUBLE) AS df_join,
+        |  CAST(count(*) FILTER (tf_window > 0) AS DOUBLE) AS df_window,
+        |  CAST(count(*) FILTER (tf_scan > 0) AS DOUBLE) AS df_scan FROM m)
+        |SELECT doc_id, dl, tf_join, tf_window, tf_scan,
+        |  round(
+        |    ln(1 + (st.n - st.df_join + 0.5) / (st.df_join + 0.5)) * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+        |  + ln(1 + (st.n - st.df_window + 0.5) / (st.df_window + 0.5)) * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / st.avgdl))
+        |  + ln(1 + (st.n - st.df_scan + 0.5) / (st.df_scan + 0.5)) * (tf_scan * 2.2) / (tf_scan + 1.2 * (0.25 + 0.75 * dl / st.avgdl)), 6) AS bm25
+        |FROM m, st WHERE tf_join + tf_window + tf_scan > 0 ORDER BY doc_id""".stripMargin,
+    "q64_substring_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |s AS (SELECT DISTINCT doc_id, array_to_string(list_slice(words, CAST(i AS BIGINT), CAST(i + ${ShingleWords - 1} AS BIGINT)), ' ') AS sg
+         |      FROM (SELECT doc_id, words,
+         |        unnest(range(1, greatest(len(words) - ${ShingleWords - 1}, 1) + 1)) AS i FROM w)),
+         |b AS (SELECT sg, list(doc_id ORDER BY doc_id) AS docs FROM s
+         |      GROUP BY sg HAVING count(*) BETWEEN 2 AND $BucketCap)
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM (SELECT unnest(docs) AS doc_a, docs FROM b) t1, unnest(t1.docs) u(doc_b)
+         |WHERE doc_a < doc_b GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin)
+}

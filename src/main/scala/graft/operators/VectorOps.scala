@@ -135,6 +135,32 @@ object VectorOps {
   val IvfRoundDp = 6
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q67: int8 scalar quantization of the embedding column — the
+    // standard 4× index-compression step before ANN serving. Per
+    // vector: min/max range, scale = range/255, per-element code
+    // floor((x−min)/scale) clamped to 255. Everything cross-element is
+    // order-free or integer-exact (qsum is an exact integer sum,
+    // max_err a float MAX — commutative), and the per-element float
+    // chain is fixed-order IEEE ops, so both engines agree bit-for-bit
+    // before the 6 dp rounding. One scan, per-row lambdas, zero
+    // shuffle — quantizing 100 TB of vectors is embarrassingly
+    // parallel.
+    "q67_vec_quantize" -> ((s: SparkSession, dir: String) => {
+      s.read.parquet(t(dir, "embeddings"))
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+        .selectExpr("vec_id", "v",
+          "array_min(v) AS dmin", "(array_max(v) - array_min(v)) / 255d AS scale")
+        .selectExpr("vec_id", "v", "dmin", "scale",
+          """CASE WHEN scale = 0d THEN transform(v, x -> 0L)
+            |ELSE transform(v, x -> cast(least(255d, floor((x - dmin) / scale)) as bigint)) END AS q""".stripMargin)
+        .selectExpr("vec_id",
+          "round(scale, 6) AS scale_r",
+          "aggregate(q, 0L, (acc, x) -> acc + x) AS qsum",
+          "round(array_max(zip_with(v, q, (a, b) -> abs(a - (dmin + cast(b as double) * scale)))), 6) AS max_err")
+        .orderBy("vec_id")
+    }),
+
     // brute-force cosine top-k against the vec_id=0 query vector.
     "q29_cosine_topk" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
@@ -437,6 +463,19 @@ object VectorOps {
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
   val oracles: Map[String, String] = Map(
+    "q67_vec_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS dmin,
+        |  (list_max(v) - list_min(v)) / 255 AS scale FROM e),
+        |qt AS (SELECT vec_id, v, dmin, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |       ELSE list_transform(v, x -> CAST(least(255, floor((x - dmin) / scale)) AS BIGINT)) END AS q
+        |  FROM m)
+        |SELECT vec_id, round(scale, 6) AS scale_r,
+        |  CAST(list_sum(q) AS BIGINT) AS qsum,
+        |  round(list_max(list_transform(list_zip(v, q),
+        |    p -> abs(p[1] - (dmin + CAST(p[2] AS DOUBLE) * scale)))), 6) AS max_err
+        |FROM qt ORDER BY vec_id""".stripMargin,
     "q29_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, label,

@@ -357,6 +357,24 @@ class EngineGoldenSpec extends AnyFunSuite {
     assertGolden(sim, eng2)
   }
 
+  test("golden equality with the cuckoo seen-sketch; mismatched resume fails fast") {
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6,
+      seenFilter = "cuckoo", bloomCompactEvery = 2)
+    val seeds = web.seedUrls(12)
+    val sim = RefSimulator.run(web, seeds, cfg)
+    val dir = Files.createTempDirectory("graft-cuckoo").toString
+    val eng = new CrawlEngine(spark, web, cfg, dir)
+    eng.init(seeds)
+    eng.run()
+    assertGolden(sim, eng)
+    // resuming the same store with the bloom sketch must be rejected
+    // (the blobs are typed at init; probing them wrong could yield the
+    // forbidden false negative)
+    val wrong = new CrawlEngine(spark, web, cfg.copy(seenFilter = "bloom"), dir)
+    intercept[IllegalArgumentException] { wrong.run() }
+  }
+
   test("golden equality across bloom compaction boundaries (compactEvery=2)") {
     val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
     val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6,
