@@ -145,6 +145,15 @@ final class Crawler(
     eng
   }
 
+  /** Forget completed URLs so a later `queue()` or rediscovery crawls
+    * them again (cache-invalidation/recrawl maintenance; no
+    * node-crawler analog — its seen-set is per-process and dies with
+    * it, ours persists in the frontier store). Delegates to
+    * [[graft.engine.CrawlEngine.forgetUrls]]: exact seen-set rows are
+    * dropped always; the cuckoo sketch also deletes fingerprints,
+    * bloom stays conservatively positive. Call between runs. */
+  def forget(urls: Seq[String]): Long = engine.forgetUrls(urls)
+
   /** node-crawler `setLimiterProperty(id, 'rateLimit', ms)` [PK:high]:
     * change one limiter's crawl delay at runtime. Takes effect from
     * the next `run()` — the BSP analog of changing a live rate

@@ -215,6 +215,71 @@ final class CrawlEngine(
     }
   }
 
+  /** Forget completed URLs so a later discovery recrawls them — the
+    * maintenance flow the deletion-capable cuckoo sketch exists for.
+    * Drops the URLs' rows from the retired table (the exact seen-set
+    * TRUTH — this alone makes them recrawlable, because the anti-join
+    * no longer sees them) and, under `seenFilter="cuckoo"`, also
+    * deletes their fingerprints from the per-bucket seen blobs so the
+    * prefilter stays tight. Under bloom the blobs cannot delete: the
+    * forgotten URLs stay sketch-positive and merely pay the exact
+    * anti-join pass on rediscovery (correct, marginally slower —
+    * exactly the bloom-vs-cuckoo trade the config switch encodes).
+    * Pending/in-flight URLs are not touched. Returns the number of
+    * retired rows dropped. Runs between rounds (same contract as
+    * [[compactRetired]]). */
+  def forgetUrls(urls: Seq[String]): Long = {
+    awaitTail()
+    // (bucket -> hashes) so a hash is only ever removed from the blob
+    // it was inserted into — probing a FOREIGN bucket's blob could
+    // strip a colliding live key's fingerprint (a false negative, the
+    // forbidden outcome); same-bucket removal is safe by the cuckoo
+    // deletion contract (counts conserve per (bucket, fp)).
+    val byBucket: Map[Int, Seq[Long]] = urls
+      .flatMap(UrlCanonicalizer.canonicalize)
+      .map { canon =>
+        val host = UrlCanonicalizer.hostOf(canon)
+        Hashing.hostBucket(host, cfg.numBuckets) -> Hashing.xxhash64(canon)
+      }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).distinct }
+    val hashes = byBucket.values.flatten.toSet
+    if (hashes.isEmpty) return 0L
+    val dropped = readPinned(RETIRED).map { df =>
+      val keep = df.filter(!$"url_hash".isInCollection(hashes))
+      val nBefore = df.count()
+      val file = ice.writeData(
+        keep.repartition(cfg.numBuckets, $"host_bucket"), RETIRED, "forget")
+      val snap = ice.commit(RETIRED, Seq(file), append = false)
+      ice.commit(FRONTIER, Nil, append = true,
+        props = ice.props(FRONTIER) + ("retired_snap" -> snap.toString))
+      carriedPending = None
+      nBefore - keep.count()
+    }.getOrElse(0L)
+    if (cfg.seenFilter == "cuckoo" && dropped > 0) {
+      val sk = sketch
+      val bb = byBucket
+      pin(BLOOM).filter(_ >= 0).foreach { atSnap =>
+        ice.read(spark, BLOOM, Some(atSnap)).foreach { df =>
+          val rewritten = df.select($"host_bucket", $"n", $"bits")
+            .as[(Int, Long, Array[Byte])]
+            .groupByKey(_._1)
+            .mapGroups { (bucket, it) =>
+              val rows = it.toSeq
+              val merged = rows.map(_._3).reduce(sk.merge)
+              bb.getOrElse(bucket, Nil).foreach(Cuckoo.remove(merged, _))
+              (bucket, rows.map(_._2).sum, merged)
+            }
+            .toDF("host_bucket", "n", "bits")
+          val f = ice.writeData(rewritten, BLOOM, "forget")
+          val snap = ice.commit(BLOOM, Seq(f), append = false)
+          ice.commit(FRONTIER, Nil, append = true,
+            props = ice.props(FRONTIER) + ("bloom_snap" -> snap.toString))
+        }
+      }
+    }
+    dropped
+  }
+
   def nextRound: Long = ice.props(FRONTIER).getOrElse("round", "0").toLong
 
   // ---- the round loop ------------------------------------------------

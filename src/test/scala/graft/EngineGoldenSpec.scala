@@ -375,6 +375,39 @@ class EngineGoldenSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { wrong.run() }
   }
 
+  test("forgetUrls enables recrawl under both sketches; count and dedup stay exact") {
+    import spark.implicits._
+    for (filter <- Seq("cuckoo", "bloom")) {
+      val web = SyntheticWeb(nHosts = 4, pagesPerHost = 6, megaFactor = 2)
+      val cfg = CrawlConfig(numBuckets = 4, roundMs = 500, maxRounds = 10,
+        seenFilter = filter)
+      val dir = Files.createTempDirectory(s"graft-forget-$filter").toString
+      val eng = new CrawlEngine(spark, web, cfg, dir)
+      eng.init(web.seedUrls(8))
+      eng.run()
+      val url = eng.crawlLog().select("url_canon").as[String].head()
+      def logged(): Long =
+        eng.crawlLog().filter($"url_canon" === url).count()
+      assert(logged() === 1L, s"[$filter] baseline")
+      // forgetting drops exactly the one retired row; a second forget
+      // of the same URL is a no-op
+      assert(eng.forgetUrls(Seq(url)) === 1L, s"[$filter] forget")
+      assert(eng.forgetUrls(Seq(url)) === 0L, s"[$filter] re-forget")
+      // the URL is now unseen: re-queueing accepts it as fresh and the
+      // next run fetches it again
+      assert(eng.enqueueRequests(Seq(SeedRequest(url))) === 1L,
+        s"[$filter] re-queue after forget must be fresh")
+      eng.run()
+      assert(logged() === 2L, s"[$filter] recrawl")
+      // a NON-forgotten URL stays deduped (the sketch rewrite did not
+      // lose anyone else's fingerprint)
+      val other = eng.crawlLog().select("url_canon").as[String]
+        .collect().find(_ != url).get
+      assert(eng.enqueueRequests(Seq(SeedRequest(other))) === 0L,
+        s"[$filter] other URLs must remain seen")
+    }
+  }
+
   test("golden equality across bloom compaction boundaries (compactEvery=2)") {
     val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
     val cfg = CrawlConfig(numBuckets = 8, roundMs = 500, maxRounds = 6,

@@ -166,6 +166,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p58.contains("Join"), s"q58 grew a join:\n${p58.take(1500)}")
   }
 
+  test("round-6 ops: pruned scans, no joins on the scan-only paths") {
+    // q61: one scan, per-row lambdas only — no shuffle, no join; the
+    // scan needs doc_id + text ONLY
+    val p61 = planOf("q61_spanize")
+    val rs61 = p61.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs61.contains("lang") && !rs61.contains("source"),
+      s"q61 scan reads unused columns: $rs61")
+    assert(!p61.contains("Join"), s"q61 grew a join:\n${p61.take(1500)}")
+    // q63: per-row scoring + ONE scalar agg — no join anywhere, and
+    // the float score must not become a sort key (ordering is doc_id)
+    val p63 = planOf("q63_bm25")
+    assert(!p63.contains("Join"), s"q63 grew a join:\n${p63.take(1500)}")
+    // q64: bucket enumeration, not a shingle self-join — the only
+    // allowed exchanges are the two hash aggregations
+    val p64 = planOf("q64_substring_dedup")
+    assert(!p64.contains("SortMergeJoin") && !p64.contains("BroadcastHashJoin") &&
+      !p64.contains("CartesianProduct"),
+      s"q64 degenerated to a join:\n${p64.take(1500)}")
+    // q67: embeddings scan prunes to (vec_id, embedding); zero joins
+    val p67 = planOf("q67_vec_quantize")
+    val rs67 = p67.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs67.contains("label"), s"q67 scan reads unused columns: $rs67")
+    assert(!p67.contains("Join"), s"q67 grew a join:\n${p67.take(1500)}")
+  }
+
   test("q42: as-of join is one window pass, not a per-row probe join") {
     val df = SparkEntry.queries("q42_asof_join")(spark, dir)
     df.count()
