@@ -77,6 +77,12 @@ object RetrievalOps {
     // q64: exact-substring overlap — document pairs sharing at least
     // one 13-word shingle, with the shared-shingle count. Pairs are
     // bucket-enumerated per shingle (capped collect_set, no self-join).
+    // The bucket key is an md5-derived 48-bit integer of the shingle,
+    // computed by the SAME formula in the oracle — so the distinct and
+    // the group-by shuffle 8-byte longs instead of ~80-char strings
+    // (the 10× exchange-volume cut that matters at corpus scale), and
+    // any rare key collision is seen identically by both engines
+    // (parity by construction; it only merges two buckets' doc lists).
     "q64_substring_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val sh = s.read.parquet(t(dir, "documents"))
@@ -84,7 +90,7 @@ object RetrievalOps {
         .select($"doc_id",
           explode(expr(
             s"""transform(sequence(1, greatest(size(words) - ${ShingleWords - 1}, 1)),
-               |  i -> array_join(slice(words, cast(i as int), $ShingleWords), ' '))""".stripMargin))
+               |  i -> cast(conv(substring(md5(array_join(slice(words, cast(i as int), $ShingleWords), ' ')), 1, 12), 16, 10) as bigint))""".stripMargin))
             .as("sg"))
         .distinct()
       val buckets = sh.groupBy($"sg")
@@ -121,7 +127,7 @@ object RetrievalOps {
         |FROM m, st WHERE tf_join + tf_window + tf_scan > 0 ORDER BY doc_id""".stripMargin,
     "q64_substring_dedup" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-         |s AS (SELECT DISTINCT doc_id, array_to_string(list_slice(words, CAST(i AS BIGINT), CAST(i + ${ShingleWords - 1} AS BIGINT)), ' ') AS sg
+         |s AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(array_to_string(list_slice(words, CAST(i AS BIGINT), CAST(i + ${ShingleWords - 1} AS BIGINT)), ' ')), 1, 12))::BIGINT AS sg
          |      FROM (SELECT doc_id, words,
          |        unnest(range(1, greatest(len(words) - ${ShingleWords - 1}, 1) + 1)) AS i FROM w)),
          |b AS (SELECT sg, list(doc_id ORDER BY doc_id) AS docs FROM s
