@@ -292,6 +292,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedDiff === expected, "replayed batch changed the answer")
   }
 
+  test("streaming decontamination: batch-invariant verdicts equal the batch q47 gate") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val store = Files.createTempDirectory("graft-dcstore").toString
+    StreamingOps.buildDecontamStore(spark, src, store)
+    val in = Files.createTempDirectory("graft-dcin").toString
+    val out = Files.createTempDirectory("graft-dcout").toString
+    val cp = Files.createTempDirectory("graft-dccp").toString
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$in/b1.parquet")
+    def runOnce(): Unit = {
+      val q = StreamingOps.decontamStream(spark, s"$in/*", store, out, cp)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    docs.filter($"doc_id" % 2 =!= 0).coalesce(1).write.parquet(s"$in/b2.parquet")
+    runOnce()
+    // a verdict depends only on the doc's text + the store, so the
+    // union across batches must equal the batch gate's non-benchmark
+    // rows regardless of the 2-way corpus split
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"n_hits", $"contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exp = SparkEntry.queries("q47_decontam")(spark, src)
+      .filter(!$"is_benchmark")
+      .select($"doc_id", $"n_hits", $"contaminated")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.size === exp.length)
+    exp.foreach { case (id, h, c) =>
+      assert(got(id) === ((h, c)), s"doc $id") }
+    assert(exp.exists(_._3), "fixture should contain contamination")
+    // retry idempotence: re-applying the last batch overwrites its own
+    // subdirectory, never duplicates
+    val before = spark.read.parquet(out).count()
+    StreamingOps.decontamBatchApply(
+      docs.filter($"doc_id" % 2 =!= 0), 1L, store, out)
+    assert(spark.read.parquet(out).count() === before)
+  }
+
   test("watermarked windowed aggregation over the events file stream") {
     val cp = Files.createTempDirectory("graft-cp3").toString
     val q = StreamingOps.eventWindowCounts(spark, "/root/testdata/sf0.001")
