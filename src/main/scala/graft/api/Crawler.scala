@@ -253,9 +253,10 @@ final class Crawler(
         (prev.get(k), cur.get(k)) match {
           case (p, Some(v)) if !p.contains(v) =>
             fireLimiterChange(k, Some(v))
-          case (Some(_), None) if web.isHost(k) =>
-            // override expired on a default (host) limiter: it reverts
-            // to exactly the host policy's crawl delay
+          case (Some(_), None) if web.isHostShaped(k) =>
+            // override expired on a default (host) limiter — in-web or
+            // out-of-web, the engine's quota reverts to exactly
+            // policy(k).crawl_delay_ms, so that delay is reported
             fireLimiterChange(k, Some(web.policy(k).crawl_delay_ms))
           case (Some(_), None) =>
             // custom politeness group: reverts to per-member-host

@@ -287,9 +287,18 @@ object HttpIdentity {
 object HeaderMap {
 
   /** Case-insensitive lookup of one header; null if absent, the
-    * headers string is null, or the value is not a JSON string. */
-  def get(headers: String, lowerKey: String): String =
-    if (headers == null) null else parse(headers).getOrElse(lowerKey, null)
+    * headers string is null, or the value is not a JSON string.
+    * Early-exits at the first key match and allocates no Map — this
+    * runs up to three times per fetched row (ua/referer/encoding) on
+    * the executor hot path. */
+  def get(headers: String, lowerKey: String): String = {
+    if (headers == null) return null
+    var found: String = null
+    walk(headers) { (k, v) =>
+      if (k == lowerKey) { found = v; true } else false
+    }
+    found
+  }
 
   /** Parse the headers string into a lowercase-keyed map. Only
     * string-valued entries are kept (header values are strings by
@@ -297,6 +306,13 @@ object HeaderMap {
   def parse(headers: String): Map[String, String] = {
     if (headers == null) return Map.empty
     val out = Map.newBuilder[String, String]
+    walk(headers) { (k, v) => out += k -> v; false }
+    out.result()
+  }
+
+  /** The tokenizer: streams lowercase (key, value) string pairs to
+    * `f`; `f` returning true stops the walk (early-exit lookups). */
+  private def walk(headers: String)(f: (String, String) => Boolean): Unit = {
     val n = headers.length
     var i = 0
     def skipWs(): Unit = while (i < n && headers.charAt(i).isWhitespace) i += 1
@@ -348,14 +364,19 @@ object HeaderMap {
             if (i < n && headers.charAt(i) == '"') {
               val v = readString()
               if (v == null) done = true
-              else out += key.toLowerCase -> v
+              else if (f(key.toLowerCase, v)) return
             } else {
-              // non-string value: skip to the next top-level comma/close
+              // non-string value: skip to the next top-level
+              // comma/close. Nested STRINGS are consumed whole — a
+              // '}', ']' or ',' inside a quoted string (e.g.
+              // {"tags":["a}b"],"user-agent":"X"}) must not steer the
+              // depth counter.
               var depth = 0
               var stop = false
               while (i < n && !stop) {
                 val c = headers.charAt(i)
-                if (c == '[' || c == '{') { depth += 1; i += 1 }
+                if (c == '"') { if (readString() == null) stop = true }
+                else if (c == '[' || c == '{') { depth += 1; i += 1 }
                 else if (c == ']' || c == '}') {
                   if (depth == 0 && c == '}') stop = true
                   else { depth -= 1; i += 1 }
@@ -368,6 +389,5 @@ object HeaderMap {
         }
       } else done = true // unexpected token
     }
-    out.result()
   }
 }

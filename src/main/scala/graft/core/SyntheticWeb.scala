@@ -63,6 +63,13 @@ final case class SyntheticWeb(
     i >= 0 && i < nHosts
   }
 
+  /** Host-SHAPED: any name `policy()` resolves by index — including
+    * out-of-web hosts (crawlable via seeds; they carry a well-defined
+    * drawn policy delay the engine's quota actually uses). Custom
+    * politeness-group keys are not host-shaped; a group spans hosts
+    * and has no single delay to revert to on override expiry. */
+  def isHostShaped(name: String): Boolean = hostIndex(name) >= 0
+
   /** Deterministic per-host politeness + robots config. Unknown
     * (out-of-web) hosts get a permissive default — they fetch as 404s
     * and retire, like any other dead URL. */

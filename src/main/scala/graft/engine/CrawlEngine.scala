@@ -160,6 +160,9 @@ final class CrawlEngine(
       initRequests(reqs)
       return pending().count()
     }
+    // this append writes sketch delta blobs — same mismatch guard as
+    // run()/forgetUrls (a wrong-typed blob in the sidecar is garbage)
+    validateSeenFilter()
     awaitTail()
     val w = web; val c = cfg
     val due = nextRound
@@ -229,32 +232,46 @@ final class CrawlEngine(
     * retired rows dropped. Runs between rounds (same contract as
     * [[compactRetired]]). */
   def forgetUrls(urls: Seq[String]): Long = {
+    validateSeenFilter()
     awaitTail()
     // (bucket -> hashes) so a hash is only ever removed from the blob
     // it was inserted into — probing a FOREIGN bucket's blob could
     // strip a colliding live key's fingerprint (a false negative, the
     // forbidden outcome); same-bucket removal is safe by the cuckoo
     // deletion contract (counts conserve per (bucket, fp)).
-    val byBucket: Map[Int, Seq[Long]] = urls
+    val requested: Map[Int, Seq[Long]] = urls
       .flatMap(UrlCanonicalizer.canonicalize)
       .map { canon =>
         val host = UrlCanonicalizer.hostOf(canon)
         Hashing.hostBucket(host, cfg.numBuckets) -> Hashing.xxhash64(canon)
       }
       .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).distinct }
-    val hashes = byBucket.values.flatten.toSet
+    val hashes = requested.values.flatten.toSet
     if (hashes.isEmpty) return 0L
+    // sketch deletion is restricted to hashes ACTUALLY dropped from
+    // the retired table: a requested-but-pending URL is still live in
+    // the sketch (inserted at admission, not yet retired), and a
+    // never-inserted URL's removal could strip a colliding live key's
+    // fingerprint — both would be the forbidden false negative.
+    var droppedHashes = Set.empty[Long]
     val dropped = readPinned(RETIRED).map { df =>
-      val keep = df.filter(!$"url_hash".isInCollection(hashes))
-      val nBefore = df.count()
-      val file = ice.writeData(
-        keep.repartition(cfg.numBuckets, $"host_bucket"), RETIRED, "forget")
-      val snap = ice.commit(RETIRED, Seq(file), append = false)
-      ice.commit(FRONTIER, Nil, append = true,
-        props = ice.props(FRONTIER) + ("retired_snap" -> snap.toString))
-      carriedPending = None
-      nBefore - keep.count()
+      droppedHashes = df.filter($"url_hash".isInCollection(hashes))
+        .select($"url_hash").distinct().as[Long].collect().toSet
+      if (droppedHashes.isEmpty) 0L
+      else {
+        val keep = df.filter(!$"url_hash".isInCollection(droppedHashes))
+        val file = ice.writeData(
+          keep.repartition(cfg.numBuckets, $"host_bucket"), RETIRED, "forget")
+        val snap = ice.commit(RETIRED, Seq(file), append = false)
+        ice.commit(FRONTIER, Nil, append = true,
+          props = ice.props(FRONTIER) + ("retired_snap" -> snap.toString))
+        carriedPending = None
+        droppedHashes.size.toLong
+      }
     }.getOrElse(0L)
+    val byBucket = requested
+      .map { case (b, hs) => b -> hs.filter(droppedHashes) }
+      .filter(_._2.nonEmpty)
     if (cfg.seenFilter == "cuckoo" && dropped > 0) {
       val sk = sketch
       val bb = byBucket
@@ -873,8 +890,16 @@ final class CrawlEngine(
     * construction, probe, and merge all go through this instance, so
     * the bloom/cuckoo choice is invisible to the dedup plan. */
   private val sketch: SeenSketch =
-    if (cfg.seenFilter == "cuckoo") CuckooSketch(expectedPerBucket)
-    else BloomSketch(Bloom.sizeFor(expectedPerBucket))
+    if (cfg.seenFilter == "cuckoo") {
+      // size for the WORST bucket, not the cross-bucket average:
+      // hostBucket concentrates the whole mega-host into one bucket,
+      // and an overflowed cuckoo table degrades PERMANENTLY (sticky
+      // flag; the dropped fingerprints cannot be recovered from the
+      // blob) — unlike bloom, where undersizing only raises the fp
+      // rate. ~4 B/key of slack is the price of never degrading.
+      val megaPages = web.pagesPerHost.toLong * web.megaFactor
+      CuckooSketch(expectedPerBucket + megaPages)
+    } else BloomSketch(Bloom.sizeFor(expectedPerBucket))
 
   /** Per-bucket bloom delta + enqueued count, built with a
     * per-partition fold over host_bucket-partitioned input (each

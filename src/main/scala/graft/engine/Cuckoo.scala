@@ -20,9 +20,14 @@ import graft.core.Hashing
   * failing after MaxKicks, a merge overflowing a bucket — sets the
   * sticky overflow flag instead, after which `mightContain` answers
   * true unconditionally: the filter degrades to "route every candidate
-  * through the exact anti-join", which is correct (just slower) and
-  * heals at the next compaction into a larger table. At the sizing
-  * below (≤ 50% load) kick-failure is vanishingly rare.
+  * through the exact anti-join", which is correct, just slower — and
+  * PERMANENT for that blob's lineage (the overflow drops fingerprints,
+  * so no merge or compaction can rebuild the table; only re-deriving
+  * from the exact seen table could, which is a store rebuild, not a
+  * maintenance pass). The engine therefore sizes each bucket's table
+  * for its WORST-case population (mega-host concentration included) at
+  * ≤ 50% slot load, where kick-failure is vanishingly rare — the
+  * degraded mode is a safety net, not an operating state.
   *
   * Why offer it next to bloom at 10^10 URLs: comparable space
   * (2 B/key at fp ≈ 2·4/2^16 ≈ 0.012% vs bloom's 1.25 B/key at

@@ -122,6 +122,15 @@ class CoreSpec extends AnyFunSuite {
     // non-string values are skipped, later string entries still parse
     assert(HeaderMap.parse("""{"retry":3,"tags":["a","b"],"referer":"http://r/"}""")
       === Map("referer" -> "http://r/"))
+    // a '}' / ']' / ',' INSIDE a string nested in a skipped value is
+    // data — the depth scan must consume nested strings whole
+    assert(HeaderMap.parse("""{"tags":["a}b","c]d"],"user-agent":"Bot/2"}""")
+      === Map("user-agent" -> "Bot/2"))
+    assert(HeaderMap.parse("""{"meta":{"x":"a,b}c"},"referer":"http://r/"}""")
+      === Map("referer" -> "http://r/"))
+    // early-exit get agrees with the full parse
+    assert(HeaderMap.get("""{"tags":["a}b"],"user-agent":"Bot/2"}""",
+      "user-agent") === "Bot/2")
     // malformed input: best-effort prefix, never a throw
     assert(HeaderMap.parse("""{"user-agent":"ok","broken""") === Map("user-agent" -> "ok"))
     assert(HeaderMap.parse("not json at all") === Map.empty)

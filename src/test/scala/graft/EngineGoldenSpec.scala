@@ -389,9 +389,13 @@ class EngineGoldenSpec extends AnyFunSuite {
       def logged(): Long =
         eng.crawlLog().filter($"url_canon" === url).count()
       assert(logged() === 1L, s"[$filter] baseline")
-      // forgetting drops exactly the one retired row; a second forget
-      // of the same URL is a no-op
-      assert(eng.forgetUrls(Seq(url)) === 1L, s"[$filter] forget")
+      // forgetting drops exactly the one retired row — a never-crawled
+      // URL in the same request is ignored (and, under cuckoo, its
+      // fingerprint is NOT probed out of the blobs: sketch deletion is
+      // restricted to hashes actually dropped from the retired table);
+      // a second forget of the same URL is a no-op
+      assert(eng.forgetUrls(Seq(url, "http://h0.example/never-crawled"))
+        === 1L, s"[$filter] forget")
       assert(eng.forgetUrls(Seq(url)) === 0L, s"[$filter] re-forget")
       // the URL is now unseen: re-queueing accepts it as fresh and the
       // next run fetches it again
