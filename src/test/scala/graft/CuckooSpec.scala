@@ -57,6 +57,27 @@ class CuckooSpec extends AnyFunSuite {
     assert((a ++ b :+ 42L).forall(Cuckoo.mightContain(mixed, _)))
   }
 
+  test("property: arbitrary insert/remove interleavings never yield a false negative") {
+    import GenCheck.forAllGen
+    import org.scalacheck.Gen
+    // ops: (key, insert|remove-inserted); a removed key leaves the
+    // live set, every key in the live set must stay present
+    val opsGen = for {
+      n <- Gen.choose(50, 400)
+      keys <- Gen.listOfN(n, Gen.long)
+      removeMask <- Gen.listOfN(n, Gen.prob(0.3))
+    } yield (keys, removeMask)
+    forAllGen(opsGen, n = 60) { case (keys, removeMask) =>
+      val f = Cuckoo.sizeFor(keys.length)
+      val live = scala.collection.mutable.Set.empty[Long]
+      keys.foreach { k => Cuckoo.add(f, k); live += k }
+      keys.zip(removeMask).foreach { case (k, rm) =>
+        if (rm && live.remove(k)) Cuckoo.remove(f, k)
+      }
+      live.foreach(k => assert(Cuckoo.mightContain(f, k), s"lost $k"))
+    }
+  }
+
   test("overflow is sticky and degrades to always-true (no false negatives ever)") {
     val f = Cuckoo.sizeFor(64) // tiny table
     val ks = keys(20000, 6L)
