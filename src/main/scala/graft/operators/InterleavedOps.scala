@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Operators over the interleaved text+media document shape — the
   * engine's native row format (`graft.core.Span`: `(doc_id,
@@ -87,6 +87,20 @@ object InterleavedOps {
         .withColumn("is_dup", $"n_docs" > 1)
         .orderBy($"media_ref")
     }))
+
+  /** The q61 derivation as the engine's typed document model
+    * (`Dataset[Doc]` — `graft.core.Doc/Span`): the bridge between the
+    * analytics corpus and every engine-side utility that operates on
+    * Doc rows (SpanCodec packed storage, golden span comparators, the
+    * documents() view schema). The crawl engine PRODUCES this shape
+    * from fetched pages; this derives the same shape from the neutral
+    * corpus so both halves of the library compose. */
+  def spanizeDocs(spark: SparkSession, sfDir: String): Dataset[graft.core.Doc] = {
+    import spark.implicits._
+    queries("q61_spanize")(spark, sfDir)
+      .selectExpr("cast(doc_id as string) AS doc_id", "spans")
+      .as[graft.core.Doc]
+  }
 
   /** Shared derivation CTEs (the q61 span build), interpolated into
     * both oracles so Spark and DuckDB cannot drift. */

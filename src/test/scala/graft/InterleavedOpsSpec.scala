@@ -73,6 +73,33 @@ class InterleavedOpsSpec extends AnyFunSuite {
     assert(out.count(_.getBoolean(4)) > 0, "fixture should contain shared blobs")
   }
 
+  test("spanizeDocs bridges to the engine Doc model; SpanCodec round-trips the spans") {
+    import graft.functions.SpanCodec
+    val docs = graft.operators.InterleavedOps.spanizeDocs(spark, dir).collect()
+    assert(docs.nonEmpty)
+    assert(docs.exists(_.spans.exists(_.kind == "media")))
+    docs.foreach { d =>
+      // the derived spans satisfy the engine's Span invariants
+      d.spans.zipWithIndex.foreach { case (sp, p) =>
+        assert(sp.offset === p)
+        assert((sp.kind == "text" && sp.text != null && sp.media_ref == null) ||
+          (sp.kind == "media" && sp.text == null && sp.media_ref != null))
+      }
+      // packed-storage round trip (the engine's packedSpans write path)
+      val packed = SpanCodec.pack(d.spans)
+      val back = SpanCodec.unpackRows(packed)
+      assert(back.numElements() === d.spans.length)
+      d.spans.zipWithIndex.foreach { case (sp, p) =>
+        val row = back.getStruct(p, 4)
+        assert(row.getUTF8String(0).toString === sp.kind)
+        val payload = if (sp.kind == "text") sp.text else sp.media_ref
+        val got = if (sp.kind == "text") row.getUTF8String(1) else row.getUTF8String(2)
+        assert(got.toString === payload, s"doc ${d.doc_id} span $p")
+        assert(row.getInt(3) === p)
+      }
+    }
+  }
+
   test("q63: BM25 matches a scalar reference implementation") {
     val terms = Seq("join", "window", "scan")
     val all = docs().map { case (id, tx) => (id, tx.split(" ", -1)) }
