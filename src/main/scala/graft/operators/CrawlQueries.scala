@@ -80,6 +80,45 @@ object CrawlQueries {
           min($"ts").as("session_start"),
           max($"ts").as("session_end"))
         .orderBy($"user_id", $"session_id")
+    }),
+
+    // q68: ordered funnel progression per user (view → click →
+    // purchase, each step within 24 h of the previous — the window
+    // that separates converting users on this corpus) — the
+    // conversion analysis every event pipeline runs. ONE shuffle on
+    // user_id: the step qualifications are running-min windows over
+    // the same (user, ts, event_id) sort (Spark reuses the one
+    // exchange+sort for all three window passes), then one hash
+    // aggregate per user. A click counts only within 24 h after the
+    // user's FIRST view, a purchase only within 24 h after the first
+    // QUALIFIED click; ties break on event_id, so the frame is
+    // deterministic in both engines, and interval arithmetic is exact
+    // microseconds.
+    "q68_funnel" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val day = expr("INTERVAL 24 HOURS")
+      val x = s.read.parquet(t(dir, "events"))
+        .withColumn("t_view_run",
+          min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("qc",
+          when($"event_type" === "click" && $"ts" > $"t_view_run" &&
+            $"ts" <= $"t_view_run" + day, $"ts"))
+        .withColumn("t_click_run", min($"qc").over(w))
+        .withColumn("qp",
+          when($"event_type" === "purchase" && $"ts" > $"t_click_run" &&
+            $"ts" <= $"t_click_run" + day, $"ts"))
+      x.groupBy($"user_id")
+        .agg(
+          min(when($"event_type" === "view", $"ts")).as("t_view"),
+          min($"qc").as("t_click"),
+          min($"qp").as("t_purchase"))
+        .withColumn("step_reached",
+          when($"t_purchase".isNotNull, 3L)
+            .when($"t_click".isNotNull, 2L)
+            .when($"t_view".isNotNull, 1L).otherwise(0L))
+        .orderBy($"user_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -115,5 +154,33 @@ object CrawlQueries {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q68_funnel" ->
+      """WITH x1 AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS t_view_run
+        |  FROM events),
+        |x2 AS (SELECT *,
+        |  CASE WHEN event_type = 'click' AND ts > t_view_run
+        |    AND ts <= t_view_run + INTERVAL 24 HOUR THEN ts END AS qc
+        |  FROM x1),
+        |x3 AS (SELECT *,
+        |  min(qc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS t_click_run
+        |  FROM x2),
+        |x4 AS (SELECT *,
+        |  CASE WHEN event_type = 'purchase' AND ts > t_click_run
+        |    AND ts <= t_click_run + INTERVAL 24 HOUR THEN ts END AS qp
+        |  FROM x3)
+        |SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  min(qc) AS t_click,
+        |  min(qp) AS t_purchase,
+        |  CAST(CASE WHEN min(qp) IS NOT NULL THEN 3
+        |       WHEN min(qc) IS NOT NULL THEN 2
+        |       WHEN min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS step_reached
+        |FROM x4 GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

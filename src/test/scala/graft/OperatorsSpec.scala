@@ -14,6 +14,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q68: funnel steps equal a per-user brute-force event scan") {
+    import java.time.LocalDateTime
+    // events read as TIMESTAMP_NTZ → LocalDateTime; normalize both sides
+    def ldt(a: Any): LocalDateTime = a match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case l: LocalDateTime => l
+    }
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), ldt(r.get(2)), r.getString(3)))
+    val exp = events.groupBy(_._1).map { case (u, evs) =>
+      val ordered = evs.sortWith((a, b) =>
+        a._3.compareTo(b._3) < 0 || (a._3.compareTo(b._3) == 0 && a._2 < b._2))
+      def within24h(t: LocalDateTime, from: LocalDateTime) =
+        t.isAfter(from) && !t.isAfter(from.plusHours(24))
+      val tView = ordered.collectFirst { case e if e._4 == "view" => e._3 }
+      val tClick = tView.flatMap(v => ordered.collectFirst {
+        case e if e._4 == "click" && within24h(e._3, v) => e._3 })
+      val tPurchase = tClick.flatMap(c => ordered.collectFirst {
+        case e if e._4 == "purchase" && within24h(e._3, c) => e._3 })
+      val step: Long =
+        if (tPurchase.isDefined) 3L else if (tClick.isDefined) 2L
+        else if (tView.isDefined) 1L else 0L
+      u -> ((tView, tClick, tPurchase, step))
+    }
+    val got = SparkEntry.queries("q68_funnel")(spark, dir).collect()
+    assert(got.length === exp.size)
+    got.foreach { r =>
+      val u = r.getLong(0)
+      val (tv, tc, tp, step) = exp(u)
+      assert(Option(r.get(1)).map(ldt) === tv, s"user $u t_view")
+      assert(Option(r.get(2)).map(ldt) === tc, s"user $u t_click")
+      assert(Option(r.get(3)).map(ldt) === tp, s"user $u t_purchase")
+      assert(r.getLong(4) === step, s"user $u step")
+    }
+    // the fixture must exercise more than one funnel depth
+    assert(got.map(_.getLong(4)).distinct.length >= 2,
+      "funnel depths are degenerate at this scale")
+  }
+
   test("q57: flagged set is an LSH-gated subset of the brute-force semantic " +
     "hits; benchmark rows never appear in the output") {
     import spark.implicits._
