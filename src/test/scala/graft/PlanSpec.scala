@@ -191,6 +191,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p67.contains("Join"), s"q67 grew a join:\n${p67.take(1500)}")
   }
 
+  test("q68: funnel's window passes share ONE hash exchange; no join") {
+    val df = SparkEntry.queries("q68_funnel")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nEx === 1,
+      s"funnel should reuse one user_id exchange for both window passes and the agg, saw $nEx:\n${p.take(1500)}")
+    assert(!p.contains("Join"), s"q68 grew a join:\n${p.take(1500)}")
+  }
+
   test("q42: as-of join is one window pass, not a per-row probe join") {
     val df = SparkEntry.queries("q42_asof_join")(spark, dir)
     df.count()
