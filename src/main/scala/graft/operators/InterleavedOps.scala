@@ -32,9 +32,9 @@ object InterleavedOps {
 
   /** Chunk width (words) and the media-insertion / blob-id moduli —
     * mirrored literally in the oracle SQL below. */
-  private val ChunkWords = 8
-  private val InsertMod = 4
-  private val BlobMod = 997
+  private[operators] val ChunkWords = 8
+  private[operators] val InsertMod = 4
+  private[operators] val BlobMod = 997
 
   /** The per-chunk text-span expression (SQL fragment shared by both
     * branches of the insertion CASE). */
@@ -73,13 +73,7 @@ object InterleavedOps {
     "q62_media_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      s.read.parquet(t(dir, "documents"))
-        .selectExpr("doc_id",
-          s"cast(floor((size(split(text, ' ')) + ${ChunkWords - 1}) / $ChunkWords) as bigint) AS nch")
-        .selectExpr("doc_id",
-          s"explode(filter(sequence(0, nch - 1), i -> (doc_id * 31 + i) % $InsertMod = 0)) AS i")
-        .selectExpr("doc_id",
-          s"concat('media://blob/', cast((doc_id * 31 + i) % $BlobMod as string)) AS media_ref")
+      mediaSpans(s, dir)
         .groupBy($"media_ref")
         .agg(count(lit(1)).as("n_refs"),
           count_distinct($"doc_id").as("n_docs"),
@@ -87,6 +81,19 @@ object InterleavedOps {
         .withColumn("is_dup", $"n_docs" > 1)
         .orderBy($"media_ref")
     }))
+
+  /** The media spans `(doc_id, i, media_ref)` of the derived
+    * interleaved corpus — the single derivation shared by q62 (dedup)
+    * and q69 (decode through the multimodal seam), so the two
+    * consumers cannot drift from the q61 span build. */
+  private[operators] def mediaSpans(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+      .selectExpr("doc_id",
+        s"cast(floor((size(split(text, ' ')) + ${ChunkWords - 1}) / $ChunkWords) as bigint) AS nch")
+      .selectExpr("doc_id",
+        s"explode(filter(sequence(0, nch - 1), i -> (doc_id * 31 + i) % $InsertMod = 0)) AS i")
+      .selectExpr("doc_id", "i",
+        s"concat('media://blob/', cast((doc_id * 31 + i) % $BlobMod as string)) AS media_ref")
 
   /** The q61 derivation as the engine's typed document model
     * (`Dataset[Doc]` — `graft.core.Doc/Span`): the bridge between the
@@ -103,8 +110,8 @@ object InterleavedOps {
   }
 
   /** Shared derivation CTEs (the q61 span build), interpolated into
-    * both oracles so Spark and DuckDB cannot drift. */
-  private val SpanCtes =
+    * the q61/q62/q69 oracles so Spark and DuckDB cannot drift. */
+  private[operators] val SpanCtes =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
        |c AS (SELECT doc_id, words,
        |  CAST(floor((len(words) + ${ChunkWords - 1}) / $ChunkWords) AS BIGINT) AS nch FROM w)""".stripMargin

@@ -118,7 +118,38 @@ object MultimodalOps {
   /** Target box for the q48 resize plan. */
   val ResizeBox = 256L
 
+  final case class SpanMedia(doc_id: Long, i: Long, media_ref: String,
+      payload: Array[Byte])
+  final case class SpanMediaMeta(doc_id: Long, span_i: Long,
+      media_ref: String, n_bytes: Long, width: Long, height: Long,
+      format: String)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // q69: the multimodal seam applied to the INTERLEAVED corpus — the
+    // media spans of the q61 derivation (BASELINE.json's input_hint
+    // shape) decoded per partition through the same Decoder lifecycle
+    // as q32. Payload = the blob's deterministic bytes (md5 hex of the
+    // ref — the sandbox stand-in for fetched media bytes), so DuckDB
+    // recomputes the stub's outputs with ascii()/substr arithmetic.
+    // One scan + per-row lambda + mapPartitions decode, zero shuffle:
+    // at 100 TB the media bytes stream through the codec exactly once,
+    // co-partitioned with their documents.
+    "q69_span_media_decode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = InterleavedOps.mediaSpans(s, dir)
+        .select($"doc_id", $"i", $"media_ref",
+          encode(md5($"media_ref"), "UTF-8").as("payload"))
+        .as[SpanMedia]
+      media.mapPartitions { it =>
+        Decoder.decodePartition(it, () => new StubDecoder) { (dec, m) =>
+          val meta = dec.decode(m.payload)
+          SpanMediaMeta(m.doc_id, m.i, m.media_ref, meta.n_bytes,
+            meta.width, meta.height, meta.format)
+        }
+      }.toDF().orderBy($"doc_id", $"span_i")
+    }),
+
     // binary payload + batch decode to typed metadata through the
     // per-partition Decoder seam.
     "q32_media_decode" -> ((s: SparkSession, dir: String) => {
@@ -185,6 +216,19 @@ object MultimodalOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q69_span_media_decode" ->
+      s"""WITH ${InterleavedOps.SpanCtes},
+         |m AS (SELECT doc_id, i,
+         |  'media://blob/' || CAST((doc_id * 31 + i) % ${InterleavedOps.BlobMod} AS VARCHAR) AS media_ref
+         |      FROM (SELECT doc_id, unnest(range(0, nch)) AS i FROM c)
+         |      WHERE (doc_id * 31 + i) % ${InterleavedOps.InsertMod} = 0)
+         |SELECT doc_id, i AS span_i, media_ref,
+         |  CAST(32 AS BIGINT) AS n_bytes,
+         |  CAST((ascii(substr(md5(media_ref), 1, 1)) % 64) * 16 + 64 AS BIGINT) AS width,
+         |  CAST((ascii(substr(md5(media_ref), 2, 1)) % 36) * 16 + 64 AS BIGINT) AS height,
+         |  CASE WHEN ascii(substr(md5(media_ref), 1, 1)) % 2 = 0
+         |       THEN 'fake_jpeg' ELSE 'fake_png' END AS format
+         |FROM m ORDER BY doc_id, span_i""".stripMargin,
     // text is ascii, so utf-8 payload bytes == character codes.
     "q32_media_decode" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
