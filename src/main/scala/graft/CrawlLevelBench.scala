@@ -196,17 +196,22 @@ object CrawlLevelBench {
     val warmWeb = SyntheticWeb(nHosts = 400, pagesPerHost = 80, megaFactor = 4,
       spanBase = if (lean) 2 else 40, spanRange = if (lean) 4 else 30,
       wordBase = if (lean) 3 else 8, wordRange = if (lean) 4 else 10)
+    // SPARK_GRAFT_SEEN_FILTER=cuckoo benches the alternative seen
+    // sketch on the identical protocol (A/B lever; default bloom keeps
+    // round-over-round comparability)
+    val seen = sys.env.getOrElse("SPARK_GRAFT_SEEN_FILTER", "bloom")
     // warmup must use the SAME config knobs that shape codegen/plans
     // (packedSpans schema, retention) so the measured rounds hit the
     // generated-code cache instead of recompiling per stage
     runCrawl(spark, warmWeb,
       CrawlConfig(numBuckets = 64, roundMs = 5000L, maxRounds = 2,
-        retainSnapshots = Some(2), packedSpans = true), seeds = 20000)
+        retainSnapshots = Some(2), packedSpans = true, seenFilter = seen),
+      seeds = 20000)
     (1 to reps).map { _ =>
       summary.reset()
       val (tput, wall) = runCrawl(spark, if (lean) leanWeb else measuredWeb,
         CrawlConfig(numBuckets = 64, roundMs = roundMs, maxRounds = rounds,
-          retainSnapshots = Some(2), packedSpans = true),
+          retainSnapshots = Some(2), packedSpans = true, seenFilter = seen),
         seeds = seeds)
       (tput, wall, summary.json)
     }.maxBy(_._1)
