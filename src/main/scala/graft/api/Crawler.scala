@@ -28,6 +28,12 @@ import graft.engine.CrawlEngine
   */
 final case class CrawlerOptions(
     maxConnections: Option[Int] = None,
+    // node-crawler's maxConnections is enforced PER rate limiter (each
+    // limiter is its own bottleneck cluster): this is that ceiling,
+    // capping fetches per (round, limiter) UNDER the global
+    // maxConnections cap above. Runtime per-limiter values via
+    // Crawler.setLimiterProperty(id, "maxConnections", n).
+    perLimiterMaxConnections: Option[Int] = None,
     rateLimitMs: Long = 1000L,
     retries: Int = 2,
     maxRounds: Int = 64,
@@ -111,12 +117,15 @@ final class Crawler(
     stateDir: String,
     options: CrawlerOptions = CrawlerOptions()) {
 
-  private def mkEngine(rateLimits: Map[String, Long]): CrawlEngine =
+  private def mkEngine(rateLimits: Map[String, Long],
+      maxConns: Map[String, Int]): CrawlEngine =
     new CrawlEngine(spark, web,
       CrawlConfig(
         numBuckets = options.numBuckets,
         roundMs = options.rateLimitMs,
         maxPerRound = options.maxConnections,
+        maxConnectionsPerLimiter = options.perLimiterMaxConnections,
+        maxConnectionsOverrides = maxConns,
         maxRounds = options.maxRounds,
         maxRetries = options.retries,
         parseHtml = options.parseHtml,
@@ -135,13 +144,17 @@ final class Crawler(
       stateDir)
 
   private var currentRateLimits = options.rateLimits
-  private var eng = mkEngine(currentRateLimits)
+  private var currentMaxConnections = Map.empty[String, Int]
+  private var eng = mkEngine(currentRateLimits, currentMaxConnections)
   private var engDirty = false
 
   /** The underlying engine (rebuilt lazily when limiter properties
     * change — crawl state lives on disk, so a rebuilt engine resumes). */
   def engine: CrawlEngine = {
-    if (engDirty) { eng = mkEngine(currentRateLimits); engDirty = false }
+    if (engDirty) {
+      eng = mkEngine(currentRateLimits, currentMaxConnections)
+      engDirty = false
+    }
     eng
   }
 
@@ -168,6 +181,24 @@ final class Crawler(
     engDirty = true
     if (changed) fireLimiterChange(limiter, Some(rateLimitMs))
     this
+  }
+
+  /** The reference's full `setLimiterProperty(id, property, value)`
+    * signature: `"rateLimit"` routes to the delay override above;
+    * `"maxConnections"` sets the limiter's concurrency ceiling
+    * (fetches per round; see [[CrawlerOptions.perLimiterMaxConnections]]).
+    * `limiterChange` events carry DELAYS only, so a maxConnections
+    * change fires none (it is a ceiling, not a rate). */
+  def setLimiterProperty(limiter: String, property: String,
+      value: Long): this.type = property match {
+    case "rateLimit" => setLimiterProperty(limiter, value)
+    case "maxConnections" =>
+      require(value >= 1, s"maxConnections must be >= 1, got $value")
+      currentMaxConnections += (limiter -> value.toInt)
+      engDirty = true
+      this
+    case other =>
+      throw new IllegalArgumentException(s"unknown limiter property: $other")
   }
 
   private val buffered = mutable.ListBuffer.empty[SeedRequest]

@@ -174,7 +174,15 @@ case class CrawlConfig(
     cookieJar: Boolean = false,
     // proxy pool, rotated per request by the same ordinal; transport
     // identity only — recorded on the attempt row, no content effect.
-    proxies: Seq[String] = Nil) {
+    proxies: Seq[String] = Nil,
+    // node-crawler `maxConnections` as its true PER-LIMITER concurrency
+    // ceiling [PK:high] (each limiter cluster caps concurrent tasks;
+    // the BSP analog caps fetches per (round, limiter), layered UNDER
+    // the global maxPerRound cap). None = uncapped.
+    maxConnectionsPerLimiter: Option[Int] = None,
+    // runtime per-limiter ceilings (Crawler.setLimiterProperty(id,
+    // "maxConnections", n)); an entry beats maxConnectionsPerLimiter.
+    maxConnectionsOverrides: Map[String, Int] = Map.empty) {
 
   /** Effective per-round politeness quota for a limiter key: a runtime
     * rate-limit override beats the policy's crawl delay; same formula
@@ -195,9 +203,24 @@ case class CrawlConfig(
       case Some(f) => rateLimitOverrides ++ f(r)
     }
 
+  /** node-crawler's per-LIMITER `maxConnections` (each rate limiter is
+    * a bottleneck cluster with its own concurrency ceiling [PK:high])
+    * applied to a rate quota — the BSP analog caps fetches per
+    * (round, limiter). Single-sourced for engine (HostQuotaExpr) and
+    * simulator; the GLOBAL `maxPerRound` cap is a separate, later
+    * stage (W2). A floor of 1 keeps every limiter live (a 0 cap would
+    * starve the frontier forever — the reference's bottleneck also
+    * rejects maxConnections < 1). */
+  def capConnections(limiterKey: String, rateQuota: Int): Int = {
+    val cap = maxConnectionsOverrides.get(limiterKey)
+      .orElse(maxConnectionsPerLimiter).getOrElse(Int.MaxValue)
+    math.min(rateQuota, math.max(1, cap))
+  }
+
   /** Round-aware [[quotaFor]] — the form both schedulers use. */
   def quotaForAt(limiterKey: String, policyDelayMs: => Long, r: Long): Int =
-    quotaOfDelay(overridesAt(r).getOrElse(limiterKey, policyDelayMs))
+    capConnections(limiterKey,
+      quotaOfDelay(overridesAt(r).getOrElse(limiterKey, policyDelayMs)))
 }
 
 /** Result of fetching+extracting one page (shared shape between engine

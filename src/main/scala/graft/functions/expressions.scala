@@ -72,7 +72,8 @@ case class HostQuotaExpr(child: Expression, web: graft.core.SyntheticWeb,
   override def dataType: DataType = IntegerType
   override def nullSafeEval(h: Any): Any = {
     val key = h.asInstanceOf[UTF8String].toString
-    cfg.quotaOfDelay(effOverrides.getOrElse(key, web.policy(key).crawl_delay_ms))
+    cfg.capConnections(key,
+      cfg.quotaOfDelay(effOverrides.getOrElse(key, web.policy(key).crawl_delay_ms)))
   }
   override protected def withNewChildInternal(c: Expression): HostQuotaExpr =
     copy(child = c)

@@ -86,6 +86,33 @@ class ApiSpec extends AnyFunSuite {
       s"throttle ignored after resume: $h0max")
   }
 
+  test("Crawler: setLimiterProperty(id, 'maxConnections', n) caps a limiter; " +
+    "unknown properties are rejected") {
+    import spark.implicits._
+    val web = SyntheticWeb(nHosts = 3, pagesPerHost = 10)
+    val dir = Files.createTempDirectory("graft-api-maxconn").toString
+    val crawler = new Crawler(spark, web, dir,
+      CrawlerOptions(rateLimitMs = 4000, maxRounds = 8, numBuckets = 4))
+    crawler.setLimiterProperty(web.hostName(0), "maxConnections", 1L)
+    crawler.queue(web.seedUrls(3).map(SeedRequest(_))).run()
+    val h0max = crawler.engine.crawlLog()
+      .filter($"url_canon".contains(web.hostName(0)))
+      .groupBy($"round").count()
+      .agg(org.apache.spark.sql.functions.max($"count")).head()
+    assert(!h0max.isNullAt(0) && h0max.getLong(0) === 1L,
+      s"ceiling not enforced: $h0max")
+    // another host keeps its full rate quota (> 1 at 4000ms rounds)
+    val h1max = crawler.engine.crawlLog()
+      .filter($"url_canon".contains(web.hostName(1)))
+      .groupBy($"round").count()
+      .agg(org.apache.spark.sql.functions.max($"count")).head()
+    assert(!h1max.isNullAt(0) && h1max.getLong(0) > 1L,
+      s"uncapped host unexpectedly capped: $h1max")
+    intercept[IllegalArgumentException] {
+      crawler.setLimiterProperty("x", "bogusProperty", 1L)
+    }
+  }
+
   test("Crawler: direct() fetches immediately without touching crawl state") {
     val web = SyntheticWeb(nHosts = 3, pagesPerHost = 4)
     val dir = Files.createTempDirectory("graft-api4").toString

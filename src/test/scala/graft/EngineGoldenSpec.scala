@@ -495,6 +495,31 @@ class EngineGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("golden equality with a per-limiter maxConnections ceiling; the cap binds") {
+    import spark.implicits._
+    val web = SyntheticWeb(nHosts = 6, pagesPerHost = 8, megaFactor = 3)
+    // roundMs 4000 over 50-1000ms delays → rate quotas 4-80: the
+    // ceiling of 2 (4 for h0) is what actually limits admission
+    val cfg = CrawlConfig(numBuckets = 8, roundMs = 4000, maxRounds = 8,
+      maxConnectionsPerLimiter = Some(2),
+      maxConnectionsOverrides = Map("h0.example" -> 4))
+    val (sim, eng, _) = runBoth(web, 12, cfg)
+    assertGolden(sim, eng)
+    val perRoundHost = eng.crawlLog()
+      .select($"round", $"url_canon")
+      .as[(Long, String)].collect()
+      .groupBy { case (r, u) => (r, graft.core.UrlCanonicalizer.hostOf(u)) }
+      .view.mapValues(_.length)
+    var capBound = false
+    perRoundHost.foreach { case ((r, host), n) =>
+      val cap = if (host == "h0.example") 4 else 2
+      assert(n <= cap, s"round $r host $host fetched $n > ceiling $cap")
+      val rateQuota = web.policy(host).quota(cfg.roundMs)
+      if (n == cap && rateQuota > cap) capBound = true
+    }
+    assert(capBound, "fixture never exercised the ceiling below the rate quota")
+  }
+
   test("resume works under snapshot GC (retainSnapshots=1)") {
     val web = SyntheticWeb(nHosts = 4, pagesPerHost = 5, megaFactor = 2)
     val cfg = CrawlConfig(numBuckets = 4, roundMs = 1000, maxRounds = 2,
