@@ -194,7 +194,10 @@ final class Crawler(
     case "rateLimit" => setLimiterProperty(limiter, value)
     case "maxConnections" =>
       require(value >= 1, s"maxConnections must be >= 1, got $value")
-      currentMaxConnections += (limiter -> value.toInt)
+      // clamp, don't truncate: a Long above Int.MaxValue means
+      // "effectively unlimited", not a wrapped cap of 1
+      currentMaxConnections +=
+        (limiter -> math.min(value, Int.MaxValue.toLong).toInt)
       engDirty = true
       this
     case other =>

@@ -188,7 +188,8 @@ case class CrawlConfig(
     * rate-limit override beats the policy's crawl delay; same formula
     * as [[HostPolicy.quota]], shared by engine and simulator. */
   def quotaFor(limiterKey: String, policyDelayMs: => Long): Int =
-    quotaOfDelay(rateLimitOverrides.getOrElse(limiterKey, policyDelayMs))
+    capConnections(limiterKey,
+      quotaOfDelay(rateLimitOverrides.getOrElse(limiterKey, policyDelayMs)))
 
   /** THE quota formula for a resolved crawl delay — single-sourced for
     * engine (HostQuotaExpr) and simulator. */

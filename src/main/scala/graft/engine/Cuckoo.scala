@@ -97,12 +97,23 @@ object Cuckoo {
     val b1 = bucket & (nb - 1)
     val b2 = altBucket(b1, fp, nb)
     if (tryInsertAt(blob, b1, fp) || tryInsertAt(blob, b2, fp)) return
-    // kick loop: evict a deterministic victim (rotating slot choice)
+    // kick loop: evict a deterministic victim (rotating slot choice).
+    // Never evict a copy of the fingerprint being placed when a
+    // different victim exists — swapping fp for fp is a no-op that
+    // ping-pongs between the pair's two buckets until MaxKicks when
+    // several copies of one fingerprint saturate them (duplicate keys,
+    // or a 16-bit fp-collision cluster), overflowing a near-empty
+    // table. With the skip, overflow needs the pair genuinely full.
     var curB = b1
     var curFp = fp
     var kick = 0
     while (kick < MaxKicks) {
-      val victim = kick % SlotsPerBucket
+      var victim = kick % SlotsPerBucket
+      var probed = 0
+      while (slot(blob, curB, victim) == curFp && probed < SlotsPerBucket) {
+        victim = (victim + 1) % SlotsPerBucket
+        probed += 1
+      }
       val evicted = slot(blob, curB, victim)
       setSlot(blob, curB, victim, curFp)
       curFp = evicted

@@ -502,7 +502,7 @@ class EngineGoldenSpec extends AnyFunSuite {
     // ceiling of 2 (4 for h0) is what actually limits admission
     val cfg = CrawlConfig(numBuckets = 8, roundMs = 4000, maxRounds = 8,
       maxConnectionsPerLimiter = Some(2),
-      maxConnectionsOverrides = Map("h0.example" -> 4))
+      maxConnectionsOverrides = Map(web.hostName(0) -> 4))
     val (sim, eng, _) = runBoth(web, 12, cfg)
     assertGolden(sim, eng)
     val perRoundHost = eng.crawlLog()
@@ -511,13 +511,19 @@ class EngineGoldenSpec extends AnyFunSuite {
       .groupBy { case (r, u) => (r, graft.core.UrlCanonicalizer.hostOf(u)) }
       .view.mapValues(_.length)
     var capBound = false
+    var overrideUsed = false
     perRoundHost.foreach { case ((r, host), n) =>
-      val cap = if (host == "h0.example") 4 else 2
+      val cap = if (host == web.hostName(0)) 4 else 2
       assert(n <= cap, s"round $r host $host fetched $n > ceiling $cap")
       val rateQuota = web.policy(host).quota(cfg.roundMs)
       if (n == cap && rateQuota > cap) capBound = true
+      // the per-limiter override BEATS the blanket ceiling: the
+      // mega-host must exceed 2 in some round (its rate quota is 80)
+      if (host == web.hostName(0) && n > 2) overrideUsed = true
     }
     assert(capBound, "fixture never exercised the ceiling below the rate quota")
+    assert(overrideUsed,
+      "fixture never exercised the override precedence over the blanket cap")
   }
 
   test("resume works under snapshot GC (retainSnapshots=1)") {
