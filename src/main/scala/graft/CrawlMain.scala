@@ -49,8 +49,12 @@ object CrawlMain {
 
     val web = SyntheticWeb(nHosts = nHosts, pagesPerHost = pagesPerHost,
       megaFactor = megaFactor)
+    // SPARK_GRAFT_SEEN_FILTER=cuckoo drives the alternative seen
+    // sketch end to end (the store is typed at init; resume with the
+    // matching value)
     val cfg = CrawlConfig(numBuckets = numBuckets, roundMs = roundMs,
-      maxRounds = maxRounds)
+      maxRounds = maxRounds,
+      seenFilter = sys.env.getOrElse("SPARK_GRAFT_SEEN_FILTER", "bloom"))
     val eng = new CrawlEngine(spark, web, cfg, stateDir)
     if (eng.ice.currentSnapshotId("frontier").isEmpty) {
       println(s"[crawl] seeding $nSeeds URLs into $stateDir")
