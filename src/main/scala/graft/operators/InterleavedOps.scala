@@ -41,29 +41,43 @@ object InterleavedOps {
   private val TextSpanExpr =
     s"named_struct('kind', 'text', 'text', array_join(slice(words, cast(i * $ChunkWords + 1 as int), $ChunkWords), ' '), 'media_ref', cast(null as string))"
 
+  /** The interleaved span ARRAYS — the exact (doc_id, spans
+    * array<struct<kind,text,media_ref,offset:int>>) row format the
+    * frontier engine writes — plus span-composition telemetry
+    * (span/media counts a corpus dashboard reads). This is the
+    * library-facing shape (`spanizeDocs` types it); the q61 gate query
+    * below is its scalar explosion, because the driver's hash-compare
+    * requires scalar cells. */
+  def spanArrays(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(t(dir, "documents"))
+      .selectExpr("doc_id", "split(text, ' ') AS words")
+      .selectExpr("doc_id", "words",
+        s"cast(floor((size(words) + ${ChunkWords - 1}) / $ChunkWords) as bigint) AS nch")
+      .selectExpr("doc_id",
+        s"""flatten(transform(sequence(0, nch - 1), i ->
+           |  CASE WHEN (doc_id * 31 + i) % $InsertMod = 0 THEN
+           |    array($TextSpanExpr,
+           |      named_struct('kind', 'media', 'text', cast(null as string),
+           |        'media_ref', concat('media://blob/', cast((doc_id * 31 + i) % $BlobMod as string))))
+           |  ELSE array($TextSpanExpr) END)) AS flat""".stripMargin)
+      .selectExpr("doc_id",
+        "transform(flat, (x, p) -> named_struct('kind', x.kind, 'text', x.text, 'media_ref', x.media_ref, 'offset', cast(p as int))) AS spans",
+        "cast(size(flat) as bigint) AS n_spans",
+        "cast(size(filter(flat, x -> x.kind = 'media')) as bigint) AS n_media")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // q61: materialize the interleaved span arrays — the exact
-    // (doc_id, spans array<struct<kind,text,media_ref,offset:int>>)
-    // row format the frontier engine writes — plus span-composition
-    // telemetry (span/media counts a corpus dashboard reads).
+    // q61: the interleaved span derivation, gate-shaped — ONE ROW PER
+    // SPAN (doc_id, offset, kind, text, media_ref), the scalar
+    // explosion of `spanArrays`. Scalar cells keep the driver's
+    // pandas sort/hash compare well-defined (array-of-struct cells are
+    // unhashable there — round-6 red). Still one scan + per-row
+    // lambdas + one generator: zero shuffle, embarrassingly parallel.
     "q61_spanize" -> ((s: SparkSession, dir: String) => {
-      s.read.parquet(t(dir, "documents"))
-        .selectExpr("doc_id", "split(text, ' ') AS words")
-        .selectExpr("doc_id", "words",
-          s"cast(floor((size(words) + ${ChunkWords - 1}) / $ChunkWords) as bigint) AS nch")
-        .selectExpr("doc_id",
-          s"""flatten(transform(sequence(0, nch - 1), i ->
-             |  CASE WHEN (doc_id * 31 + i) % $InsertMod = 0 THEN
-             |    array($TextSpanExpr,
-             |      named_struct('kind', 'media', 'text', cast(null as string),
-             |        'media_ref', concat('media://blob/', cast((doc_id * 31 + i) % $BlobMod as string))))
-             |  ELSE array($TextSpanExpr) END)) AS flat""".stripMargin)
-        .selectExpr("doc_id",
-          "transform(flat, (x, p) -> named_struct('kind', x.kind, 'text', x.text, 'media_ref', x.media_ref, 'offset', cast(p as int))) AS spans",
-          "cast(size(flat) as bigint) AS n_spans",
-          "cast(size(filter(flat, x -> x.kind = 'media')) as bigint) AS n_media")
-        .orderBy("doc_id")
+      spanArrays(s, dir)
+        .selectExpr("doc_id", "inline(spans)")
+        .selectExpr("doc_id", "offset", "kind", "text", "media_ref")
+        .orderBy("doc_id", "offset")
     }),
 
     // q62: exact media dedup across the interleaved corpus — group the
@@ -104,7 +118,7 @@ object InterleavedOps {
     * corpus so both halves of the library compose. */
   def spanizeDocs(spark: SparkSession, sfDir: String): Dataset[graft.core.Doc] = {
     import spark.implicits._
-    queries("q61_spanize")(spark, sfDir)
+    spanArrays(spark, sfDir)
       .selectExpr("cast(doc_id as string) AS doc_id", "spans")
       .as[graft.core.Doc]
   }
@@ -128,14 +142,12 @@ object InterleavedOps {
          |       struct_pack(kind := 'media', "text" := CAST(NULL AS VARCHAR),
          |         media_ref := 'media://blob/' || CAST((doc_id * 31 + i) % $BlobMod AS VARCHAR))]
          |    ELSE [$OracleTextSpan] END)) AS flat
-         |  FROM c)
-         |SELECT doc_id,
-         |  list_transform(range(0, len(flat)), p -> struct_pack(
-         |    kind := flat[p+1].kind, "text" := flat[p+1].text,
-         |    media_ref := flat[p+1].media_ref, "offset" := CAST(p AS INTEGER))) AS spans,
-         |  CAST(len(flat) AS BIGINT) AS n_spans,
-         |  CAST(len(list_filter(flat, x -> x.kind = 'media')) AS BIGINT) AS n_media
-         |FROM f ORDER BY doc_id""".stripMargin,
+         |  FROM c),
+         |e AS (SELECT doc_id, flat, unnest(range(0, len(flat))) AS p FROM f)
+         |SELECT doc_id, CAST(p AS INTEGER) AS "offset",
+         |  flat[p+1].kind AS kind, flat[p+1].text AS "text",
+         |  flat[p+1].media_ref AS media_ref
+         |FROM e ORDER BY doc_id, "offset"""".stripMargin,
     "q62_media_dedup" ->
       s"""WITH $SpanCtes,
          |m AS (SELECT doc_id, 'media://blob/' || CAST((doc_id * 31 + i) % $BlobMod AS VARCHAR) AS media_ref

@@ -62,6 +62,64 @@ object PipelineOps {
     "fr" -> (0.75 * (1L << 32)).toLong,
     "zh" -> (0.75 * (1L << 32)).toLong)
 
+  /** q58 shared derivation: the per-(shard, 4096-token window) packed
+    * SEGMENTS `(shard, window_id, doc_id, off, len)` of q54's packing —
+    * a document that crosses a window boundary splits into one segment
+    * per window it touches (off = its first token's position within
+    * the window). Scale shape: q54's per-shard prefix sum (one shuffle
+    * on the shard key), then a per-row explode over the 1–2 windows a
+    * document touches (bounded by ceil(n_tokens/4096)+1 — no row
+    * amplification beyond the data's own token count). /4096 stays the
+    * q54 power-of-two exact division in both engines. */
+  private def packSegments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = s.read.parquet(t(dir, "documents"))
+      .select($"doc_id", tokenCountCol.as("n_tokens"), shardKey.as("skey"))
+      .withColumn("shard", ($"skey" % 8).cast("int"))
+    val w = Window.partitionBy($"shard").orderBy($"skey", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val placed = d.withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"shard", $"n_tokens",
+        ($"cum" - $"n_tokens").as("start"))
+    placed
+      .select($"shard", $"doc_id", $"start", $"n_tokens",
+        explode(sequence(
+          floor($"start" / lit(4096L)).cast("long"),
+          floor(($"start" + $"n_tokens" - 1) / lit(4096L)).cast("long")))
+          .as("window_id"))
+      .select($"shard", $"window_id", $"doc_id",
+        (greatest($"start", $"window_id" * 4096L) - $"window_id" * 4096L)
+          .cast("long").as("off"),
+        (least($"start" + $"n_tokens", ($"window_id" + 1L) * 4096L)
+          - greatest($"start", $"window_id" * 4096L)).cast("long").as("len"))
+  }
+
+  /** The trainer-facing ARRAY-shaped packing manifest: per (shard,
+    * window) the ordered `segments array<struct<doc_id,off,len>>`
+    * composition plus fill telemetry — every window sums to exactly
+    * 4096 filled tokens except each shard's last. One hash aggregate
+    * on the compact (shard, window_id) key over `packSegments`; the
+    * segment arrays are built window-local (≤ window size), so no
+    * unbounded agg state. The q58 gate query is this manifest's scalar
+    * explosion (the driver compare needs scalar cells). */
+  def packManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    packSegments(s, dir).groupBy($"shard", $"window_id")
+      .agg(
+        // sort key first so sort_array orders by in-window offset,
+        // then reshape to the advertised (doc_id, off, len) field
+        // order — deterministic regardless of agg arrival order
+        transform(
+          sort_array(collect_list(struct($"off", $"doc_id", $"len"))),
+          x => struct(x.getField("doc_id").as("doc_id"),
+            x.getField("off").as("off"), x.getField("len").as("len")))
+          .as("segments"),
+        count(lit(1)).as("n_segments"),
+        sum($"len").as("filled_tokens"))
+      .orderBy($"shard", $"window_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // near-dup clustering: connected components over the q24 LSH
     // candidate-pair graph → one row per document with its cluster id
@@ -572,38 +630,22 @@ object PipelineOps {
     "q58_pack_manifest" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val d = s.read.parquet(t(dir, "documents"))
-        .select($"doc_id", tokenCountCol.as("n_tokens"), shardKey.as("skey"))
-        .withColumn("shard", ($"skey" % 8).cast("int"))
-      val w = Window.partitionBy($"shard").orderBy($"skey", $"doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val placed = d.withColumn("cum", sum($"n_tokens").over(w))
-        .select($"doc_id", $"shard", $"n_tokens",
-          ($"cum" - $"n_tokens").as("start"))
-      val segs = placed
-        .select($"shard", $"doc_id", $"start", $"n_tokens",
-          explode(sequence(
-            floor($"start" / lit(4096L)).cast("long"),
-            floor(($"start" + $"n_tokens" - 1) / lit(4096L)).cast("long")))
-            .as("window_id"))
-        .select($"shard", $"window_id", $"doc_id",
-          (greatest($"start", $"window_id" * 4096L) - $"window_id" * 4096L)
-            .cast("long").as("off"),
-          (least($"start" + $"n_tokens", ($"window_id" + 1L) * 4096L)
-            - greatest($"start", $"window_id" * 4096L)).cast("long").as("len"))
-      segs.groupBy($"shard", $"window_id")
-        .agg(
-          // sort key first so sort_array orders by in-window offset,
-          // then reshape to the advertised (doc_id, off, len) field
-          // order — deterministic regardless of agg arrival order
-          transform(
-            sort_array(collect_list(struct($"off", $"doc_id", $"len"))),
-            x => struct(x.getField("doc_id").as("doc_id"),
-              x.getField("off").as("off"), x.getField("len").as("len")))
-            .as("segments"),
-          count(lit(1)).as("n_segments"),
-          sum($"len").as("filled_tokens"))
-        .orderBy($"shard", $"window_id")
+      // gate shape: ONE ROW PER SEGMENT (shard, window_id, seg_idx,
+      // doc_id, off, len) + the per-window filled_tokens repeated per
+      // segment — scalar cells only, because the driver's pandas
+      // sort/hash compare cannot factorize array-of-struct cells
+      // (round-6 red). Both window functions partition on the same
+      // (shard, window_id) key, so they share ONE exchange
+      // (PlanSpec-asserted); the array-shaped manifest stays available
+      // as `packManifest` for trainer consumers.
+      val byWin = Window.partitionBy($"shard", $"window_id")
+      packSegments(s, dir)
+        .withColumn("seg_idx",
+          row_number().over(byWin.orderBy($"off", $"doc_id")).cast("long"))
+        .withColumn("filled_tokens", sum($"len").over(byWin))
+        .select($"shard", $"window_id", $"seg_idx", $"doc_id", $"off",
+          $"len", $"filled_tokens")
+        .orderBy($"shard", $"window_id", $"seg_idx")
     }),
 
     // exact per-language quantiles of the whitespace token count:
@@ -859,12 +901,12 @@ object PipelineOps {
         |      - GREATEST(start, window_id * 4096) AS len
         |  FROM segs)
         |SELECT shard, window_id,
-        |  list(struct_pack(doc_id := doc_id, off := off, len := len)
-        |    ORDER BY off) AS segments,
-        |  CAST(count(*) AS BIGINT) AS n_segments,
-        |  CAST(sum(len) AS BIGINT) AS filled_tokens
-        |FROM seg2 GROUP BY shard, window_id
-        |ORDER BY shard, window_id""".stripMargin,
+        |  CAST(row_number() OVER (PARTITION BY shard, window_id
+        |    ORDER BY off, doc_id) AS BIGINT) AS seg_idx,
+        |  doc_id, off, len,
+        |  CAST(sum(len) OVER (PARTITION BY shard, window_id) AS BIGINT) AS filled_tokens
+        |FROM seg2
+        |ORDER BY shard, window_id, seg_idx""".stripMargin,
     "q65_curriculum" ->
       """WITH m AS (SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,

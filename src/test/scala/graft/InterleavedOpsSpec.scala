@@ -32,8 +32,9 @@ class InterleavedOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q61: span arrays equal the row-local reference (kind/text/media_ref/offset)") {
-    val out = SparkEntry.queries("q61_spanize")(spark, dir).collect()
+  test("q61 (spanArrays): span arrays equal the row-local reference " +
+    "(kind/text/media_ref/offset) with span/media telemetry") {
+    val out = graft.operators.InterleavedOps.spanArrays(spark, dir).collect()
     val ref = docs().map { case (id, tx) => id -> refSpans(id, tx) }.toMap
     assert(out.length === ref.size)
     out.foreach { r =>
@@ -50,6 +51,25 @@ class InterleavedOpsSpec extends AnyFunSuite {
       }
       assert(r.getLong(2) === exp.length.toLong)
       assert(r.getLong(3) === exp.count(_._1 == "media").toLong)
+    }
+  }
+
+  test("q61 gate query: one scalar row per span, the exact explosion of " +
+    "the span arrays") {
+    import spark.implicits._
+    val flat = SparkEntry.queries("q61_spanize")(spark, dir)
+      .as[(Long, Int, String, Option[String], Option[String])].collect()
+    val ref = docs().map { case (id, tx) => id -> refSpans(id, tx) }.toMap
+    assert(flat.length === ref.values.map(_.size).sum)
+    flat.groupBy(_._1).foreach { case (id, rows) =>
+      val exp = ref(id)
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq === exp.indices.toSeq, s"doc $id offsets")
+      ordered.zip(exp).foreach { case ((_, _, k, tx, mr), (ek, etx, emr)) =>
+        assert(k === ek, s"doc $id kind")
+        assert(tx === Option(etx), s"doc $id text")
+        assert(mr === Option(emr), s"doc $id media_ref")
+      }
     }
   }
 

@@ -324,7 +324,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     // sf0.1: shards span ~9 windows each, so boundary splits are real
     val dir1 = "/root/testdata/sf0.1"
     import PipelineOpsSpec.Seg
-    val rows = SparkEntry.queries("q58_pack_manifest")(spark, dir1)
+    val rows = graft.operators.PipelineOps.packManifest(spark, dir1)
       .as[(Int, Long, Seq[Seg], Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.groupBy(_._1).foreach { case (shard, wins) =>
@@ -358,6 +358,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     segsByDoc.foreach { case (id, segs) =>
       assert(segs.map(_.len).sum === q54(id),
         s"doc $id segment lengths do not sum to its token count")
+    }
+  }
+
+  test("q58 gate query: the flat per-segment rows are exactly the exploded " +
+    "manifest — seg_idx orders by offset, filled_tokens repeats per window") {
+    import spark.implicits._
+    import PipelineOpsSpec.Seg
+    val manifest = graft.operators.PipelineOps.packManifest(spark, dir01)
+      .as[(Int, Long, Seq[Seg], Long, Long)].collect()
+      .map { case (sh, win, segs, _, filled) => (sh, win) -> (segs, filled) }
+      .toMap
+    val flat = SparkEntry.queries("q58_pack_manifest")(spark, dir01)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].collect()
+    assert(flat.length === manifest.values.map(_._1.size).sum)
+    flat.groupBy(r => (r._1, r._2)).foreach { case (key, rows) =>
+      val (segs, filled) = manifest(key)
+      val ordered = rows.sortBy(_._3)
+      assert(ordered.map(_._3).toSeq === (1L to segs.size).toSeq,
+        s"window $key seg_idx not 1..n")
+      ordered.zip(segs).foreach { case ((_, _, _, d, off, len, f), sg) =>
+        assert((d, off, len) === ((sg.doc_id, sg.off, sg.len)), s"window $key")
+        assert(f === filled, s"window $key filled_tokens")
+      }
     }
   }
 
