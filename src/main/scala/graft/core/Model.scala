@@ -326,12 +326,18 @@ object HeaderMap {
 
   /** Parse the headers string into a lowercase-keyed map. Only
     * string-valued entries are kept (header values are strings by
-    * convention; non-string values are skipped, not errors). */
+    * convention; non-string values are skipped, not errors).
+    * Duplicate-key rule: FIRST occurrence wins — the same rule [[get]]
+    * implements via its early exit, so the hot-path lookup and the
+    * full parse can never disagree on the same headers string. */
   def parse(headers: String): Map[String, String] = {
     if (headers == null) return Map.empty
-    val out = Map.newBuilder[String, String]
-    walk(headers) { (k, v) => out += k -> v; false }
-    out.result()
+    var out = Map.empty[String, String]
+    walk(headers) { (k, v) =>
+      if (!out.contains(k)) out = out.updated(k, v)
+      false
+    }
+    out
   }
 
   /** The tokenizer: streams lowercase (key, value) string pairs to

@@ -136,6 +136,12 @@ final class CrawlEngine(
     * one forbidden outcome). Fail fast on mismatch; a store from
     * before the seen_filter prop existed is bloom. */
   def validateSeenFilter(): Unit = {
+    // an UNINITIALIZED store has no typed blobs yet — any configured
+    // sketch is fine, and the absent seen_filter prop must not read as
+    // an implicit "bloom" (a cuckoo-configured engine calling run()
+    // before any seed/queue would fail with a misleading mismatch
+    // instead of the graceful empty-run)
+    if (ice.currentSnapshotId(FRONTIER).isEmpty) return
     val stored = ice.props(FRONTIER).getOrElse("seen_filter", "bloom")
     require(stored == cfg.seenFilter,
       s"frontier store was initialized with seenFilter=$stored but config says ${cfg.seenFilter}")
@@ -246,31 +252,41 @@ final class CrawlEngine(
         Hashing.hostBucket(host, cfg.numBuckets) -> Hashing.xxhash64(canon)
       }
       .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).distinct }
-    val hashes = requested.values.flatten.toSet
-    if (hashes.isEmpty) return 0L
-    // sketch deletion is restricted to hashes ACTUALLY dropped from
+    if (requested.isEmpty) return 0L
+    // the retired-row drop is constrained to the requested
+    // (host_bucket, url_hash) PAIRS — matching the per-bucket scope of
+    // sketch deletion, so an xxhash64 collision between two distinct
+    // URLs in DIFFERENT buckets cannot silently forget (make
+    // recrawlable) the unrelated one. A same-bucket full-64-bit
+    // collision remains theoretically possible and conservative-safe:
+    // both rows drop and both fingerprints stay probe-able.
+    val dropCond = requested.map { case (b, hs) =>
+      $"host_bucket" === b && $"url_hash".isInCollection(hs)
+    }.reduce(_ || _)
+    // sketch deletion is restricted to pairs ACTUALLY dropped from
     // the retired table: a requested-but-pending URL is still live in
     // the sketch (inserted at admission, not yet retired), and a
     // never-inserted URL's removal could strip a colliding live key's
     // fingerprint — both would be the forbidden false negative.
-    var droppedHashes = Set.empty[Long]
+    var droppedPairs = Set.empty[(Int, Long)]
     val dropped = readPinned(RETIRED).map { df =>
-      droppedHashes = df.filter($"url_hash".isInCollection(hashes))
-        .select($"url_hash").distinct().as[Long].collect().toSet
-      if (droppedHashes.isEmpty) 0L
+      droppedPairs = df.filter(dropCond)
+        .select($"host_bucket", $"url_hash").distinct()
+        .as[(Int, Long)].collect().toSet
+      if (droppedPairs.isEmpty) 0L
       else {
-        val keep = df.filter(!$"url_hash".isInCollection(droppedHashes))
+        val keep = df.filter(!dropCond)
         val file = ice.writeData(
           keep.repartition(cfg.numBuckets, $"host_bucket"), RETIRED, "forget")
         val snap = ice.commit(RETIRED, Seq(file), append = false)
         ice.commit(FRONTIER, Nil, append = true,
           props = ice.props(FRONTIER) + ("retired_snap" -> snap.toString))
         carriedPending = None
-        droppedHashes.size.toLong
+        droppedPairs.size.toLong
       }
     }.getOrElse(0L)
     val byBucket = requested
-      .map { case (b, hs) => b -> hs.filter(droppedHashes) }
+      .map { case (b, hs) => b -> hs.filter(h => droppedPairs((b, h))) }
       .filter(_._2.nonEmpty)
     if (cfg.seenFilter == "cuckoo" && dropped > 0) {
       val sk = sketch
@@ -283,8 +299,12 @@ final class CrawlEngine(
             .mapGroups { (bucket, it) =>
               val rows = it.toSeq
               val merged = rows.map(_._3).reduce(sk.merge)
-              bb.getOrElse(bucket, Nil).foreach(Cuckoo.remove(merged, _))
-              (bucket, rows.map(_._2).sum, merged)
+              // n tracks LIVE keys: subtract the fingerprints actually
+              // removed, so future sizing/compaction heuristics that
+              // trust the sidecar count don't overstate occupancy
+              val removed = bb.getOrElse(bucket, Nil)
+                .count(Cuckoo.remove(merged, _))
+              (bucket, rows.map(_._2).sum - removed, merged)
             }
             .toDF("host_bucket", "n", "bits")
           val f = ice.writeData(rewritten, BLOOM, "forget")

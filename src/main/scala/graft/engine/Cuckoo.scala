@@ -41,15 +41,29 @@ object Cuckoo {
   val MaxKicks = 500
   private val Header = 1 // overflow flag byte
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Blob sized for `expected` keys at ≤ 50% slot load (power-of-two
     * buckets). ~4 B/key at the sizing floor — the safety margin that
     * keeps kick-failure (and so the degraded full-anti-join mode)
-    * out of steady-state operation. */
+    * out of steady-state operation. Buckets cap at 2^26 (~512 MB
+    * blob): above ~134M expected keys per host bucket the ≤50%-load
+    * design target is no longer honored and the table WILL run into
+    * sticky overflow (safe — never a false negative — but the
+    * prefilter degrades toward a no-op for that bucket); the cap is
+    * logged so the degraded-by-construction sizing is visible. Fix
+    * the configuration, not the cap: raise `CrawlConfig.numBuckets`
+    * so per-bucket keys shrink. */
   def sizeFor(expected: Long): Array[Byte] = {
     val slotsNeeded = math.max(64L, expected * 2L)
     var buckets = 16
     while (buckets.toLong * SlotsPerBucket < slotsNeeded && buckets < (1 << 26))
       buckets <<= 1
+    if (buckets.toLong * SlotsPerBucket < slotsNeeded)
+      log.warn(s"cuckoo sizeFor($expected) hit the 2^26-bucket cap: " +
+        s"table holds ${buckets.toLong * SlotsPerBucket / 2} keys at the " +
+        "50% design load and will degrade to sticky overflow beyond it " +
+        "(no false negatives, weak prefilter) — raise numBuckets instead")
     new Array[Byte](Header + buckets * SlotsPerBucket * 2)
   }
 

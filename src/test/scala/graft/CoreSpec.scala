@@ -131,6 +131,12 @@ class CoreSpec extends AnyFunSuite {
     // early-exit get agrees with the full parse
     assert(HeaderMap.get("""{"tags":["a}b"],"user-agent":"Bot/2"}""",
       "user-agent") === "Bot/2")
+    // duplicate keys: FIRST occurrence wins in BOTH get and parse
+    // (round-6 ADVICE: parse kept the last via Map overwrite while get
+    // early-exited on the first — they could disagree)
+    val dup = """{"user-agent":"first/1","User-Agent":"second/2"}"""
+    assert(HeaderMap.get(dup, "user-agent") === "first/1")
+    assert(HeaderMap.parse(dup)("user-agent") === "first/1")
     // malformed input: best-effort prefix, never a throw
     assert(HeaderMap.parse("""{"user-agent":"ok","broken""") === Map("user-agent" -> "ok"))
     assert(HeaderMap.parse("not json at all") === Map.empty)

@@ -373,6 +373,13 @@ class EngineGoldenSpec extends AnyFunSuite {
     // forbidden false negative)
     val wrong = new CrawlEngine(spark, web, cfg.copy(seenFilter = "bloom"), dir)
     intercept[IllegalArgumentException] { wrong.run() }
+    // but an UNINITIALIZED store carries no typed blobs: a
+    // cuckoo-configured engine with nothing queued must keep the
+    // graceful empty-run, not trip the mismatch guard on the absent
+    // prop's "bloom" default (round-6 ADVICE)
+    val fresh = new CrawlEngine(spark, web, cfg,
+      Files.createTempDirectory("graft-cuckoo-empty").toString)
+    assert(fresh.run().forall(_.admitted == 0L))
   }
 
   test("forgetUrls enables recrawl under both sketches; count and dedup stay exact") {
@@ -394,8 +401,21 @@ class EngineGoldenSpec extends AnyFunSuite {
       // fingerprint is NOT probed out of the blobs: sketch deletion is
       // restricted to hashes actually dropped from the retired table);
       // a second forget of the same URL is a no-op
+      def sidecarN(): Long = {
+        val snap = eng.ice.props("frontier")("bloom_snap").toLong
+        eng.ice.read(spark, "bloom", Some(snap)).get
+          .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+      }
+      val nBefore = sidecarN()
       assert(eng.forgetUrls(Seq(url, "http://h0.example/never-crawled"))
         === 1L, s"[$filter] forget")
+      // under cuckoo the sidecar's stored key count tracks LIVE keys:
+      // the rewrite subtracts the fingerprints actually removed
+      // (round-6 ADVICE — n previously kept the pre-forget insert
+      // count); bloom blobs are not rewritten, so n is unchanged there
+      if (filter == "cuckoo")
+        assert(sidecarN() === nBefore - 1L, s"[$filter] sidecar n")
+      else assert(sidecarN() === nBefore, s"[$filter] sidecar n")
       assert(eng.forgetUrls(Seq(url)) === 0L, s"[$filter] re-forget")
       // the URL is now unseen: re-queueing accepts it as fresh and the
       // next run fetches it again
