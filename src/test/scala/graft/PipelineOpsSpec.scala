@@ -431,6 +431,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       "selection is not a quality-ordered prefix")
   }
 
+  test("q65: the rank-arithmetic epochs equal literal ntile(4) at EVERY " +
+    "corpus size — including n%4 != 0 and n < 4 (branches the sf " +
+    "fixtures, all multiples of 4, never exercise)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 2, 3, 5, 7, 10, 13, 101)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-q65-$n").toString
+      // duplicate-heavy diff_keys so epoch boundaries land INSIDE key
+      // runs (the case where naive value-range bucketing diverges)
+      (0 until n).map { i =>
+        (i.toLong, Seq.fill(4)("w").mkString(" "), (7L + (i % 3)))
+      }.toDF("doc_id", "text", "n_chars")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .coalesce(1).write.parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("q65_curriculum")(spark, dir)
+        .select($"doc_id", $"epoch").as[(Long, Long)].collect().toMap
+      val expect = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id",
+          floor($"n_chars" * lit(1000L) /
+            (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1L)
+              .cast("long")).cast("long").as("diff_key"))
+        .withColumn("epoch",
+          ntile(4).over(Window.orderBy($"diff_key", $"doc_id")).cast("long"))
+        .select($"doc_id", $"epoch").as[(Long, Long)].collect().toMap
+      assert(got === expect, s"n=$n epochs diverge from ntile")
+    }
+  }
+
   test("q43: p50 equals the interpolated median computed by hand") {
     import spark.implicits._
     val counts = spark.read.parquet(s"$dir01/documents.parquet")

@@ -191,6 +191,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p67.contains("Join"), s"q67 grew a join:\n${p67.take(1500)}")
   }
 
+  test("q65/q56: no single-partition window over a corpus-scale frame — " +
+    "the only global windows run over aggregated (bounded) inputs") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q65_curriculum", "q56_token_budget")) {
+        val df = SparkEntry.queries(q)(spark, dir)
+        val plan = df.queryExecution.executedPlan
+        assert(!plan.toString.contains("ntile"), s"$q still computes a global ntile")
+        val windows = plan.collect { case w: WindowExec => w }
+        assert(windows.nonEmpty, s"$q lost its window functions")
+        windows.foreach { w =>
+          if (w.partitionSpec.isEmpty)
+            assert(w.child.collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+              s"$q: single-partition window over a NON-aggregated frame " +
+                s"(the round-6 scale-weak shape):\n${w.toString.take(800)}")
+        }
+        assert(windows.exists(_.partitionSpec.nonEmpty),
+          s"$q: corpus-scale window lost its partition keys")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q68: funnel's window passes share ONE hash exchange; no join") {
     val df = SparkEntry.queries("q68_funnel")(spark, dir)
     df.count()
