@@ -24,24 +24,18 @@ import org.apache.spark.sql.functions._
   * derived (which at production scale is its own pipeline with its
   * own cadence).
   *
-  * Contract mirror of [[SignatureStore]]: `build` once per refresh,
-  * `attach(dir, storeDir[, token])` to route the q57 family under
-  * `dir` through the store, `detach` to restore the in-query path.
-  * The token names the store's immutable version (rotate on refresh);
-  * store reads are stateless pruned parquet scans — there is no
-  * session-cached intermediate to validate, so unlike the signature
-  * store the token here is refresh-discipline metadata surfaced via
-  * [[snapshotOf]], not a listing-avoidance lever. */
-object BenchmarkStore {
+  * Lifecycle (`build`/`attach(dir, storeDir[, token])`/`detach`/
+  * `snapshotOf`) comes from [[graft.store.PersistedStore]] — the one
+  * store contract. Store reads are stateless pruned parquet scans —
+  * there is no session-cached intermediate to validate, so unlike the
+  * signature store the token here is refresh-discipline metadata
+  * surfaced via `snapshotOf`, not a listing-avoidance lever (the
+  * default no-op route-change hook is exactly right). */
+object BenchmarkStore extends graft.store.PersistedStore {
 
   /** The benchmark membership rule (shared with the q57 oracle): every
     * 19th vector plays the held-out benchmark. */
   private[operators] val BenchMod = 19
-
-  private val storeFor =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val snapshotFor =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build (or refresh) the store from `<dir>/embeddings.parquet`'s
     * benchmark split. */
@@ -63,31 +57,4 @@ object BenchmarkStore {
   /** The persisted benchmark vectors (bvec, embedding). */
   def vectors(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/bench_vectors")
-
-  /** Route q57 under `dir` through this store: the benchmark side is
-    * served from the persisted tables instead of being re-derived from
-    * the embeddings scan. */
-  def attach(dir: String, storeDir: String): Unit = {
-    storeFor.put(dir, storeDir)
-    snapshotFor.remove(dir)
-  }
-
-  /** Attach with the store's immutable version token (rotate on
-    * benchmark refresh). */
-  def attach(dir: String, storeDir: String, snapshot: String): Unit = {
-    storeFor.put(dir, storeDir)
-    snapshotFor.put(dir, snapshot)
-  }
-
-  def detach(dir: String): Unit = {
-    storeFor.remove(dir)
-    snapshotFor.remove(dir)
-  }
-
-  /** The attached token, if any — lets a pipeline assert which
-    * benchmark version a decontamination run gated against. */
-  def snapshotOf(dir: String): Option[String] = Option(snapshotFor.get(dir))
-
-  private[operators] def attachedStore(dir: String): Option[String] =
-    Option(storeFor.get(dir))
 }

@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
   * a few hundred ints per document vs multi-KB text), so banding
   * experiments (retuning bands × rows against a quality bar) replay
   * against the store without touching the corpus — the operational
-  * reason curation pipelines persist signatures. */
-object SignatureStore {
+  * reason curation pipelines persist signatures.
+  *
+  * Lifecycle (build/attach/token/detach) comes from
+  * [[graft.store.PersistedStore]] — the one store contract; routing
+  * lands in TextOps through the [[onRouteChange]] hook (token pinned
+  * as the dir's fingerprint, session intermediates invalidated). */
+object SignatureStore extends graft.store.PersistedStore {
 
   /** Build (or refresh) the store from `<dir>/documents.parquet`. */
   def build(spark: SparkSession, dir: String, storeDir: String): Unit =
@@ -33,11 +38,22 @@ object SignatureStore {
 
   /** The signature table. The streaming incremental writer lays the
     * same rows out as `batch=<id>/` subdirectories (its idempotent
-    * retry unit); partition discovery surfaces that as a `batch`
-    * column, dropped here so both layouts read identically. */
-  def signatures(spark: SparkSession, storeDir: String): DataFrame = {
-    val df = spark.read.parquet(s"$storeDir/signatures")
-    if (df.columns.contains("batch")) df.drop("batch") else df
+    * retry unit); readTable drops the surfaced partition column so
+    * both layouts read identically. */
+  def signatures(spark: SparkSession, storeDir: String): DataFrame =
+    graft.store.PersistedStore.readTable(spark, s"$storeDir/signatures")
+
+  /** Routing changed: the token (when present) becomes the dir's
+    * pinned cache fingerprint — O(1) validation, no listing — and any
+    * session intermediate computed from the previous routing is
+    * superseded. */
+  override protected def onRouteChange(dir: String, storeDir: Option[String],
+      token: Option[String]): Unit = {
+    token match {
+      case Some(t) => TextOps.pinSnapshot(dir, t)
+      case None    => TextOps.unpinSnapshot(dir) // source changed: re-list
+    }
+    TextOps.invalidateDir(dir)
   }
 
   /** The q24 candidate-pair gate, served from the store: identical
@@ -47,18 +63,4 @@ object SignatureStore {
     * table — no text scan, no shingle explode, no md5. */
   def candidatePairs(spark: SparkSession, storeDir: String): DataFrame =
     TextOps.pairsFromSignatures(signatures(spark, storeDir))
-
-  /** Route the session-cached intermediates under `dir` through this
-    * store: after `attach`, `TextOps.perDocSignatures(s, dir)` (and the
-    * whole q24/q25/q40/q45 family behind it) reads the persisted
-    * signatures instead of re-scanning text. */
-  def attach(dir: String, storeDir: String): Unit =
-    TextOps.attachStore(dir, storeDir)
-
-  /** Attach with an explicit snapshot token (the store's immutable
-    * version id): cache validation becomes O(1) — no per-call file
-    * listing, the table-format contract. Rotate the token (re-attach)
-    * on refresh. */
-  def attach(dir: String, storeDir: String, snapshot: String): Unit =
-    TextOps.attachStore(dir, storeDir, Some(snapshot))
 }

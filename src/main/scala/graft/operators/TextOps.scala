@@ -316,13 +316,6 @@ object TextOps {
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedDf]()
 
-  /** dir → SignatureStore storeDir: once attached, the signature reads
-    * under `dir` are served from the persisted store (pruned parquet
-    * scan — no text scan, no shingle explode) instead of being
-    * recomputed from the documents table. */
-  private val storeFor =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** dir → caller-pinned snapshot token: when present, the token IS the
     * cache fingerprint and NO file listing runs — the table-format
     * analog (an Iceberg/Delta snapshot id names an immutable file set,
@@ -344,27 +337,23 @@ object TextOps {
     snapshotFor.put(dir, token)
   def unpinSnapshot(dir: String): Unit = snapshotFor.remove(dir)
 
+  /** Store routing is owned by [[SignatureStore]] (the
+    * [[graft.store.PersistedStore]] registry); these forwards keep the
+    * historical TextOps entry points working. The store's token lands
+    * back here through SignatureStore's route-change hook as the dir's
+    * pinned fingerprint. */
   def attachStore(dir: String, storeDir: String): Unit =
-    attachStore(dir, storeDir, snapshot = None)
+    SignatureStore.attach(dir, storeDir)
 
   /** Attach with an explicit snapshot token: the store's immutable
     * version id, honored by every subsequent cache validation under
     * `dir` in place of a file listing. */
-  def attachStore(dir: String, storeDir: String, snapshot: Option[String]): Unit = {
-    storeFor.put(dir, storeDir)
+  def attachStore(dir: String, storeDir: String, snapshot: Option[String]): Unit =
     snapshot match {
-      case Some(tok) => snapshotFor.put(dir, tok)
-      case None      => snapshotFor.remove(dir) // source changed: re-list
+      case Some(tok) => SignatureStore.attach(dir, storeDir, tok)
+      case None      => SignatureStore.attach(dir, storeDir)
     }
-    // any session-cached intermediate computed from the raw text is
-    // superseded by the store
-    invalidateDir(dir)
-  }
-  def detachStore(dir: String): Unit = {
-    storeFor.remove(dir)
-    snapshotFor.remove(dir)
-    invalidateDir(dir)
-  }
+  def detachStore(dir: String): Unit = SignatureStore.detach(dir)
 
   /** Stable session identity (identityHashCode can collide across GC'd
     * sessions — round-3 ADVICE). */
@@ -373,10 +362,11 @@ object TextOps {
       .getOrElse("sys-" + System.identityHashCode(s))
 
   /** The file set a `dir`'s signature intermediates derive from. */
-  private def signatureSource(dir: String): String = storeFor.get(dir) match {
-    case null => t(dir, "documents")
-    case sd   => s"$sd/signatures"
-  }
+  private def signatureSource(dir: String): String =
+    SignatureStore.attachedStore(dir) match {
+      case None     => t(dir, "documents")
+      case Some(sd) => s"$sd/signatures"
+    }
 
   /** Content fingerprint of a parquet path (file or directory): every
     * data file's (relative path, length, mtime) folded into one hash.
@@ -578,12 +568,12 @@ object TextOps {
 
   def perDocSignatures(s: SparkSession, dir: String): DataFrame =
     cachedBuild(sigCache, s, dir) {
-      storeFor.get(dir) match {
+      SignatureStore.attachedStore(dir) match {
         // store-served: already a compact persisted table — a pruned
         // parquet read needs no checkpoint (and gate reads prune `ss`)
-        case null =>
+        case None =>
           signaturesOf(s.read.parquet(t(dir, "documents"))).localCheckpoint(true)
-        case storeDir => SignatureStore.signatures(s, storeDir)
+        case Some(storeDir) => SignatureStore.signatures(s, storeDir)
       }
     }
 

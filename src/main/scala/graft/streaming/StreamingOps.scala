@@ -180,38 +180,8 @@ object StreamingOps {
     * starting the stream — after it returns the layout is stable and
     * concurrent batch reads are safe again. */
   private def migrateFlatLayout(fs: org.apache.hadoop.fs.FileSystem,
-      sigRoot: org.apache.hadoop.fs.Path): Unit = {
-    if (!fs.exists(sigRoot)) return
-    val flat = fs.listStatus(sigRoot).filter { st =>
-      st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-    }
-    if (flat.isEmpty) return
-    val legacy = new org.apache.hadoop.fs.Path(sigRoot, "batch=-1")
-    fs.mkdirs(legacy)
-    flat.foreach { st =>
-      val dst = new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)
-      // a previous partially-failed adoption may have copied the
-      // file already (object stores rename by copy+delete): the
-      // source is then a duplicate — drop it, don't re-adopt. A
-      // failed delete strands the same mixed layout a failed
-      // rename would, so it fails the batch identically.
-      if (fs.exists(dst)) {
-        if (!fs.delete(st.getPath, false))
-          throw new java.io.IOException(
-            s"failed to drop already-adopted flat signature file ${st.getPath}")
-      }
-      else if (!fs.rename(st.getPath, dst))
-        // a silently-stranded flat file next to batch= dirs would
-        // fail every subsequent read with conflicting directory
-        // structures — fail THIS batch instead (foreachBatch
-        // retries it; the adoption loop is idempotent)
-        throw new java.io.IOException(
-          s"failed to adopt flat signature file ${st.getPath} into $legacy")
-    }
-  }
+      sigRoot: org.apache.hadoop.fs.Path): Unit =
+    graft.store.PersistedStore.adoptFlat(fs, sigRoot)
 
   /** One-time explicit flat→batch store migration (the safe ordering
     * for stores that stay visible to concurrent batch readers): run
@@ -245,12 +215,9 @@ object StreamingOps {
     val sigRoot = new org.apache.hadoop.fs.Path(s"$storeDir/signatures")
     val fs = sigRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     migrateFlatLayout(fs, sigRoot)
-    val priorBatches: Seq[Long] =
-      if (!fs.exists(sigRoot)) Nil
-      else fs.listStatus(sigRoot).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .map(_.getPath.getName.stripPrefix("batch=").toLong)
-        .filter(_ < batchId) // a retry must not gate on its own partial rows
+    // a retry must not gate on its own partial rows: strictly-before
+    val priorBatches: Seq[Long] = graft.store.PersistedStore
+      .batchIds(spark, s"$storeDir/signatures", before = batchId)
     val dropVsStore =
       if (priorBatches.isEmpty) spark.emptyDataset[Long].toDF("doc_id")
       else {
@@ -267,8 +234,8 @@ object StreamingOps {
       .select($"doc_b".as("doc_id")).distinct()
     val survivors = sigs
       .join(dropVsStore.union(dropWithin).distinct(), Seq("doc_id"), "left_anti")
-    survivors.write.mode("overwrite")
-      .parquet(s"$storeDir/signatures/batch=$batchId")
+    graft.store.PersistedStore
+      .writeBatch(survivors, s"$storeDir/signatures", batchId)
     // the batch intermediate dies with the trigger
     TextOps.releaseCheckpoint(sigs)
   }
@@ -279,11 +246,8 @@ object StreamingOps {
     * starts from — the persisted form of q55's "v1" side. Written as
     * the pre-stream batch `batch=-1`, the same layout convention as
     * the dedup store's flat-adoption partition. */
-  def buildDiffIndex(baseline: DataFrame, storeDir: String): Unit = {
-    import baseline.sparkSession.implicits._
-    baseline.select($"doc_id", md5($"text").as("h"))
-      .write.mode("overwrite").parquet(s"$storeDir/index/batch=-1")
-  }
+  def buildDiffIndex(baseline: DataFrame, storeDir: String): Unit =
+    DiffStore.buildFrom(baseline, storeDir)
 
   /** Incremental corpus-snapshot diff (round-5 verdict #4): q55 is the
     * one-shot two-snapshot compare; the refresh loop wants the same
@@ -328,13 +292,8 @@ object StreamingOps {
       beforeBatch: Long): Option[DataFrame] = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val root = new org.apache.hadoop.fs.Path(s"$storeDir/index")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return None
-    val batches = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong)
-      .filter(_ < beforeBatch)
+    val batches = graft.store.PersistedStore
+      .batchIds(spark, s"$storeDir/index", before = beforeBatch)
     if (batches.isEmpty) return None
     val idx = spark.read.parquet(s"$storeDir/index")
       .where($"batch".isin(batches: _*)) // partition-pruned
@@ -365,8 +324,8 @@ object StreamingOps {
               .otherwise("unchanged").as("status"),
             $"h")
     }
-    deltas.write.mode("overwrite").parquet(s"$storeDir/deltas/batch=$batchId")
-    hashed.write.mode("overwrite").parquet(s"$storeDir/index/batch=$batchId")
+    graft.store.PersistedStore.writeBatch(deltas, s"$storeDir/deltas", batchId)
+    graft.store.PersistedStore.writeBatch(hashed, s"$storeDir/index", batchId)
     graft.operators.TextOps.releaseCheckpoint(hashed)
   }
 
@@ -400,17 +359,7 @@ object StreamingOps {
     * benchmark-bounded (broadcast-scale), so every later corpus drop
     * decontaminates without rescanning the benchmark. */
   def buildDecontamStore(spark: SparkSession, dir: String,
-      storeDir: String): Unit = {
-    import spark.implicits._
-    import graft.operators.PipelineOps.QualityRules.DecontamMod
-    spark.read.parquet(s"$dir/documents.parquet")
-      .filter($"doc_id" % DecontamMod === 0)
-      .select($"doc_id",
-        explode(sequence(lit(1), greatest(length($"text") - 15, lit(1)),
-          lit(8))).as("i"), $"text")
-      .select(expr("substr(text, i, 16)").as("sg")).distinct()
-      .write.mode("overwrite").parquet(s"$storeDir/bench_shingles")
-  }
+      storeDir: String): Unit = DecontamStore.build(spark, dir, storeDir)
 
   /** Streaming decontamination (q47 per micro-batch): documents arrive
     * as parquet files; each batch shingles its non-benchmark docs
@@ -443,7 +392,7 @@ object StreamingOps {
     val spark = batch.sparkSession
     import spark.implicits._
     import graft.operators.PipelineOps.QualityRules.{DecontamMinHits, DecontamMod}
-    val bm = spark.read.parquet(s"$storeDir/bench_shingles")
+    val bm = DecontamStore.shingles(spark, storeDir)
     val docs = batch.filter($"doc_id" % DecontamMod =!= 0)
     val sh = docs
       .select($"doc_id",
@@ -452,12 +401,13 @@ object StreamingOps {
       .select($"doc_id", expr("substr(text, i, 16)").as("sg"))
     val hits = sh.join(broadcast(bm), "sg")
       .groupBy($"doc_id").agg(count_distinct($"sg").as("n_hits"))
-    docs.select($"doc_id")
-      .join(hits, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"n_hits", lit(0L)).as("n_hits"),
-        (coalesce($"n_hits", lit(0L)) >= DecontamMinHits).as("contaminated"))
-      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    graft.store.PersistedStore.writeBatch(
+      docs.select($"doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (coalesce($"n_hits", lit(0L)) >= DecontamMinHits).as("contaminated")),
+      outDir, batchId)
   }
 
   /** Watermarked windowed aggregation over a parquet file stream of
@@ -473,5 +423,60 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum($"value").as("sum_value"))
       .select($"window.start".as("window_start"), $"event_type", $"n", $"sum_value")
+  }
+}
+
+/** Persisted benchmark shingle store for the STREAMING n-gram
+  * decontamination gate — the q47 textual gate's benchmark side as a
+  * once-per-refresh table: the held-out split's distinct 16-char
+  * shingles land in `<storeDir>/bench_shingles`, benchmark-bounded
+  * (broadcast-scale), so every later corpus drop decontaminates
+  * without rescanning the benchmark. Lifecycle from
+  * [[graft.store.PersistedStore]]; reads are stateless scans, so the
+  * default no-op route-change hook applies (the token is
+  * refresh-discipline metadata, as in
+  * [[graft.operators.BenchmarkStore]]). */
+object DecontamStore extends graft.store.PersistedStore {
+  import org.apache.spark.sql.functions._
+
+  /** Build (or refresh) from `<dir>/documents.parquet`'s benchmark
+    * split (q47's membership rule). */
+  def build(spark: SparkSession, dir: String, storeDir: String): Unit = {
+    import spark.implicits._
+    import graft.operators.PipelineOps.QualityRules.DecontamMod
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % DecontamMod === 0)
+      .select($"doc_id",
+        explode(sequence(lit(1), greatest(length($"text") - 15, lit(1)),
+          lit(8))).as("i"), $"text")
+      .select(expr("substr(text, i, 16)").as("sg")).distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/bench_shingles")
+  }
+
+  /** The persisted distinct benchmark shingles (sg). */
+  def shingles(spark: SparkSession, storeDir: String): DataFrame =
+    graft.store.PersistedStore.readTable(spark, s"$storeDir/bench_shingles")
+}
+
+/** The corpus-diff index store — the persisted (doc_id, content-hash)
+  * side of [[StreamingOps.corpusDiffStream]]. The baseline lands in
+  * the `batch=-1` pre-stream partition (the shared flat-adoption
+  * convention); each micro-batch advances the index by OVERWRITING its
+  * own `batch=<id>/` partition. Lifecycle from
+  * [[graft.store.PersistedStore]]. */
+object DiffStore extends graft.store.PersistedStore {
+  import org.apache.spark.sql.functions._
+
+  /** Build the baseline index from `<dir>/documents.parquet` (q55's
+    * "v1" side). */
+  def build(spark: SparkSession, dir: String, storeDir: String): Unit =
+    buildFrom(spark.read.parquet(s"$dir/documents.parquet"), storeDir)
+
+  /** Build the baseline index from an arbitrary documents frame. */
+  def buildFrom(baseline: DataFrame, storeDir: String): Unit = {
+    import baseline.sparkSession.implicits._
+    graft.store.PersistedStore.writeBatch(
+      baseline.select($"doc_id", md5($"text").as("h")),
+      s"$storeDir/index", -1L)
   }
 }
