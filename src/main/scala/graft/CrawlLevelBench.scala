@@ -149,6 +149,13 @@ object CrawlLevelBench {
       // auto-broadcast is built single-threaded on the driver — a
       // serial, non-scaling step
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // A/B levers for the shuffle I/O path (round-6 verdict #3: the
+      // one untested efficiency lever). Defaults = Spark defaults, so
+      // the official protocol is unchanged unless the env is set.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
+      .config("spark.shuffle.file.buffer",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUFFER", "32k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

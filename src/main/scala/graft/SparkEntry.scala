@@ -30,9 +30,11 @@ object SparkEntry {
     * on the same parquet tables. Every query has an oracle —
     * q27/q28/q31 gained portable SQL formulations in round 2; the
     * curation ops q40–q45 (round 3), the cleaning/multimodal ops
-    * q46–q49 (round 4), the pipeline ops q50–q60 (rounds 5–6), and
-    * the interleaved/retrieval/mixing ops q61–q67 (round 6) shipped
-    * with theirs. */
+    * q46–q49 (round 4), the pipeline ops q50–q57 (round 5), and the
+    * packing/interleaved/retrieval/mixing/funnel ops q58–q69 (round 6)
+    * shipped with theirs. Round 7 flattened the q58/q61 gate outputs
+    * to scalar rows (one row per segment/span, DuckDB unnest twins) —
+    * the driver's hash compare requires scalar cells. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CrawlQueries.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles ++
