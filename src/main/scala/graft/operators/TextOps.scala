@@ -200,6 +200,67 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // SimHash Hamming near-dup detection — the operator q27's
+    // signature exists FOR (Manku, Jain & Das Sarma, "Detecting
+    // Near-Duplicates for Web Crawling", WWW 2007 — the web-crawl
+    // dedup design): find document pairs whose 64-bit simhashes differ
+    // in ≤ 3 bits. Pigeonhole over 4 × 16-bit bands makes the bucket
+    // gate EXACT for the ≤3 contract — a pair within Hamming 3 has at
+    // least one untouched band, so it collides in that band's bucket;
+    // no probing, no recall loss (up to the 512 skew valve both
+    // engines mirror). Scale shape: one token scan + one 64-vote hash
+    // agg (map-side partials) → one compact (band, chunk) agg with the
+    // capped-set valve → bounded pair explode → exact popcount re-rank
+    // through two broadcast-gated id joins of 8-byte signatures. Never
+    // all-pairs; signatures are the ONLY thing that shuffles. At
+    // warehouse scale the signature table persists (SignatureStore
+    // pattern) and each corpus drop re-ranks against it.
+    "q70_simhash_neardup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      // 64-bit md5-derived simhash (two 32-bit digest words vote bits
+      // 0–31 and 32–63) — md5 is the hash both engines share
+      // bit-for-bit; the production variant swaps in the native
+      // simhash64 expression, same downstream plan.
+      val tok = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", explode(split($"text", " ")).as("tk"))
+      val h = tok.select($"doc_id", md5Ints4($"tk").as("hs"))
+        .select($"doc_id", element_at($"hs", 1).as("h0"),
+          element_at($"hs", 2).as("h1"))
+      val votes = (0 until 64).map { b =>
+        val src = if (b < 32) $"h0" else $"h1"
+        sum(shiftright(src, b % 32).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+      }
+      val recomb = (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      // one signature row per doc (16 bytes) — checkpointed because
+      // three consumers read it (band build + both re-rank sides);
+      // re-deriving would re-scan the token stream three times
+      val sim = h.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+        .select($"doc_id", recomb.cast("long").as("sh"))
+        .localCheckpoint(true)
+      val bandCols = array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright($"sh", b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)
+      val cand = sim.select($"doc_id", explode(bandCols).as("bc"))
+        .select($"doc_id", $"bc.band", $"bc.chunk")
+        .groupBy($"band", $"chunk")
+        .agg(cappedSortedSet($"doc_id", MaxLshBucket).as("ids"))
+        .filter($"ids".isNotNull && size($"ids") >= 2)
+        .select(explode(bucketPairsExpr("doc_a", "doc_b")).as("p"))
+        .select($"p.doc_a", $"p.doc_b")
+        .distinct()
+      // re-rank mirrors q30's shape: the candidate set is the explicit
+      // broadcast side of BOTH joins, the corpus-sized signature table
+      // streams through each — nothing corpus-scale is ever built
+      val withA = sim.select($"doc_id".as("doc_a"), $"sh".as("sa"))
+        .join(broadcast(cand), "doc_a")
+      sim.select($"doc_id".as("doc_b"), $"sh".as("sb"))
+        .join(broadcast(withA), "doc_b")
+        .select($"doc_a", $"doc_b",
+          bit_count($"sa".bitwiseXOR($"sb")).cast("long").as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // rolling Rabin fingerprint (base 257, mod 2^61-1). The DuckDB
     // oracle reproduces the identical sequential fold with a HUGEINT
     // list_reduce over the codepoints (texts are ASCII, so UTF-16 code
@@ -744,6 +805,43 @@ object TextOps {
          |v AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($recomb AS BIGINT) AS simhash32 FROM v
          |ORDER BY doc_id""".stripMargin
+    },
+    "q70_simhash_neardup" -> {
+      // the 64-bit simhash from the two md5 digest words, then the
+      // same 4×16-bit band gate + valve + popcount re-rank — DuckDB's
+      // >> is masked to the low 16 bits, so arithmetic-vs-logical fill
+      // can't diverge from Spark's shiftright
+      val sums = (0 until 64).map { b =>
+        val src = if (b < 32) "h0" else "h1"
+        s"SUM((($src >> ${b % 32}) & 1)*2 - 1) AS v$b"
+      }.mkString(", ")
+      val recomb = (0 until 64).map {
+        case 63 => "(CASE WHEN v63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+        case b  => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h0,
+         |             ('0x' || substr(md5(tk), 9, 8))::BIGINT AS h1 FROM tok),
+         |v AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, CAST($recomb AS BIGINT) AS sh FROM v),
+         |bands AS (SELECT doc_id, b.band, (sh >> (b.band*16)) & 65535 AS chunk
+         |  FROM s, (SELECT unnest([0,1,2,3]) AS band) b),
+         |buckets AS (SELECT band, chunk, list(doc_id) AS ids FROM bands
+         |  GROUP BY band, chunk
+         |  HAVING count(*) >= 2 AND count(*) <= $MaxLshBucket),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+         |  FROM (SELECT band, chunk, unnest(ids) AS doc_id FROM buckets) a
+         |  JOIN (SELECT band, chunk, unnest(ids) AS doc_id FROM buckets) bb
+         |    USING (band, chunk)
+         |  WHERE a.doc_id < bb.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+         |FROM pairs
+         |JOIN s sa ON sa.doc_id = doc_a
+         |JOIN s sb ON sb.doc_id = doc_b
+         |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q28_rolling_hash" ->
       """SELECT doc_id, CAST(list_reduce(

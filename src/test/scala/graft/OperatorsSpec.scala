@@ -14,6 +14,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q70: simhash Hamming pairs equal a brute-force all-pairs scan " +
+    "(the 4x16-bit pigeonhole gate is exact for distance <= 3)") {
+    import spark.implicits._
+    // independent reference: 64-bit md5 simhash per doc in plain Scala
+    def simhash(text: String): Long = {
+      val votes = new Array[Int](64)
+      text.split(" ", -1).foreach { tk =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(tk.getBytes("UTF-8"))
+        def word(off: Int): Int =
+          ((d(off) & 0xFF) << 24) | ((d(off + 1) & 0xFF) << 16) |
+            ((d(off + 2) & 0xFF) << 8) | (d(off + 3) & 0xFF)
+        val (h0, h1) = (word(0), word(4))
+        (0 until 32).foreach { b =>
+          votes(b) += (if (((h0 >> b) & 1) == 1) 1 else -1)
+          votes(32 + b) += (if (((h1 >> b) & 1) == 1) 1 else -1)
+        }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val sh = docs.map { case (id, tx) => id -> simhash(tx) }
+    val exp = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    val got = SparkEntry.queries("q70_simhash_neardup")(spark, dir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === exp)
+    assert(exp.nonEmpty, "fixture should contain simhash near-dups")
+  }
+
   test("q68: funnel steps equal a per-user brute-force event scan") {
     import java.time.LocalDateTime
     // events read as TIMESTAMP_NTZ → LocalDateTime; normalize both sides

@@ -184,6 +184,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p64.contains("SortMergeJoin") && !p64.contains("BroadcastHashJoin") &&
       !p64.contains("CartesianProduct"),
       s"q64 degenerated to a join:\n${p64.take(1500)}")
+    // q70 (round 7): the Manku band gate must stay a bucket
+    // enumeration + broadcast re-rank — no sort-merge join, no
+    // cartesian, and the scan pruned to (doc_id, text)
+    val p70 = planOf("q70_simhash_neardup")
+    assert(!p70.contains("SortMergeJoin") && !p70.contains("CartesianProduct"),
+      s"q70 degenerated:\n${p70.take(1500)}")
+    assert(p70.contains("BroadcastHashJoin"), "q70 re-rank lost its broadcasts")
+    val rs70 = p70.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs70.contains("lang") && !rs70.contains("source"),
+      s"q70 scan reads unused columns: $rs70")
     // q67: embeddings scan prunes to (vec_id, embedding); zero joins
     val p67 = planOf("q67_vec_quantize")
     val rs67 = p67.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
