@@ -32,10 +32,12 @@ object SparkEntry {
     * curation ops q40–q45 (round 3), the cleaning/multimodal ops
     * q46–q49 (round 4), the pipeline ops q50–q57 (round 5), and the
     * packing/interleaved/retrieval/mixing/funnel ops q58–q69 (round 6)
-    * shipped with theirs, as did the SimHash near-dup detector q70
-    * (round 7). Round 7 also flattened the q58/q61 gate outputs
-    * to scalar rows (one row per segment/span, DuckDB unnest twins) —
-    * the driver's hash compare requires scalar cells. */
+    * shipped with theirs, as did the round-7 ops: q70 SimHash
+    * near-dup detection, q71 document-atomic interleaved packing
+    * (recursive-CTE oracle twin), q72 leakage-safe cluster-aware
+    * split assignment. Round 7 also flattened the q58/q61 gate
+    * outputs to scalar rows (one row per segment/span, DuckDB unnest
+    * twins) — the driver's hash compare requires scalar cells. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CrawlQueries.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles ++

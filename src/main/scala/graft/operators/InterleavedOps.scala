@@ -36,6 +36,11 @@ object InterleavedOps {
   private[operators] val InsertMod = 4
   private[operators] val BlobMod = 997
 
+  /** q71 packing constants: window capacity (tokens) and the flat
+    * per-media-span token budget — mirrored literally in the oracle. */
+  private[operators] val WindowTokens = 2048L
+  private[operators] val MediaTokenCost = 64L
+
   /** The per-chunk text-span expression (SQL fragment shared by both
     * branches of the insertion CASE). */
   private val TextSpanExpr =
@@ -78,6 +83,60 @@ object InterleavedOps {
         .selectExpr("doc_id", "inline(spans)")
         .selectExpr("doc_id", "offset", "kind", "text", "media_ref")
         .orderBy("doc_id", "offset")
+    }),
+
+    // q71: document-atomic packing of the interleaved corpus into
+    // fixed 2048-token training windows — the multimodal-trainer
+    // packing contract (q54/q58 SPLIT long docs at window boundaries;
+    // an interleaved doc cannot split mid-span, so here each doc lands
+    // whole: greedy first-fit in shard order, a new window opens when
+    // the doc doesn't fit, an oversized doc occupies its own window).
+    // Token cost model: whitespace tokens for text + a flat 64-token
+    // budget per media span (the fixed image-token shape of
+    // interleaved trainers). The per-shard fold is inherently
+    // sequential, so it runs as ONE shuffle on the shard key + a
+    // sortWithinPartitions + an O(1)-state mapPartitions pass — the
+    // exact 100 TB plan (shard count scales out, each fold stays a
+    // linear scan; nothing corpus-wide ever sits in memory). The
+    // DuckDB twin replays the identical fold as a recursive CTE.
+    "q71_interleaved_pack" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val costed = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id",
+          (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
+            .cast("long").as("n_tokens"),
+          PipelineOps.shardKey.as("skey"))
+        .withColumn("shard", ($"skey" % 8).cast("int"))
+        // media spans of the q61 derivation, counted without building
+        // the arrays: chunks = ceil(tokens/8), media after chunk i when
+        // (doc_id*31 + i) % 4 == 0 — the same rule spanArrays applies
+        .withColumn("nch", floor(($"n_tokens" + 7) / 8).cast("long"))
+        .withColumn("n_media", expr(
+          s"cast(size(filter(sequence(0, nch - 1), i -> (doc_id * 31 + i) % $InsertMod = 0)) as bigint)"))
+        .withColumn("cost", $"n_tokens" + lit(MediaTokenCost) * $"n_media")
+      costed
+        .select($"shard", $"skey", $"doc_id", $"n_tokens", $"n_media", $"cost")
+        .repartition($"shard")
+        .sortWithinPartitions($"shard", $"skey", $"doc_id")
+        .as[(Int, Long, Long, Long, Long, Long)]
+        .mapPartitions { it =>
+          // greedy first-fit fold; multiple shards can hash to one
+          // partition, the sort keeps each contiguous and the fold
+          // resets at the boundary
+          var curShard = Int.MinValue
+          var win = 0L
+          var fill = 0L
+          it.map { case (shard, _, docId, nTok, nMedia, cost) =>
+            if (shard != curShard) { curShard = shard; win = 0L; fill = cost }
+            else if (fill + cost <= WindowTokens) fill += cost
+            else { win += 1L; fill = cost }
+            (shard, win, docId, nTok, nMedia, cost, fill)
+          }
+        }
+        .toDF("shard", "win_id", "doc_id", "n_tokens", "n_media", "cost",
+          "fill_after")
+        .orderBy($"shard", $"win_id", $"doc_id")
     }),
 
     // q62: exact media dedup across the interleaved corpus — group the
@@ -157,5 +216,35 @@ object InterleavedOps {
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  min(doc_id) AS keeper_doc,
          |  count(DISTINCT doc_id) > 1 AS is_dup
-         |FROM m GROUP BY media_ref ORDER BY media_ref""".stripMargin)
+         |FROM m GROUP BY media_ref ORDER BY media_ref""".stripMargin,
+    "q71_interleaved_pack" ->
+      // the identical greedy first-fit fold, replayed sequentially per
+      // shard by a recursive CTE stepping row_number rn -> rn + 1
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+         |    ${PipelineOps.ShardKeySql} AS skey
+         |  FROM documents),
+         |k0 AS (
+         |  SELECT doc_id, n_tokens, skey, CAST(skey % 8 AS INTEGER) AS shard,
+         |    CAST(floor((n_tokens + ${ChunkWords - 1}) / $ChunkWords) AS BIGINT) AS nch
+         |  FROM base),
+         |k AS (
+         |  SELECT doc_id, n_tokens, shard,
+         |    CAST(len(list_filter(range(0, nch), i -> (doc_id * 31 + i) % $InsertMod = 0)) AS BIGINT) AS n_media,
+         |    n_tokens + $MediaTokenCost * CAST(len(list_filter(range(0, nch), i -> (doc_id * 31 + i) % $InsertMod = 0)) AS BIGINT) AS cost,
+         |    row_number() OVER (PARTITION BY CAST(skey % 8 AS INTEGER) ORDER BY skey, doc_id) AS rn
+         |  FROM k0),
+         |f AS (
+         |  SELECT shard, rn, doc_id, n_tokens, n_media, cost,
+         |    CAST(0 AS BIGINT) AS win_id, cost AS fill
+         |  FROM k WHERE rn = 1
+         |  UNION ALL
+         |  SELECT k.shard, k.rn, k.doc_id, k.n_tokens, k.n_media, k.cost,
+         |    CASE WHEN f.fill + k.cost <= $WindowTokens THEN f.win_id ELSE f.win_id + 1 END,
+         |    CASE WHEN f.fill + k.cost <= $WindowTokens THEN f.fill + k.cost ELSE k.cost END
+         |  FROM f JOIN k ON k.shard = f.shard AND k.rn = f.rn + 1)
+         |SELECT shard, win_id, doc_id, n_tokens, n_media, cost,
+         |  fill AS fill_after
+         |FROM f ORDER BY shard, win_id, doc_id""".stripMargin)
 }

@@ -39,10 +39,10 @@ object PipelineOps {
     * its DuckDB twin — ONE definition each side, so the packing op
     * (q54) provably rides the sharding op's (q53) order: a change to
     * the seed or key width cannot drift between them. */
-  private def shardKey: org.apache.spark.sql.Column =
+  private[operators] def shardKey: org.apache.spark.sql.Column =
     conv(substring(md5(concat(lit("shard|"), col("doc_id").cast("string"))), 1, 8),
       16, 10).cast("long")
-  private val ShardKeySql =
+  private[operators] val ShardKeySql =
     "('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
 
   /** Whitespace token count (the q43/q54 formula). */
@@ -651,6 +651,29 @@ object PipelineOps {
         .orderBy($"doc_id")
     }),
 
+    // leakage-safe train/val/test split (round 7): splitting by
+    // per-document hash leaks — two near-identical documents can land
+    // in train and test, and the eval measures memorization. The
+    // correct unit is the NEAR-DUP CLUSTER: every member of a q40
+    // cluster draws the same seeded hash of its cluster_id, so a
+    // document and all its near-duplicates land in one split by
+    // construction. 5% test / 5% val / 90% train via an exact
+    // integer bucket (md5-derived, seed "split|"). Scale shape:
+    // inherits q40's bucketed sparse fixpoint; the assignment itself
+    // is one per-row projection — ZERO additional shuffles or joins.
+    "q72_split_assign" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      queries("q40_dedup_clusters")(s, dir)
+        .withColumn("bkt",
+          conv(substring(md5(concat(lit("split|"),
+            $"cluster_id".cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 100)
+        .select($"doc_id", $"cluster_id",
+          when($"bkt" < 5, "test").when($"bkt" < 10, "val")
+            .otherwise("train").as("split"))
+        .orderBy($"doc_id")
+    }),
+
     // packing completion (the trainer-facing output of q54): per
     // (shard, 4096-token window) the packed COMPOSITION — an ordered
     // array of (doc_id, off, len) segments, with a document that
@@ -726,6 +749,23 @@ object PipelineOps {
          |  lab.doc_id = lab.cluster_id AS keep
          |FROM lab JOIN sz USING (cluster_id)
          |ORDER BY lab.doc_id""".stripMargin,
+    "q72_split_assign" ->
+      s"""WITH RECURSIVE ${TextOps.lshPairSqlCtes},
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |cc(node, lab) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, cc.lab FROM cc JOIN edges e ON e.s = cc.node),
+         |lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM cc GROUP BY node),
+         |b AS (SELECT doc_id, cluster_id,
+         |  ('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt
+         |  FROM lab)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bkt < 5 THEN 'test' WHEN bkt < 10 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "q41_stratified_sample" -> {
       val cases = SampleThresholds.map { case (lang, th) =>
         s"WHEN lang = '$lang' THEN $th" }.mkString(" ")

@@ -14,6 +14,99 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q71: interleaved packing equals a sequential greedy fold; " +
+    "document-atomic (no multi-doc window over capacity)") {
+    import spark.implicits._
+    // independent reference: the greedy first-fit fold in plain Scala
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val costed = docs.map { case (id, tx) =>
+      val nTok = tx.count(_ == ' ') + 1 // whitespace tokens = #spaces + 1
+      val skey = java.lang.Long.parseLong(md5hex(s"shard|$id").take(8), 16)
+      val nch = (nTok + 7) / 8
+      val nMedia = (0L until nch).count(i => (id * 31 + i) % 4 == 0).toLong
+      (skey % 8, skey, id, nTok.toLong, nMedia, nTok + 64L * nMedia)
+    }
+    val exp = costed.groupBy(_._1).toSeq.flatMap { case (shard, rows) =>
+      var win = 0L; var fill = 0L
+      rows.sortBy(r => (r._2, r._3)).map { case (_, _, id, nt, nm, cost) =>
+        if (fill == 0L) fill = cost
+        else if (fill + cost <= 2048L) fill += cost
+        else { win += 1; fill = cost }
+        (shard, win, id, nt, nm, cost, fill)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q71_interleaved_pack")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === exp)
+    // atomicity invariant: a window over capacity holds exactly one doc
+    val byWin = got.groupBy(r => (r._1, r._2))
+    assert(byWin.values.forall(v => v.map(_._7).max <= 2048L || v.size == 1))
+    assert(byWin.size > 1, "fixture should produce multiple windows")
+  }
+
+  test("q72: split assignment is leakage-safe — clusters are split-pure " +
+    "and no LSH near-dup pair straddles a split boundary") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q72_split_assign")(spark, dir)
+      .as[(Long, Long, String)].collect()
+    // cluster purity by construction
+    assert(got.groupBy(_._2).values.forall(_.map(_._3).distinct.size == 1))
+    // end-to-end: the ACTUAL near-dup candidate pairs never straddle
+    val split = got.map(r => r._1 -> r._3).toMap
+    val pairs = TextOps.lshCandidatePairs(spark, dir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture should contain near-dup pairs")
+    assert(pairs.forall { case (a, b) => split(a) == split(b) })
+    // all three splits are populated and proportions are plausible
+    val n = got.length.toDouble
+    val frac = got.groupBy(_._3).map { case (k, v) => k -> v.length / n }
+    assert(frac.keySet === Set("train", "val", "test"), s"splits: $frac")
+    assert(frac("train") > 0.7, s"train fraction off: $frac")
+  }
+
+  test("q73: substring scrub equals a brute-force recompute; canonical " +
+    "copies and untouched docs keep their exact text") {
+    import spark.implicits._
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val wordsOf = docs.map { case (id, tx) => id -> tx.split(" ", -1) }.toMap
+    def sgOf(ws: Array[String], i: Int): Long = java.lang.Long.parseLong(
+      md5hex(ws.slice(i - 1, i - 1 + 13).mkString(" ")).take(12), 16)
+    val occ = for {
+      (id, ws) <- wordsOf.toSeq
+      i <- 1 to math.max(ws.length - 12, 1)
+    } yield (id, i, sgOf(ws, i))
+    val keeper = occ.groupBy(_._3).collect {
+      case (sg, os) if { val d = os.map(_._1).distinct; d.size >= 2 && d.size <= 512 } =>
+        sg -> os.map(_._1).min
+    }
+    val rem = occ.filter(o => keeper.get(o._3).exists(_ != o._1))
+      .flatMap(o => (o._2 until o._2 + 13).map(p => (o._1, p.toLong)))
+      .groupBy(_._1).map { case (id, ps) => id -> ps.map(_._2).toSet }
+    val exp = docs.map { case (id, _) =>
+      val ws = wordsOf(id)
+      val cut = rem.getOrElse(id, Set.empty[Long])
+      val kept = ws.zipWithIndex.collect { case (w, p) if !cut(p + 1L) => w }
+      (id, ws.length.toLong, (ws.length - kept.length).toLong,
+        md5hex(kept.mkString(" ")))
+    }.toSet
+    val got = SparkEntry.queries("q73_substring_scrub")(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === exp)
+    val scrubbed = got.filter(_._3 > 0)
+    assert(scrubbed.nonEmpty, "fixture should contain duplicated passages")
+    // untouched docs carry the fingerprint of their original text
+    assert(got.filter(_._3 == 0).forall { case (id, _, _, h) =>
+      h == md5hex(wordsOf(id).mkString(" ")) })
+  }
+
   test("q70: simhash Hamming pairs equal a brute-force all-pairs scan " +
     "(the 4x16-bit pigeonhole gate is exact for distance <= 3)") {
     import spark.implicits._

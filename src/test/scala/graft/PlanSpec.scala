@@ -194,6 +194,26 @@ class PlanSpec extends AnyFunSuite {
     val rs70 = p70.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!rs70.contains("lang") && !rs70.contains("source"),
       s"q70 scan reads unused columns: $rs70")
+    // q71 (round 7): document-atomic interleaved packing — the only
+    // exchanges are the shard repartition and the presentation sort;
+    // no join, no window function, scan pruned to (doc_id, text)
+    val p71 = planOf("q71_interleaved_pack")
+    assert(!p71.contains("Join"), s"q71 grew a join:\n${p71.take(1500)}")
+    assert(!p71.contains("Window"), s"q71 grew a window:\n${p71.take(1500)}")
+    val nEx71 = p71.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(nEx71 <= 2, s"q71 has $nEx71 exchanges (want shard repartition " +
+      s"+ presentation sort only):\n${p71.take(1500)}")
+    val rs71 = p71.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs71.contains("lang") && !rs71.contains("source"),
+      s"q71 scan reads unused columns: $rs71")
+    // q73 (round 7): directory join + rebuild join only — never a
+    // cartesian; the scan is pruned to (doc_id, text)
+    val p73 = planOf("q73_substring_scrub")
+    assert(!p73.contains("CartesianProduct"),
+      s"q73 degenerated:\n${p73.take(1500)}")
+    val rs73 = p73.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs73.contains("lang") && !rs73.contains("source"),
+      s"q73 scan reads unused columns: $rs73")
     // q67: embeddings scan prunes to (vec_id, embedding); zero joins
     val p67 = planOf("q67_vec_quantize")
     val rs67 = p67.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
