@@ -103,6 +103,63 @@ object RetrievalOps {
         .groupBy($"doc_a", $"doc_b")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_a", $"doc_b")
+    }),
+
+    // q73: exact-substring REMOVAL — the act-on-it completion of q64's
+    // detection (Lee et al.: cut the duplicated passage, keep the
+    // rest of the document). Every 13-token window whose hash appears
+    // in ≥2 documents keeps its canonical copy (the bucket's min
+    // doc_id) and is cut everywhere else; a token survives iff no
+    // removed window covers it. Output is (doc_id, n_tokens,
+    // n_removed, clean_md5 = md5 of the rebuilt text) for EVERY doc —
+    // the gate carries the fingerprint, not the corpus bytes.
+    // Scale shape: positional shingles stream through ONE hash agg
+    // (distinct doc set per shingle, 512 valve) to build the
+    // duplicated-shingle directory; the directory joins back on the
+    // compact 48-bit key; removal positions collapse per doc (ids +
+    // ints only); the single text-bearing stage is the final
+    // doc_id-keyed join, co-partitioned under bucketing at warehouse
+    // scale. No stage ever holds more than one document's tokens.
+    "q73_substring_scrub" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val words = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", split($"text", " ").as("words"))
+      // positional shingles — q64's hash formula with the position kept
+      val pos = words.select($"doc_id",
+        explode(expr(
+          s"""transform(sequence(1, greatest(size(words) - ${ShingleWords - 1}, 1)),
+             |  i -> struct(cast(i as long) as i,
+             |    cast(conv(substring(md5(array_join(slice(words, cast(i as int), $ShingleWords), ' ')), 1, 12), 16, 10) as bigint) as sg))""".stripMargin))
+          .as("x"))
+        .select($"doc_id", $"x.i".as("i"), $"x.sg".as("sg"))
+      // duplicated-shingle directory: docs per hash (valve-capped),
+      // canonical keeper = min doc_id (head of the sorted capped set)
+      val dups = pos.select($"doc_id", $"sg").distinct()
+        .groupBy($"sg")
+        .agg(TextOps.cappedSortedSet($"doc_id", BucketCap).as("docs"))
+        .filter($"docs".isNotNull && size($"docs") >= 2)
+        .select($"sg", element_at($"docs", 1).as("keeper"))
+      // removal positions: every non-canonical occurrence cuts its
+      // 13-token window; overlapping windows collapse via distinct
+      val rem = pos.join(dups, "sg")
+        .filter($"doc_id" =!= $"keeper")
+        .select($"doc_id",
+          explode(sequence($"i", $"i" + lit(ShingleWords - 1).cast("long")))
+            .as("p"))
+        .distinct()
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_set($"p")).as("rem"))
+      // rebuild: per-row lambda keeps tokens not covered by a removed
+      // window (lambda index is 0-based; positions are 1-based)
+      words.join(rem, Seq("doc_id"), "left")
+        .withColumn("kept", expr(
+          "CASE WHEN rem IS NULL THEN words ELSE " +
+            "filter(words, (w, p) -> NOT array_contains(rem, cast(p + 1 as long))) END"))
+        .select($"doc_id",
+          size($"words").cast("long").as("n_tokens"),
+          (size($"words") - size($"kept")).cast("long").as("n_removed"),
+          md5(array_join($"kept", " ")).as("clean_md5"))
+        .orderBy($"doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -134,5 +191,26 @@ object RetrievalOps {
          |      GROUP BY sg HAVING count(*) BETWEEN 2 AND $BucketCap)
          |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared
          |FROM (SELECT unnest(docs) AS doc_a, docs FROM b) t1, unnest(t1.docs) u(doc_b)
-         |WHERE doc_a < doc_b GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin)
+         |WHERE doc_a < doc_b GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "q73_substring_scrub" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |p AS (SELECT doc_id, i,
+         |    ('0x' || substr(md5(array_to_string(list_slice(words, CAST(i AS BIGINT), CAST(i + ${ShingleWords - 1} AS BIGINT)), ' ')), 1, 12))::BIGINT AS sg
+         |  FROM (SELECT doc_id, words, unnest(range(1, greatest(len(words) - ${ShingleWords - 1}, 1) + 1)) AS i FROM w)),
+         |d AS (SELECT sg, min(doc_id) AS keeper
+         |  FROM (SELECT DISTINCT doc_id, sg FROM p)
+         |  GROUP BY sg HAVING count(*) BETWEEN 2 AND $BucketCap),
+         |r AS (SELECT DISTINCT p.doc_id, CAST(u.pp AS BIGINT) AS pp
+         |  FROM p JOIN d USING (sg), unnest(range(p.i, p.i + $ShingleWords)) u(pp)
+         |  WHERE p.doc_id <> d.keeper),
+         |tok AS (SELECT doc_id, CAST(k AS BIGINT) AS k, words[CAST(k AS BIGINT)] AS wd
+         |  FROM w, unnest(range(1, len(words) + 1)) t(k)),
+         |kept AS (SELECT t.doc_id, list(t.wd ORDER BY t.k) AS kw
+         |  FROM tok t LEFT JOIN r ON r.doc_id = t.doc_id AND r.pp = t.k
+         |  WHERE r.pp IS NULL GROUP BY t.doc_id)
+         |SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_tokens,
+         |  CAST(len(w.words) - coalesce(len(kept.kw), 0) AS BIGINT) AS n_removed,
+         |  md5(coalesce(array_to_string(kept.kw, ' '), '')) AS clean_md5
+         |FROM w LEFT JOIN kept USING (doc_id)
+         |ORDER BY doc_id""".stripMargin)
 }

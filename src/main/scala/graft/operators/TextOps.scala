@@ -285,6 +285,29 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // q74: BPE merge-candidate induction — the first step of tokenizer
+    // training (Sennrich et al., ACL 2016): count every adjacent
+    // within-word symbol pair across the corpus and rank the top-100
+    // merge candidates (count desc, pair asc — a total order, since
+    // the pair is the group key). Scale shape: two generators feeding
+    // ONE hash aggregate whose state is bounded by |charset|² (tiny,
+    // map-side partials absorb the corpus), then a global
+    // TakeOrderedAndProject top-k — no sort shuffle, no join;
+    // embarrassingly parallel at any corpus size.
+    "q74_bpe_merges" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      s.read.parquet(t(dir, "documents"))
+        .select(explode(split($"text", " ")).as("w"))
+        .filter(length($"w") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, cast(i as int), 2))"))
+          .as("pair"))
+        .groupBy($"pair")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"pair")
+        .limit(100)
+    }),
+
     // charset sniff + decode (F6): payload bytes -> detected charset +
     // decoded length, via the CharsetSniffer heuristic per partition.
     "q35_charset_decode" -> ((s: SparkSession, dir: String) => {
@@ -893,6 +916,13 @@ object TextOps {
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp16,
         |  CAST(length(text) AS INTEGER) AS text_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q74_bpe_merges" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+        |      FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w
+        |            WHERE length(w) >= 2))
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100""".stripMargin,
     "q34_token_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)

@@ -68,6 +68,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frac("train") > 0.7, s"train fraction off: $frac")
   }
 
+  test("q74: BPE merge candidates equal a brute-force adjacent-pair " +
+    "count with the (count desc, pair asc) total order") {
+    import spark.implicits._
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"text").as[String].collect()
+      .foreach { tx =>
+        tx.split(" ", -1).foreach { w =>
+          var i = 0
+          while (i < w.length - 1) {
+            val p = w.substring(i, i + 2)
+            counts.update(p, counts.getOrElse(p, 0L) + 1L)
+            i += 1
+          }
+        }
+      }
+    val exp = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(100)
+    val got = SparkEntry.queries("q74_bpe_merges")(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    assert(got === exp)
+    assert(got.size === math.min(100, counts.size) && got.nonEmpty)
+  }
+
   test("q73: substring scrub equals a brute-force recompute; canonical " +
     "copies and untouched docs keep their exact text") {
     import spark.implicits._

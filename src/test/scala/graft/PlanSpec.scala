@@ -214,6 +214,12 @@ class PlanSpec extends AnyFunSuite {
     val rs73 = p73.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!rs73.contains("lang") && !rs73.contains("source"),
       s"q73 scan reads unused columns: $rs73")
+    // q74 (round 7): global top-100 must run as TakeOrderedAndProject
+    // over the tiny pair aggregate — no full sort shuffle, no join
+    val p74 = planOf("q74_bpe_merges")
+    assert(p74.contains("TakeOrderedAndProject"),
+      s"q74 lost its top-k plan:\n${p74.take(1500)}")
+    assert(!p74.contains("Join"), s"q74 grew a join:\n${p74.take(1500)}")
     // q67: embeddings scan prunes to (vec_id, embedding); zero joins
     val p67 = planOf("q67_vec_quantize")
     val rs67 = p67.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
