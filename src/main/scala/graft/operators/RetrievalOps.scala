@@ -122,45 +122,70 @@ object RetrievalOps {
     // scale. No stage ever holds more than one document's tokens.
     "q73_substring_scrub" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val words = s.read.parquet(t(dir, "documents"))
-        .select($"doc_id", split($"text", " ").as("words"))
-      // positional shingles — q64's hash formula with the position kept
-      val pos = words.select($"doc_id",
+      val docs = s.read.parquet(t(dir, "documents")).select($"doc_id", $"text")
+      scrubAgainst(docs, dupShingleDirectory(s, dir)).orderBy($"doc_id")
+    }))
+
+  /** Positional 13-token shingles `(doc_id, i, sg)` of a `(doc_id,
+    * text)` frame — q64's hash formula with the position kept. Shared
+    * by the q73 batch gate and the streaming scrub. */
+  private[graft] def posShingles(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", split($"text", " ").as("words"))
+      .select($"doc_id",
         explode(expr(
           s"""transform(sequence(1, greatest(size(words) - ${ShingleWords - 1}, 1)),
              |  i -> struct(cast(i as long) as i,
              |    cast(conv(substring(md5(array_join(slice(words, cast(i as int), $ShingleWords), ' ')), 1, 12), 16, 10) as bigint) as sg))""".stripMargin))
           .as("x"))
-        .select($"doc_id", $"x.i".as("i"), $"x.sg".as("sg"))
-      // duplicated-shingle directory: docs per hash (valve-capped),
-      // canonical keeper = min doc_id (head of the sorted capped set)
-      val dups = pos.select($"doc_id", $"sg").distinct()
-        .groupBy($"sg")
-        .agg(TextOps.cappedSortedSet($"doc_id", BucketCap).as("docs"))
-        .filter($"docs".isNotNull && size($"docs") >= 2)
-        .select($"sg", element_at($"docs", 1).as("keeper"))
-      // removal positions: every non-canonical occurrence cuts its
-      // 13-token window; overlapping windows collapse via distinct
-      val rem = pos.join(dups, "sg")
-        .filter($"doc_id" =!= $"keeper")
-        .select($"doc_id",
-          explode(sequence($"i", $"i" + lit(ShingleWords - 1).cast("long")))
-            .as("p"))
-        .distinct()
-        .groupBy($"doc_id")
-        .agg(sort_array(collect_set($"p")).as("rem"))
-      // rebuild: per-row lambda keeps tokens not covered by a removed
-      // window (lambda index is 0-based; positions are 1-based)
-      words.join(rem, Seq("doc_id"), "left")
-        .withColumn("kept", expr(
-          "CASE WHEN rem IS NULL THEN words ELSE " +
-            "filter(words, (w, p) -> NOT array_contains(rem, cast(p + 1 as long))) END"))
-        .select($"doc_id",
-          size($"words").cast("long").as("n_tokens"),
-          (size($"words") - size($"kept")).cast("long").as("n_removed"),
-          md5(array_join($"kept", " ")).as("clean_md5"))
-        .orderBy($"doc_id")
-    }))
+      .select($"doc_id", $"x.i".as("i"), $"x.sg".as("sg"))
+  }
+
+  /** The duplicated-shingle directory `(sg, keeper)`: every 13-token
+    * window hash held by ≥2 documents (512 valve), with its canonical
+    * keeper = min doc_id. Corpus-bounded, build-once — the persisted
+    * form is [[graft.streaming.ScrubStore]]. */
+  private[graft] def dupShingleDirectory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    posShingles(s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
+      .select($"doc_id", $"sg").distinct()
+      .groupBy($"sg")
+      .agg(TextOps.cappedSortedSet($"doc_id", BucketCap).as("docs"))
+      .filter($"docs".isNotNull && size($"docs") >= 2)
+      .select($"sg", element_at($"docs", 1).as("keeper"))
+  }
+
+  /** Scrub `(doc_id, text)` rows against a duplicated-shingle
+    * directory: every non-canonical occurrence of a directory shingle
+    * cuts its 13-token window; a token survives iff no removed window
+    * covers it. A doc's verdict depends ONLY on its text and the
+    * directory, so the result is invariant to batching (the streaming
+    * gate's contract). The directory joins on the compact 48-bit key —
+    * never broadcast-assumed: at warehouse scale it is corpus-bounded,
+    * not benchmark-bounded. */
+  private[graft] def scrubAgainst(docs: DataFrame, dups: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val words = docs.select($"doc_id", split($"text", " ").as("words"))
+    // removal positions: overlapping windows collapse via distinct
+    val rem = posShingles(docs).join(dups, "sg")
+      .filter($"doc_id" =!= $"keeper")
+      .select($"doc_id",
+        explode(sequence($"i", $"i" + lit(ShingleWords - 1).cast("long")))
+          .as("p"))
+      .distinct()
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"p")).as("rem"))
+    // rebuild: per-row lambda keeps tokens not covered by a removed
+    // window (lambda index is 0-based; positions are 1-based)
+    words.join(rem, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "CASE WHEN rem IS NULL THEN words ELSE " +
+          "filter(words, (w, p) -> NOT array_contains(rem, cast(p + 1 as long))) END"))
+      .select($"doc_id",
+        size($"words").cast("long").as("n_tokens"),
+        (size($"words") - size($"kept")).cast("long").as("n_removed"),
+        md5(array_join($"kept", " ")).as("clean_md5"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q63_bm25" ->

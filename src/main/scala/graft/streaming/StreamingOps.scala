@@ -410,6 +410,49 @@ object StreamingOps {
       outDir, batchId)
   }
 
+  /** Convenience: build the q73 duplicated-shingle directory store
+    * (see [[ScrubStore]]). */
+  def buildScrubStore(spark: SparkSession, dir: String,
+      storeDir: String): Unit = ScrubStore.build(spark, dir, storeDir)
+
+  /** Streaming exact-substring removal (q73 per micro-batch):
+    * documents arrive as parquet files; each batch shingles its docs
+    * positionally (the exact q73/q64 formula), joins the persisted
+    * duplicated-shingle directory on the compact 48-bit key, and
+    * writes per-doc rebuilt-text verdicts `(doc_id, n_tokens,
+    * n_removed, clean_md5)` to `<outDir>/batch=<id>/`. A verdict
+    * depends only on the doc's own text and the store, so results are
+    * invariant to batching and their union equals the batch q73 run
+    * against the same store version (StreamingSpec). The directory is
+    * NOT broadcast — it is corpus-bounded, not benchmark-bounded.
+    * Exactly-once under foreachBatch retry by the shared
+    * batch-owned-subdirectory OVERWRITE layout. */
+  def scrubStream(spark: SparkSession, inputDir: String,
+      storeDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(documentsSchema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        scrubBatchApply(batch.toDF(), batchId, storeDir, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** One micro-batch of [[scrubStream]] (public for retry tests). */
+  def scrubBatchApply(batch: DataFrame, batchId: Long,
+      storeDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.store.PersistedStore.writeBatch(
+      graft.operators.RetrievalOps.scrubAgainst(
+        batch.select($"doc_id", $"text"),
+        ScrubStore.directory(spark, storeDir)),
+      outDir, batchId)
+  }
+
   /** Watermarked windowed aggregation over a parquet file stream of
     * events: count + sum(value) per (1h window, event_type). */
   def eventWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
@@ -456,6 +499,26 @@ object DecontamStore extends graft.store.PersistedStore {
   /** The persisted distinct benchmark shingles (sg). */
   def shingles(spark: SparkSession, storeDir: String): DataFrame =
     graft.store.PersistedStore.readTable(spark, s"$storeDir/bench_shingles")
+}
+
+/** Persisted duplicated-shingle directory for the STREAMING
+  * exact-substring scrub — q73's `(sg, keeper)` directory (every
+  * 13-token window hash held by ≥2 documents, 512 valve, canonical
+  * keeper = min doc_id) as a once-per-corpus-refresh table in
+  * `<storeDir>/dup_shingles`, so every later corpus drop scrubs
+  * without re-aggregating the full corpus's shingles. Lifecycle from
+  * [[graft.store.PersistedStore]]; reads are stateless scans, so the
+  * default no-op route-change hook applies. */
+object ScrubStore extends graft.store.PersistedStore {
+
+  /** Build (or refresh) from `<dir>/documents.parquet`. */
+  def build(spark: SparkSession, dir: String, storeDir: String): Unit =
+    graft.operators.RetrievalOps.dupShingleDirectory(spark, dir)
+      .write.mode("overwrite").parquet(s"$storeDir/dup_shingles")
+
+  /** The persisted directory (sg, keeper). */
+  def directory(spark: SparkSession, storeDir: String): DataFrame =
+    graft.store.PersistedStore.readTable(spark, s"$storeDir/dup_shingles")
 }
 
 /** The corpus-diff index store — the persisted (doc_id, content-hash)

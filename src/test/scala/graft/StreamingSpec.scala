@@ -332,6 +332,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === before)
   }
 
+  test("streaming substring scrub: batch-invariant verdicts equal the " +
+    "batch q73 gate against the same store version") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val store = Files.createTempDirectory("graft-scrubstore").toString
+    StreamingOps.buildScrubStore(spark, src, store)
+    val in = Files.createTempDirectory("graft-scrubin").toString
+    val out = Files.createTempDirectory("graft-scrubout").toString
+    val cp = Files.createTempDirectory("graft-scrubcp").toString
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$in/b1.parquet")
+    def runOnce(): Unit = {
+      val q = StreamingOps.scrubStream(spark, s"$in/*", store, out, cp)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    docs.filter($"doc_id" % 2 =!= 0).coalesce(1).write.parquet(s"$in/b2.parquet")
+    runOnce()
+    // a verdict depends only on the doc's text + the store, so the
+    // union across batches must equal the one-shot q73 gate
+    val got = spark.read.parquet(out)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"clean_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exp = SparkEntry.queries("q73_substring_scrub")(spark, src)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.size === exp.length)
+    exp.foreach { case (id, nt, nr, h) =>
+      assert(got(id) === ((nt, nr, h)), s"doc $id") }
+    assert(exp.exists(_._3 > 0), "fixture should contain removals")
+    // retry idempotence: re-applying the last batch overwrites its own
+    // subdirectory, never duplicates
+    val before = spark.read.parquet(out).count()
+    StreamingOps.scrubBatchApply(
+      docs.filter($"doc_id" % 2 =!= 0), 1L, store, out)
+    assert(spark.read.parquet(out).count() === before)
+  }
+
   test("watermarked windowed aggregation over the events file stream") {
     val cp = Files.createTempDirectory("graft-cp3").toString
     val q = StreamingOps.eventWindowCounts(spark, "/root/testdata/sf0.001")
