@@ -1,0 +1,52 @@
+#!/bin/bash
+# Good-phase bench watcher: the sandbox VM is bimodal (hour-plus
+# degraded phases where 1-thread memory bandwidth drops ~8 -> ~4.5
+# GB/s and crawl throughput falls 2-7x; see BENCH/BASELINE.md). A
+# degraded-phase official record is only useful as bimodality
+# evidence, so: probe with graft.VmCalibration, require TWO
+# consecutive ok probes ~40 s apart, skip whenever sbt holds the
+# project (never compile during a measurement), then run the full
+# official protocol with the record on a SIDE path — promotion to
+# BENCH/last_record.json is a human decision after reading vm_mode.
+#
+#   nohup scripts/bench_watch.sh [record_out [log]] &
+cd "$(dirname "$0")/.." || exit 1
+REC=${1:-/tmp/bench_candidate.json}
+LOG=${2:-/tmp/bench_watch.log}
+RUNJAVA="scripts/runjava.sh"
+for attempt in $(seq 1 80); do
+  if pgrep -f 'sbt-launch|xsbt.boot' > /dev/null; then
+    echo "$(date +%H:%M:%S) attempt $attempt: sbt busy, skip" >> "$LOG"
+    sleep 120; continue
+  fi
+  m1=$(bash $RUNJAVA graft.VmCalibration 2>/dev/null | tail -1 | grep -o 'mode=[a-z]*')
+  if [ "$m1" = "mode=ok" ]; then
+    sleep 40
+    m2=$(bash $RUNJAVA graft.VmCalibration 2>/dev/null | tail -1 | grep -o 'mode=[a-z]*')
+    echo "$(date +%H:%M:%S) probes: $m1 $m2" >> "$LOG"
+    if [ "$m2" = "mode=ok" ]; then
+      if pgrep -f 'sbt-launch|xsbt.boot' > /dev/null; then
+        echo "$(date +%H:%M:%S) sbt became busy, skip" >> "$LOG"; sleep 120; continue
+      fi
+      touch /tmp/BENCH_RUNNING   # sbt users must check this marker
+      echo "$(date +%H:%M:%S) launching full bench (double-ok)" >> "$LOG"
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+      SPARK_GRAFT_BENCH_RECORD_OUT="$REC" \
+      SPARK_GRAFT_BENCH_STATS_OUT="${REC%.json}_stats.json" \
+        bash $RUNJAVA graft.Bench > "${REC%.json}_full.log" 2>&1
+      rc=$?
+      rm -f /tmp/BENCH_RUNNING
+      echo "$(date +%H:%M:%S) bench done rc=$rc" >> "$LOG"
+      if grep -q '"vm_mode":"ok"' "$REC" 2>/dev/null; then
+        echo "$(date +%H:%M:%S) GOOD-PHASE RECORD CAPTURED" >> "$LOG"
+        exit 0
+      fi
+      mv "$REC" "${REC%.json}_degraded_$attempt.json" 2>/dev/null
+      echo "$(date +%H:%M:%S) record degraded mid-run, continuing watch" >> "$LOG"
+    fi
+  else
+    echo "$(date +%H:%M:%S) probe: $m1" >> "$LOG"
+  fi
+  sleep 150
+done
+echo "$(date +%H:%M:%S) watcher exhausted" >> "$LOG"

@@ -152,8 +152,13 @@ object CrawlLevelBench {
       // A/B levers for the shuffle I/O path (round-6 verdict #3: the
       // one untested efficiency lever). Defaults = Spark defaults, so
       // the official protocol is unchanged unless the env is set.
+      // Scope caveat: spark.io.compression.codec is NOT shuffle-only —
+      // it also re-codecs broadcast vars, RDD persist, and spills, so
+      // a codec delta is "I/O compression path", not shuffle-isolated
+      // (the honest name; the buffer lever IS shuffle-scoped).
       .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4")))
       .config("spark.shuffle.file.buffer",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUFFER", "32k"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -127,6 +127,7 @@ final class CrawlEngine(
     ice.commit(FRONTIER, Seq(pendFile), append = false,
       props = Map("round" -> "0", "bloom_snap" -> bloomSnap.toString,
         "seen_filter" -> cfg.seenFilter,
+        "num_buckets" -> cfg.numBuckets.toString,
         "attempts_snap" -> "-1", "retired_snap" -> "-1", "lineage_snap" -> "-1"))
   }
 
@@ -145,6 +146,19 @@ final class CrawlEngine(
     val stored = ice.props(FRONTIER).getOrElse("seen_filter", "bloom")
     require(stored == cfg.seenFilter,
       s"frontier store was initialized with seenFilter=$stored but config says ${cfg.seenFilter}")
+    // numBuckets is equally load-bearing on resume: the host→bucket
+    // mapping keys the politeness state, the per-bucket sketch blobs,
+    // AND the (host_bucket, url_hash) scoping of forgetUrls — probing
+    // blobs under a remapped bucket would report definitely-new for
+    // already-seen URLs (the forbidden false negative). Stores from
+    // before the prop existed skip the check (their operator owns it).
+    ice.props(FRONTIER).get("num_buckets").foreach { nb =>
+      require(nb.toInt == cfg.numBuckets,
+        s"frontier store was initialized with numBuckets=$nb but config " +
+          s"says ${cfg.numBuckets} — changing it remaps every host's " +
+          "bucket (sketch blobs, politeness state, retired scoping); " +
+          "resume with the original value or start a fresh store")
+    }
   }
 
   /** node-crawler's incremental `queue()` between drains [PK:high]:
@@ -874,6 +888,7 @@ final class CrawlEngine(
     ice.commit(FRONTIER, pendingFiles, append = false,
       Map("round" -> (r + 1).toString,
         "seen_filter" -> cfg.seenFilter,
+        "num_buckets" -> cfg.numBuckets.toString,
         "admitted" -> nAdmitted.toString, "enqueued" -> nEnqueued.toString,
         "attempts_snap" -> attemptsSnap.toString,
         "retired_snap" -> retiredSnap.toString,

@@ -63,7 +63,10 @@ object Cuckoo {
       log.warn(s"cuckoo sizeFor($expected) hit the 2^26-bucket cap: " +
         s"table holds ${buckets.toLong * SlotsPerBucket / 2} keys at the " +
         "50% design load and will degrade to sticky overflow beyond it " +
-        "(no false negatives, weak prefilter) — raise numBuckets instead")
+        "(no false negatives, weak prefilter) — raise CrawlConfig." +
+        "numBuckets ON A FRESH STORE only: changing it on an existing " +
+        "store remaps every host's bucket and resume fails fast " +
+        "(validateSeenFilter pins num_buckets in the frontier props)")
     new Array[Byte](Header + buckets * SlotsPerBucket * 2)
   }
 

@@ -104,14 +104,15 @@ object InterleavedOps {
       import org.apache.spark.sql.functions._
       val costed = s.read.parquet(t(dir, "documents"))
         .select($"doc_id",
-          (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
-            .cast("long").as("n_tokens"),
+          PipelineOps.tokenCountCol.as("n_tokens"),
           PipelineOps.shardKey.as("skey"))
         .withColumn("shard", ($"skey" % 8).cast("int"))
         // media spans of the q61 derivation, counted without building
-        // the arrays: chunks = ceil(tokens/8), media after chunk i when
-        // (doc_id*31 + i) % 4 == 0 — the same rule spanArrays applies
-        .withColumn("nch", floor(($"n_tokens" + 7) / 8).cast("long"))
+        // the arrays: chunks = ceil(tokens/ChunkWords), media after
+        // chunk i when (doc_id*31 + i) % InsertMod == 0 — the same
+        // rule (and constants) spanArrays applies
+        .withColumn("nch",
+          floor(($"n_tokens" + ChunkWords - 1) / ChunkWords).cast("long"))
         .withColumn("n_media", expr(
           s"cast(size(filter(sequence(0, nch - 1), i -> (doc_id * 31 + i) % $InsertMod = 0)) as bigint)"))
         .withColumn("cost", $"n_tokens" + lit(MediaTokenCost) * $"n_media")

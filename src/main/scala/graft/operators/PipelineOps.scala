@@ -45,8 +45,8 @@ object PipelineOps {
   private[operators] val ShardKeySql =
     "('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
 
-  /** Whitespace token count (the q43/q54 formula). */
-  private def tokenCountCol: org.apache.spark.sql.Column =
+  /** Whitespace token count (the q43/q54 formula; q71 shares it). */
+  private[operators] def tokenCountCol: org.apache.spark.sql.Column =
     (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
       .cast("long")
 
@@ -581,17 +581,23 @@ object PipelineOps {
         .withColumn("cum_before", coalesce(sum($"kn").over(tiny), lit(0L)))
         .select($"diff_key", $"cum_before")
       // N, and ntile's group sizing (first r groups get base+1 rows) —
-      // two scalars of legitimate driver-side state (q66 precedent)
-      val n = keyCounts.agg(coalesce(sum($"kn"), lit(0L))).head().getLong(0)
-      val (base, r) = (n / 4, n % 4)
+      // one broadcast one-row aggregate riding the PLAN (not a
+      // driver-side head(): query construction stays lazy, so explain/
+      // plan-inspection never pays a corpus scan, and execution scans
+      // the corpus once for keyCounts instead of twice)
+      val nRow = broadcast(keyCounts
+        .agg(coalesce(sum($"kn"), lit(0L)).as("n_total"))
+        .select($"n_total", ($"n_total" / 4).cast("long").as("base"),
+          ($"n_total" % 4).cast("long").as("r")))
       val wk = Window.partitionBy($"diff_key").orderBy($"doc_id")
       m.join(broadcast(cumBefore), "diff_key")
         .withColumn("g", $"cum_before" + row_number().over(wk))
+        .crossJoin(nRow)
         // rank → ntile group: groups 1..r have base+1 rows, r+1..4 have
         // base; base=0 (n<4) stays in the THEN branch (g ≤ r always)
         .withColumn("epoch", expr(
-          s"CASE WHEN g <= ${r * (base + 1)}L THEN (g + ${base}L) div ${base + 1}L " +
-          s"ELSE ${r}L + (g - ${r * (base + 1) - base + 1}L) div ${base max 1L}L END")
+          "CASE WHEN g <= r * (base + 1) THEN (g + base) div (base + 1) " +
+          "ELSE r + (g - (r * (base + 1) - base + 1)) div greatest(base, 1) END")
           .cast("long"))
         .select($"doc_id", $"n_tokens", $"diff_key", $"epoch")
         .orderBy($"epoch", $"diff_key", $"doc_id")
@@ -612,12 +618,14 @@ object PipelineOps {
         .groupBy($"lang").agg(count(lit(1)).as("n"))
         .withColumn("wgt",
           floor(sqrt($"n".cast("double") * lit(1000000d))).cast("long"))
-      val tot = byLang.agg(sum($"wgt").as("sumw"), sum($"n").as("total")).head()
-      val (sumw, total) = (tot.getLong(0), tot.getLong(1))
-      byLang
+      // totals ride the plan as a broadcast one-row aggregate (lazy
+      // construction — same discipline as q65's group sizing)
+      val tot = broadcast(byLang.agg(sum($"wgt").as("sumw"),
+        sum($"n").as("total")))
+      byLang.crossJoin(tot)
         .select($"lang", $"n", $"wgt",
-          round($"wgt".cast("double") / lit(sumw.toDouble), 6).as("rate"),
-          expr(s"(wgt * ${total}L) div ${sumw}L").as("expected_docs"))
+          round($"wgt".cast("double") / $"sumw".cast("double"), 6).as("rate"),
+          expr("(wgt * total) div sumw").as("expected_docs"))
         .orderBy($"lang")
     }),
 

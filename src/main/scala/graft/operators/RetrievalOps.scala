@@ -166,13 +166,14 @@ object RetrievalOps {
   private[graft] def scrubAgainst(docs: DataFrame, dups: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val words = docs.select($"doc_id", split($"text", " ").as("words"))
-    // removal positions: overlapping windows collapse via distinct
+    // removal positions: overlapping windows collapse inside the
+    // collect_set aggregation buffer (no separate distinct pass — the
+    // exploded position stream is the scrub's largest intermediate)
     val rem = posShingles(docs).join(dups, "sg")
       .filter($"doc_id" =!= $"keeper")
       .select($"doc_id",
         explode(sequence($"i", $"i" + lit(ShingleWords - 1).cast("long")))
           .as("p"))
-      .distinct()
       .groupBy($"doc_id")
       .agg(sort_array(collect_set($"p")).as("rem"))
     // rebuild: per-row lambda keeps tokens not covered by a removed

@@ -217,27 +217,7 @@ object TextOps {
     // pattern) and each corpus drop re-ranks against it.
     "q70_simhash_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      // 64-bit md5-derived simhash (two 32-bit digest words vote bits
-      // 0–31 and 32–63) — md5 is the hash both engines share
-      // bit-for-bit; the production variant swaps in the native
-      // simhash64 expression, same downstream plan.
-      val tok = s.read.parquet(t(dir, "documents"))
-        .select($"doc_id", explode(split($"text", " ")).as("tk"))
-      val h = tok.select($"doc_id", md5Ints4($"tk").as("hs"))
-        .select($"doc_id", element_at($"hs", 1).as("h0"),
-          element_at($"hs", 2).as("h1"))
-      val votes = (0 until 64).map { b =>
-        val src = if (b < 32) $"h0" else $"h1"
-        sum(shiftright(src, b % 32).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
-      }
-      val recomb = (0 until 64).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-      // one signature row per doc (16 bytes) — checkpointed because
-      // three consumers read it (band build + both re-rank sides);
-      // re-deriving would re-scan the token stream three times
-      val sim = h.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-        .select($"doc_id", recomb.cast("long").as("sh"))
-        .localCheckpoint(true)
+      val sim = simhash64Signatures(s, dir)
       val bandCols = array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright($"sh", b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)
       val cand = sim.select($"doc_id", explode(bandCols).as("bc"))
@@ -399,6 +379,8 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, CachedDf]()
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedDf]()
+  private val simhashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedDf]()
 
   /** dir → caller-pinned snapshot token: when present, the token IS the
     * cache fingerprint and NO file listing runs — the table-format
@@ -525,7 +507,7 @@ object TextOps {
     * rewrite a corpus in place and want storage back immediately
     * rather than at the next fingerprint miss. */
   def invalidateDir(dir: String): Unit =
-    Seq(sigCache, pairsCache).foreach { cache =>
+    Seq(sigCache, pairsCache, simhashCache).foreach { cache =>
       cache.keySet().toArray(Array.empty[String])
         .filter(_.endsWith("|" + dir))
         .foreach(k => Option(cache.remove(k)).foreach(e => releaseCheckpoint(e.df)))
@@ -649,6 +631,33 @@ object TextOps {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
+
+  /** q70's 64-bit md5-derived simhash per doc `(doc_id, sh)` — two
+    * 32-bit digest words vote bits 0–31 and 32–63 (md5 is the hash
+    * both engines share bit-for-bit; the production variant swaps in
+    * the native simhash64 expression, same downstream plan). One 16-
+    * byte row per doc, checkpointed under the shared fingerprint cache
+    * (q70 has three consumers — band build + both re-rank sides — and
+    * repeated invocations must not leak checkpoint storage; a corpus
+    * refresh releases and rebuilds, same as [[perDocSignatures]]). */
+  private def simhash64Signatures(s: SparkSession, dir: String): DataFrame =
+    cachedBuild(simhashCache, s, dir) {
+      import s.implicits._
+      val h = s.read.parquet(t(dir, "documents"))
+        .select($"doc_id", explode(split($"text", " ")).as("tk"))
+        .select($"doc_id", md5Ints4($"tk").as("hs"))
+        .select($"doc_id", element_at($"hs", 1).as("h0"),
+          element_at($"hs", 2).as("h1"))
+      val votes = (0 until 64).map { b =>
+        val src = if (b < 32) $"h0" else $"h1"
+        sum(shiftright(src, b % 32).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+      }
+      val recomb = (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      h.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+        .select($"doc_id", recomb.cast("long").as("sh"))
+        .localCheckpoint(true)
+    }
 
   def perDocSignatures(s: SparkSession, dir: String): DataFrame =
     cachedBuild(sigCache, s, dir) {

@@ -380,6 +380,12 @@ class EngineGoldenSpec extends AnyFunSuite {
     val fresh = new CrawlEngine(spark, web, cfg,
       Files.createTempDirectory("graft-cuckoo-empty").toString)
     assert(fresh.run().forall(_.admitted == 0L))
+    // numBuckets is pinned the same way: resuming with a different
+    // bucket count would remap every host's bucket (sketch blobs,
+    // politeness state, retired scoping) — fail fast, never remap
+    val rebucketed = new CrawlEngine(spark, web, cfg.copy(numBuckets = 4), dir)
+    val e = intercept[IllegalArgumentException] { rebucketed.run() }
+    assert(e.getMessage.contains("numBuckets"))
   }
 
   test("forgetUrls enables recrawl under both sketches; count and dedup stay exact") {
