@@ -85,6 +85,10 @@ object RetrievalOps {
     // (parity by construction; it only merges two buckets' doc lists).
     "q64_substring_dedup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
+      // no distinct() before the agg: cappedSortedSet collects a
+      // DISTINCT set (cap on distinct count) inside the buffer, so a
+      // separate dedup pass would add a second corpus-token-scale
+      // exchange for identical semantics
       val sh = s.read.parquet(t(dir, "documents"))
         .select($"doc_id", split($"text", " ").as("words"))
         .select($"doc_id",
@@ -92,7 +96,6 @@ object RetrievalOps {
             s"""transform(sequence(1, greatest(size(words) - ${ShingleWords - 1}, 1)),
                |  i -> cast(conv(substring(md5(array_join(slice(words, cast(i as int), $ShingleWords), ' ')), 1, 12), 16, 10) as bigint))""".stripMargin))
             .as("sg"))
-        .distinct()
       val buckets = sh.groupBy($"sg")
         .agg(TextOps.cappedSortedSet($"doc_id", BucketCap).as("docs"))
         .filter($"docs".isNotNull && size($"docs") >= 2)
@@ -147,8 +150,10 @@ object RetrievalOps {
     * form is [[graft.streaming.ScrubStore]]. */
   private[graft] def dupShingleDirectory(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cappedSortedSet dedups inside the aggregation buffer — no
+    // distinct() pass (same reasoning as q64)
     posShingles(s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
-      .select($"doc_id", $"sg").distinct()
+      .select($"doc_id", $"sg")
       .groupBy($"sg")
       .agg(TextOps.cappedSortedSet($"doc_id", BucketCap).as("docs"))
       .filter($"docs".isNotNull && size($"docs") >= 2)
