@@ -36,8 +36,9 @@ object SparkEntry {
     * near-dup detection, q71 document-atomic interleaved packing
     * (recursive-CTE oracle twin), q72 leakage-safe cluster-aware
     * split assignment, q73 exact-substring removal (per-doc
-    * rebuilt-text fingerprints), q74 BPE merge induction. Round 7
-    * also flattened the q58/q61 gate
+    * rebuilt-text fingerprints), q74 BPE merge induction, q75
+    * product-quantization codes. Round 7 also flattened the q58/q61
+    * gate
     * outputs to scalar rows (one row per segment/span, DuckDB unnest
     * twins) — the driver's hash compare requires scalar cells. */
   def oracleSql: Map[String, String] =

@@ -134,6 +134,13 @@ object VectorOps {
   val IvfProbes = sys.env.get("SPARK_GRAFT_IVF_NPROBE").map(_.toInt).getOrElse(4)
   val IvfRoundDp = 6
 
+  /** q75 product-quantization geometry: M subvector blocks of Sub dims
+    * each, K centroids per block (codes are 4×log2(16)=16 bits/vector
+    * — a 32× compression of the 64-dim float32 embedding). */
+  val PqM = 4
+  val PqSub = 16
+  val PqK = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // q67: int8 scalar quantization of the embedding column — the
@@ -366,6 +373,61 @@ object VectorOps {
     // (cid, dim, x) rows. Per iteration: one job, one scan, one k-row
     // collect. The per-iteration collect is the legitimate one the
     // round-2 verdict already blessed (k-means training state).
+    // q75: product-quantization codebooks + codes — the compression
+    // half of the IVF-PQ layout every warehouse-scale ANN index uses
+    // (Jégou, Douze & Schmid, "Product Quantization for Nearest
+    // Neighbor Search", TPAMI 2011). Each 64-dim vector splits into 4
+    // blocks of 16 dims; per block a k=16 codebook trains with q36's
+    // deterministic Lloyd machinery (evenly-spaced seeding, 2
+    // iterations, 6dp-rounded means, argmin by (c·c − 2 v·c, cid) —
+    // the proven float-parity protocol); the gate output is the
+    // INTEGER code vector only, so the hash compare never touches a
+    // float. Scale shape: training = M×iters tiny aggregates whose
+    // state is M×k×16 doubles (legitimate driver-side training state,
+    // the q36 precedent); encoding = ONE scan with M native argmin
+    // expressions — zero joins, zero shuffles, embarrassingly
+    // parallel at any corpus size.
+    "q75_pq_codes" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      import org.apache.spark.sql.graftshim.ColumnShim
+      val emb = s.read.parquet(t(dir, "embeddings"))
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      val n = emb.agg(count(lit(1))).head().getLong(0)
+      val initVids = (0 until PqK).map(i => i.toLong * n / PqK)
+      val vidVec = emb.filter($"vec_id".isin(initVids.distinct: _*))
+        .as[(Long, Seq[Double])].collect().toMap
+      def roundDp(x: Double): Double =
+        BigDecimal(x).setScale(IvfRoundDp, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      def cidOf(vcol: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+        val matrix = cents.sortBy(_._1).map(_._2.toArray).toArray
+        ColumnShim.column(graft.functions.IvfAssignExpr(
+          ColumnShim.expression(vcol), matrix))
+      }
+      val vecSum = udaf(new graft.functions.VecSumAggregator())
+      val blockCents: Seq[Seq[(Int, Seq[Double])]] = (0 until PqM).map { b =>
+        val vb = emb.select($"vec_id",
+          expr(s"slice(v, ${b * PqSub + 1}, $PqSub)").as("v"))
+        var cents: Seq[(Int, Seq[Double])] = (0 until PqK).map(i =>
+          i -> vidVec(initVids(i)).slice(b * PqSub, (b + 1) * PqSub))
+        (1 to IvfIters).foreach { _ =>
+          val sums = vb.groupBy(cidOf($"v", cents).as("cid"))
+            .agg(vecSum($"v").as("sv"), count(lit(1)).as("cnt"))
+            .as[(Int, Seq[Double], Long)].collect()
+          val means = sums.map { case (cid, sv, cnt) =>
+            cid -> sv.map(x => roundDp(x / cnt))
+          }.toMap
+          // empty cells coalesce back to the previous centroid
+          cents = cents.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
+        }
+        cents
+      }
+      val codeCols = (0 until PqM).map(b =>
+        cidOf(expr(s"slice(v, ${b * PqSub + 1}, $PqSub)"), blockCents(b))
+          .cast("long").as(s"code_$b"))
+      emb.select(($"vec_id" +: codeCols): _*).orderBy($"vec_id")
+    }),
+
     "q36_ann_ivf" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
@@ -571,6 +633,56 @@ object VectorOps {
          |  list_dot_product(v, qv)
          |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS cos
          |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+    },
+    "q75_pq_codes" -> {
+      // q36's Lloyd template, instantiated once per 16-dim block over
+      // the sliced subvector relation e<b>
+      def lloydSql(e: String, prev: String, out: String): String =
+        s"""a_$out AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT $e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY $e.vec_id ORDER BY
+           |        list_dot_product(c.cv, c.cv) - 2*list_dot_product($e.v, c.cv), c.cid) AS rn
+           |    FROM $e CROSS JOIN $prev c) t WHERE rn = 1),
+           |m_$out AS (
+           |  SELECT cid, dim, round(avg($e.v[dim]), $IvfRoundDp) AS m
+           |  FROM a_$out JOIN $e USING (vec_id)
+           |  CROSS JOIN (SELECT unnest(generate_series(1, $PqSub)) AS dim) dims
+           |  GROUP BY cid, dim),
+           |$out AS (
+           |  SELECT p.cid, coalesce(mv.cv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT cid, list(m ORDER BY dim) AS cv FROM m_$out GROUP BY cid) mv
+           |  USING (cid))""".stripMargin
+      val blocks = (0 until PqM).map { b =>
+        val e = s"e$b"
+        val iters = (1 to IvfIters).map(i =>
+          lloydSql(e, if (i == 1) s"c0_$b" else s"c${i - 1}_$b", s"c${i}_$b"))
+          .mkString(",\n")
+        s"""$e AS (SELECT vec_id, v[${b * PqSub + 1}:${(b + 1) * PqSub}] AS v FROM e),
+           |c0_$b AS (
+           |  SELECT CAST(i AS INTEGER) AS cid, $e.v AS cv
+           |  FROM ids, n, $e WHERE $e.vec_id = i * n.n // $PqK),
+           |$iters,
+           |code_$b AS (
+           |  SELECT vec_id, CAST(cid AS BIGINT) AS code FROM (
+           |    SELECT $e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY $e.vec_id ORDER BY
+           |        list_dot_product(c.cv, c.cv) - 2*list_dot_product($e.v, c.cv), c.cid) AS rn
+           |    FROM $e CROSS JOIN c${IvfIters}_$b c) t WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val joins = (0 until PqM).map(b => s"JOIN code_$b USING (vec_id)")
+        .mkString(" ")
+      val cols = (0 until PqM).map(b => s"code_$b.code AS code_$b")
+        .mkString(", ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT count(*) AS n FROM e),
+         |ids AS (SELECT unnest(generate_series(0, ${PqK - 1})) AS i),
+         |$blocks
+         |SELECT e.vec_id, $cols
+         |FROM e $joins
+         |ORDER BY e.vec_id""".stripMargin
     },
     "q36_ann_ivf" -> {
       // one Lloyd iteration as a SQL template: assign to argmin cell,

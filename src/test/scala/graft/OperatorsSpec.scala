@@ -68,6 +68,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frac("train") > 0.7, s"train fraction off: $frac")
   }
 
+  test("q75: PQ codes equal a plain-Scala per-block Lloyd recompute " +
+    "(same seeding, 2 iterations, 6dp means, (d, cid) argmin)") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val n = vecs.length.toLong
+    val byId = vecs.toMap
+    def roundDp(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def argmin(cents: IndexedSeq[Array[Double]], v: Array[Double]): Int = {
+      var best = -1; var bestD = Double.MaxValue
+      cents.indices.foreach { c =>
+        var dot = 0.0; var cc = 0.0; var i = 0
+        while (i < v.length) {
+          dot += v(i) * cents(c)(i); cc += cents(c)(i) * cents(c)(i); i += 1
+        }
+        val d = cc - 2.0 * dot
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    val blockCents = (0 until 4).map { b =>
+      def blk(v: Seq[Double]): Array[Double] =
+        v.slice(b * 16, b * 16 + 16).toArray
+      var cents: IndexedSeq[Array[Double]] =
+        (0 until 16).map(i => blk(byId(i.toLong * n / 16)))
+      (1 to 2).foreach { _ =>
+        val sums = Array.fill(16)(new Array[Double](16))
+        val cnts = new Array[Long](16)
+        vecs.foreach { case (_, v) =>
+          val bv = blk(v); val c = argmin(cents, bv)
+          (0 until 16).foreach(i => sums(c)(i) += bv(i)); cnts(c) += 1
+        }
+        cents = cents.indices.map(c =>
+          if (cnts(c) == 0) cents(c)
+          else sums(c).map(x => roundDp(x / cnts(c))))
+      }
+      cents
+    }
+    val exp = vecs.map { case (id, v) =>
+      (id, (0 until 4).map(b =>
+        argmin(blockCents(b), v.slice(b * 16, b * 16 + 16).toArray).toLong))
+    }.map { case (id, cs) => (id, cs(0), cs(1), cs(2), cs(3)) }.toSet
+    val got = SparkEntry.queries("q75_pq_codes")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === exp)
+    assert(got.flatMap(r => Seq(r._2, r._3, r._4, r._5)).forall(c =>
+      c >= 0 && c < 16))
+  }
+
   test("q74: BPE merge candidates equal a brute-force adjacent-pair " +
     "count with the (count desc, pair asc) total order") {
     import spark.implicits._

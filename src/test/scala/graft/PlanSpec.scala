@@ -220,6 +220,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p74.contains("TakeOrderedAndProject"),
       s"q74 lost its top-k plan:\n${p74.take(1500)}")
     assert(!p74.contains("Join"), s"q74 grew a join:\n${p74.take(1500)}")
+    // q75 (round 7): encoding is one scan with M native argmin
+    // expressions — no join anywhere, scan pruned to (vec_id, embedding)
+    val p75 = planOf("q75_pq_codes")
+    assert(!p75.contains("Join"), s"q75 grew a join:\n${p75.take(1500)}")
+    val rs75 = p75.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs75.contains("label"), s"q75 scan reads unused columns: $rs75")
     // q67: embeddings scan prunes to (vec_id, embedding); zero joins
     val p67 = planOf("q67_vec_quantize")
     val rs67 = p67.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
