@@ -181,6 +181,30 @@ class OperatorsSpec extends AnyFunSuite {
       h == md5hex(wordsOf(id).mkString(" ")) })
   }
 
+  test("q71: an oversized interleaved doc occupies its own window " +
+    "(the atomic-overflow branch the sf fixture never reaches)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-q71big").toString
+    val big = (1 to 3000).map(i => s"w$i").mkString(" ")
+    val small = (1 to 10).map(i => s"s$i").mkString(" ")
+    Seq((1L, big), (2L, small), (3L, small), (4L, big), (5L, small))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("q71_interleaved_pack")(spark, tmp)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._3).sorted === Array(1L, 2L, 3L, 4L, 5L))
+    val oversized = got.filter(_._6 > 2048L)
+    assert(oversized.length === 2, "both big docs must exceed capacity")
+    val byWin = got.groupBy(r => (r._1, r._2))
+    oversized.foreach { r =>
+      assert(byWin((r._1, r._2)).length === 1,
+        s"oversized doc ${r._3} shares a window")
+      // its window closes at exactly its own cost
+      assert(r._7 === r._6)
+    }
+  }
+
   test("q70: simhash Hamming pairs equal a brute-force all-pairs scan " +
     "(the 4x16-bit pigeonhole gate is exact for distance <= 3)") {
     import spark.implicits._
