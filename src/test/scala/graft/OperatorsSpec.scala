@@ -334,10 +334,14 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("every query runs at sf0.001 and returns a stable schema") {
-    // q29 intentionally crossJoin(broadcast(1-row-query-vector)) — the
-    // canonical broadcast-scalar shape; everything else must be free of
-    // quadratic join operators at EVERY data size (the 100 TB guard)
-    val crossJoinWhitelist = Set("q29_cosine_topk")
+    // broadcast-scalar whitelist: crossJoin(broadcast(<one-row agg>))
+    // plans as a BroadcastNestedLoopJoin but is O(n×1) — the canonical
+    // shape for corpus-constant state riding the plan (q29's query
+    // vector; q65's group sizing and q66's weight totals since the
+    // round-7 lazy-construction fix). Everything else must be free of
+    // quadratic join operators at EVERY data size (the 100 TB guard).
+    val crossJoinWhitelist =
+      Set("q29_cosine_topk", "q65_curriculum", "q66_temperature_mix")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       val n = df.count()
