@@ -37,9 +37,10 @@ object InterleavedOps {
   private[operators] val BlobMod = 997
 
   /** q71 packing constants: window capacity (tokens) and the flat
-    * per-media-span token budget — mirrored literally in the oracle. */
-  private[operators] val WindowTokens = 2048L
-  private[operators] val MediaTokenCost = 64L
+    * per-media-span token budget — mirrored literally in the oracle
+    * (and shared by the streaming packer). */
+  private[graft] val WindowTokens = 2048L
+  private[graft] val MediaTokenCost = 64L
 
   /** The per-chunk text-span expression (SQL fragment shared by both
     * branches of the insertion CASE). */
@@ -102,22 +103,7 @@ object InterleavedOps {
     "q71_interleaved_pack" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val costed = s.read.parquet(t(dir, "documents"))
-        .select($"doc_id",
-          PipelineOps.tokenCountCol.as("n_tokens"),
-          PipelineOps.shardKey.as("skey"))
-        .withColumn("shard", ($"skey" % 8).cast("int"))
-        // media spans of the q61 derivation, counted without building
-        // the arrays: chunks = ceil(tokens/ChunkWords), media after
-        // chunk i when (doc_id*31 + i) % InsertMod == 0 — the same
-        // rule (and constants) spanArrays applies
-        .withColumn("nch",
-          floor(($"n_tokens" + ChunkWords - 1) / ChunkWords).cast("long"))
-        .withColumn("n_media", expr(
-          s"cast(size(filter(sequence(0, nch - 1), i -> (doc_id * 31 + i) % $InsertMod = 0)) as bigint)"))
-        .withColumn("cost", $"n_tokens" + lit(MediaTokenCost) * $"n_media")
-      costed
-        .select($"shard", $"skey", $"doc_id", $"n_tokens", $"n_media", $"cost")
+      costedDocs(s.read.parquet(t(dir, "documents")))
         .repartition($"shard")
         .sortWithinPartitions($"shard", $"skey", $"doc_id")
         .as[(Int, Long, Long, Long, Long, Long)]
@@ -160,6 +146,30 @@ object InterleavedOps {
     * interleaved corpus — the single derivation shared by q62 (dedup)
     * and q69 (decode through the multimodal seam), so the two
     * consumers cannot drift from the q61 span build. */
+  /** q71's interleaved token-cost model over a `(doc_id, text, ...)`
+    * frame: `(shard, skey, doc_id, n_tokens, n_media, cost)` — text
+    * costs whitespace tokens, each media span of the q61 derivation a
+    * flat [[MediaTokenCost]]; media spans are counted without building
+    * the arrays (chunks = ceil(tokens/ChunkWords), media after chunk i
+    * when (doc_id·31 + i) % InsertMod == 0 — the same rule and
+    * constants spanArrays applies). Shared by the q71 batch gate and
+    * the streaming packer. */
+  private[graft] def costedDocs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    docs
+      .select($"doc_id",
+        PipelineOps.tokenCountCol.as("n_tokens"),
+        PipelineOps.shardKey.as("skey"))
+      .withColumn("shard", ($"skey" % 8).cast("int"))
+      .withColumn("nch",
+        floor(($"n_tokens" + ChunkWords - 1) / ChunkWords).cast("long"))
+      .withColumn("n_media", expr(
+        s"cast(size(filter(sequence(0, nch - 1), i -> (doc_id * 31 + i) % $InsertMod = 0)) as bigint)"))
+      .withColumn("cost", $"n_tokens" + lit(MediaTokenCost) * $"n_media")
+      .select($"shard", $"skey", $"doc_id", $"n_tokens", $"n_media", $"cost")
+  }
+
   private[operators] def mediaSpans(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(t(dir, "documents"))
       .selectExpr("doc_id",

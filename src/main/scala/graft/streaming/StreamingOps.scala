@@ -453,6 +453,59 @@ object StreamingOps {
       outDir, batchId)
   }
 
+  /** Stateful streaming interleaved packer — the arrival-order
+    * counterpart of the q71 batch gate: documents arrive as parquet
+    * files, each is costed with the SAME interleaved token-cost model
+    * (`InterleavedOps.costedDocs` — whitespace tokens + a flat 64 per
+    * media span), and packs greedily into its shard's CURRENT window
+    * via `flatMapGroupsWithState`. State per shard is exactly two
+    * longs `(win, fill)` — O(1) forever, the trainer-feed shape: a
+    * window can absorb documents from many micro-batches and closes
+    * only when the next doc doesn't fit (oversized docs take their own
+    * window, as in batch q71). Within a micro-batch a shard's docs
+    * pack in (skey, doc_id) order — the q71 order — so the assignment
+    * is a pure function of the batch SEQUENCE, and a checkpoint
+    * restart between batches continues the fold mid-window
+    * (StreamingSpec drives each batch through a separate start/stop).
+    * Batch q71 instead re-sorts the whole corpus per shard; the
+    * streaming contract is deliberately arrival-order (repacking
+    * history on every arrival would be neither incremental nor
+    * O(1)-state). */
+  def packStream(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val W = graft.operators.InterleavedOps.WindowTokens
+    graft.operators.InterleavedOps
+      .costedDocs(spark.readStream.schema(documentsSchema).parquet(inputDir))
+      .as[(Int, Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[(Int, Long, Long, Long, Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Long)]) =>
+          var (win, fill) = state.getOption.getOrElse((0L, 0L))
+          // fill == 0 only before the shard's first document (cost ≥ 1)
+          val out = it.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, _, docId, nTok, nMedia, cost) =>
+              if (fill == 0L) fill = cost
+              else if (fill + cost <= W) fill += cost
+              else { win += 1L; fill = cost }
+              (shard, win, docId, nTok, nMedia, cost, fill)
+          }
+          state.update((win, fill))
+          out.iterator
+      }
+      .toDF("shard", "win_id", "doc_id", "n_tokens", "n_media", "cost",
+        "fill_after")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Watermarked windowed aggregation over a parquet file stream of
     * events: count + sum(value) per (1h window, event_type). */
   def eventWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {

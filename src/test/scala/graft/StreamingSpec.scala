@@ -370,6 +370,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === before)
   }
 
+  test("streaming interleaved packer: arrival-order fold with O(1) " +
+    "per-shard state; checkpoint restart continues mid-window") {
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft-packin").toString
+    val out = Files.createTempDirectory("graft-packout").toString
+    val cp = Files.createTempDirectory("graft-packcp").toString
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(s"$in/b1.parquet")
+    def runOnce(): Unit = {
+      val q = StreamingOps.packStream(spark, s"$in/*", out, cp)
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    docs.filter($"doc_id" % 2 =!= 0).coalesce(1).write.parquet(s"$in/b2.parquet")
+    runOnce() // separate start = the fold continues from checkpointed state
+    // plain-Scala reference: the same cost model folded over the two
+    // batch sequences, each batch's shard group in (skey, doc_id) order
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val all = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    def costOf(id: Long, tx: String): (Long, Long, Long, Long, Long) = {
+      val nTok = (tx.count(_ == ' ') + 1).toLong
+      val skey = java.lang.Long.parseLong(md5hex(s"shard|$id").take(8), 16)
+      val nch = (nTok + 7) / 8
+      val nMedia = (0L until nch).count(i => (id * 31 + i) % 4 == 0).toLong
+      (skey % 8, skey, nTok, nMedia, nTok + 64L * nMedia)
+    }
+    val state = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val exp = Seq(all.filter(_._1 % 2 == 0), all.filter(_._1 % 2 != 0))
+      .flatMap { batch =>
+        batch.map { case (id, tx) => (id, costOf(id, tx)) }
+          .groupBy(_._2._1).toSeq.flatMap { case (shard, rows) =>
+            var (win, fill) = state.getOrElse(shard, (0L, 0L))
+            val packed = rows.sortBy(r => (r._2._2, r._1)).map {
+              case (id, (_, _, nt, nm, cost)) =>
+                if (fill == 0L) fill = cost
+                else if (fill + cost <= 2048L) fill += cost
+                else { win += 1L; fill = cost }
+                (shard, win, id, nt, nm, cost, fill)
+            }
+            state(shard) = (win, fill)
+            packed
+          }
+      }.toSet
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === exp)
+    // the fold genuinely crossed batches: a window holding docs of both
+    // parities can only exist if batch 2 resumed batch 1's fill state
+    val crossBatch = got.groupBy(r => (r._1, r._2)).values
+      .exists(v => v.map(_._3 % 2).size > 1)
+    assert(crossBatch, "no window spans both batches — state did not persist")
+  }
+
   test("watermarked windowed aggregation over the events file stream") {
     val cp = Files.createTempDirectory("graft-cp3").toString
     val q = StreamingOps.eventWindowCounts(spark, "/root/testdata/sf0.001")
