@@ -37,8 +37,8 @@ object SparkEntry {
     * (recursive-CTE oracle twin), q72 leakage-safe cluster-aware
     * split assignment, q73 exact-substring removal (per-doc
     * rebuilt-text fingerprints), q74 BPE merge induction, q75
-    * product-quantization codes. Round 7 also flattened the q58/q61
-    * gate
+    * product-quantization codes, q76 IVF-PQ ADC serving. Round 7 also
+    * flattened the q58/q61 gate
     * outputs to scalar rows (one row per segment/span, DuckDB unnest
     * twins) — the driver's hash compare requires scalar cells. */
   def oracleSql: Map[String, String] =

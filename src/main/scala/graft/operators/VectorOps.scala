@@ -136,10 +136,102 @@ object VectorOps {
 
   /** q75 product-quantization geometry: M subvector blocks of Sub dims
     * each, K centroids per block (codes are 4×log2(16)=16 bits/vector
-    * — a 32× compression of the 64-dim float32 embedding). */
+    * — a 32× compression of the 64-dim float32 embedding). q76's ADC
+    * query re-ranks the top [[AdcCandidates]] exactly. */
   val PqM = 4
   val PqSub = 16
   val PqK = 16
+  val AdcCandidates = 50
+
+  /** The q75/q76 PQ codebooks: per 16-dim block, k=16 centroids
+    * trained under q36's deterministic Lloyd protocol (evenly-spaced
+    * seeding, IvfIters iterations, IvfRoundDp-rounded means, (c·c −
+    * 2 v·c, cid) argmin). M×k×Sub doubles of driver-side training
+    * state — the q36 precedent. */
+  private def pqCodebooks(s: SparkSession, dir: String)
+      : Seq[Seq[(Int, Seq[Double])]] = {
+    import s.implicits._
+    val emb = s.read.parquet(t(dir, "embeddings"))
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val n = emb.agg(count(lit(1))).head().getLong(0)
+    val initVids = (0 until PqK).map(i => i.toLong * n / PqK)
+    val vidVec = emb.filter($"vec_id".isin(initVids.distinct: _*))
+      .as[(Long, Seq[Double])].collect().toMap
+    def roundDp(x: Double): Double =
+      BigDecimal(x).setScale(IvfRoundDp, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val vecSum = udaf(new graft.functions.VecSumAggregator())
+    (0 until PqM).map { b =>
+      val vb = emb.select($"vec_id",
+        expr(s"slice(v, ${b * PqSub + 1}, $PqSub)").as("v"))
+      var cents: Seq[(Int, Seq[Double])] = (0 until PqK).map(i =>
+        i -> vidVec(initVids(i)).slice(b * PqSub, (b + 1) * PqSub))
+      (1 to IvfIters).foreach { _ =>
+        val sums = vb.groupBy(pqAssign($"v", cents).as("cid"))
+          .agg(vecSum($"v").as("sv"), count(lit(1)).as("cnt"))
+          .as[(Int, Seq[Double], Long)].collect()
+        val means = sums.map { case (cid, sv, cnt) =>
+          cid -> sv.map(x => roundDp(x / cnt))
+        }.toMap
+        // empty cells coalesce back to the previous centroid
+        cents = cents.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
+      }
+      cents
+    }
+  }
+
+  /** Native argmin over a block codebook (IvfAssignExpr, codegen'd). */
+  private def pqAssign(vcol: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val matrix = cents.sortBy(_._1).map(_._2.toArray).toArray
+    ColumnShim.column(graft.functions.IvfAssignExpr(
+      ColumnShim.expression(vcol), matrix))
+  }
+
+  /** The q75/q76 shared oracle CTEs: base relations + per-block Lloyd
+    * training + final `code_<b>(vec_id, code)` assignments — q36's
+    * Lloyd SQL template instantiated per 16-dim block. */
+  private lazy val PqSqlCtes: String = {
+    def lloydSql(e: String, prev: String, out: String): String =
+      s"""a_$out AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT $e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY $e.vec_id ORDER BY
+         |        list_dot_product(c.cv, c.cv) - 2*list_dot_product($e.v, c.cv), c.cid) AS rn
+         |    FROM $e CROSS JOIN $prev c) t WHERE rn = 1),
+         |m_$out AS (
+         |  SELECT cid, dim, round(avg($e.v[dim]), $IvfRoundDp) AS m
+         |  FROM a_$out JOIN $e USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $PqSub)) AS dim) dims
+         |  GROUP BY cid, dim),
+         |$out AS (
+         |  SELECT p.cid, coalesce(mv.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY dim) AS cv FROM m_$out GROUP BY cid) mv
+         |  USING (cid))""".stripMargin
+    val blocks = (0 until PqM).map { b =>
+      val e = s"e$b"
+      val iters = (1 to IvfIters).map(i =>
+        lloydSql(e, if (i == 1) s"c0_$b" else s"c${i - 1}_$b", s"c${i}_$b"))
+        .mkString(",\n")
+      s"""$e AS (SELECT vec_id, v[${b * PqSub + 1}:${(b + 1) * PqSub}] AS v FROM e),
+         |c0_$b AS (
+         |  SELECT CAST(i AS INTEGER) AS cid, $e.v AS cv
+         |  FROM ids, n, $e WHERE $e.vec_id = i * n.n // $PqK),
+         |$iters,
+         |code_$b AS (
+         |  SELECT vec_id, CAST(cid AS BIGINT) AS code FROM (
+         |    SELECT $e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY $e.vec_id ORDER BY
+         |        list_dot_product(c.cv, c.cv) - 2*list_dot_product($e.v, c.cv), c.cid) AS rn
+         |    FROM $e CROSS JOIN c${IvfIters}_$b c) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT count(*) AS n FROM e),
+       |ids AS (SELECT unnest(generate_series(0, ${PqK - 1})) AS i),
+       |$blocks""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -389,43 +481,54 @@ object VectorOps {
     // parallel at any corpus size.
     "q75_pq_codes" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      import org.apache.spark.sql.graftshim.ColumnShim
+      val blockCents = pqCodebooks(s, dir)
+      val codeCols = (0 until PqM).map(b =>
+        pqAssign(expr(s"slice(v, ${b * PqSub + 1}, $PqSub)"), blockCents(b))
+          .cast("long").as(s"code_$b"))
+      s.read.parquet(t(dir, "embeddings"))
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .select(($"vec_id" +: codeCols): _*).orderBy($"vec_id")
+    }),
+
+    // q76: the IVF-PQ QUERY path — asymmetric distance computation
+    // (ADC, Jégou et al. §IV): the query vector builds M tiny lookup
+    // tables driver-side (lut[b][c] = c·c − 2 q_b·c — k×M doubles of
+    // query state), every vector's approximate distance is the sum of
+    // M table lookups at its PQ codes, the top-50 ADC candidates
+    // re-rank by exact cosine, top-10 out. Scale shape: ONE scan with
+    // M native argmin expressions + literal-array lookups (zero joins,
+    // zero shuffles) into a TakeOrderedAndProject(50); the exact
+    // re-rank touches 50 rows. This is how a 100 TB ANN serves a
+    // query: codes stream, floats never shuffle, exactness is
+    // restored on a candidate set that fits in one task.
+    "q76_ivfpq_adc" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val blockCents = pqCodebooks(s, dir)
       val emb = s.read.parquet(t(dir, "embeddings"))
         .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      val n = emb.agg(count(lit(1))).head().getLong(0)
-      val initVids = (0 until PqK).map(i => i.toLong * n / PqK)
-      val vidVec = emb.filter($"vec_id".isin(initVids.distinct: _*))
-        .as[(Long, Seq[Double])].collect().toMap
-      def roundDp(x: Double): Double =
-        BigDecimal(x).setScale(IvfRoundDp, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble
-      def cidOf(vcol: Column, cents: Seq[(Int, Seq[Double])]): Column = {
-        val matrix = cents.sortBy(_._1).map(_._2.toArray).toArray
-        ColumnShim.column(graft.functions.IvfAssignExpr(
-          ColumnShim.expression(vcol), matrix))
+      val qv = emb.filter($"vec_id" === 0).as[(Long, Seq[Double])].head()._2
+      def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
       }
-      val vecSum = udaf(new graft.functions.VecSumAggregator())
-      val blockCents: Seq[Seq[(Int, Seq[Double])]] = (0 until PqM).map { b =>
-        val vb = emb.select($"vec_id",
-          expr(s"slice(v, ${b * PqSub + 1}, $PqSub)").as("v"))
-        var cents: Seq[(Int, Seq[Double])] = (0 until PqK).map(i =>
-          i -> vidVec(initVids(i)).slice(b * PqSub, (b + 1) * PqSub))
-        (1 to IvfIters).foreach { _ =>
-          val sums = vb.groupBy(cidOf($"v", cents).as("cid"))
-            .agg(vecSum($"v").as("sv"), count(lit(1)).as("cnt"))
-            .as[(Int, Seq[Double], Long)].collect()
-          val means = sums.map { case (cid, sv, cnt) =>
-            cid -> sv.map(x => roundDp(x / cnt))
-          }.toMap
-          // empty cells coalesce back to the previous centroid
-          cents = cents.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
+      val luts: Seq[Seq[Double]] = (0 until PqM).map { b =>
+        val qb = qv.slice(b * PqSub, (b + 1) * PqSub)
+        blockCents(b).sortBy(_._1).map { case (_, cv) =>
+          sdot(cv, cv) - 2.0 * sdot(qb, cv)
         }
-        cents
       }
-      val codeCols = (0 until PqM).map(b =>
-        cidOf(expr(s"slice(v, ${b * PqSub + 1}, $PqSub)"), blockCents(b))
-          .cast("long").as(s"code_$b"))
-      emb.select(($"vec_id" +: codeCols): _*).orderBy($"vec_id")
+      // adc = lut0[code0] + lut1[code1] + ... in fixed block order —
+      // the same left-to-right double sum the oracle writes out
+      val adc = (0 until PqM).map { b =>
+        element_at(typedLit(luts(b)),
+          pqAssign(expr(s"slice(v, ${b * PqSub + 1}, $PqSub)"),
+            blockCents(b)) + 1)
+      }.reduce(_ + _)
+      emb.select($"vec_id", $"v", adc.as("adc"))
+        .orderBy($"adc", $"vec_id").limit(AdcCandidates)
+        .select($"vec_id", cosine($"v", typedLit(qv)).as("cos"))
+        .orderBy($"cos".desc, $"vec_id").limit(10)
     }),
 
     "q36_ann_ivf" -> ((s: SparkSession, dir: String) => {
@@ -635,54 +738,41 @@ object VectorOps {
          |FROM cand ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
     },
     "q75_pq_codes" -> {
-      // q36's Lloyd template, instantiated once per 16-dim block over
-      // the sliced subvector relation e<b>
-      def lloydSql(e: String, prev: String, out: String): String =
-        s"""a_$out AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT $e.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY $e.vec_id ORDER BY
-           |        list_dot_product(c.cv, c.cv) - 2*list_dot_product($e.v, c.cv), c.cid) AS rn
-           |    FROM $e CROSS JOIN $prev c) t WHERE rn = 1),
-           |m_$out AS (
-           |  SELECT cid, dim, round(avg($e.v[dim]), $IvfRoundDp) AS m
-           |  FROM a_$out JOIN $e USING (vec_id)
-           |  CROSS JOIN (SELECT unnest(generate_series(1, $PqSub)) AS dim) dims
-           |  GROUP BY cid, dim),
-           |$out AS (
-           |  SELECT p.cid, coalesce(mv.cv, p.cv) AS cv
-           |  FROM $prev p LEFT JOIN (
-           |    SELECT cid, list(m ORDER BY dim) AS cv FROM m_$out GROUP BY cid) mv
-           |  USING (cid))""".stripMargin
-      val blocks = (0 until PqM).map { b =>
-        val e = s"e$b"
-        val iters = (1 to IvfIters).map(i =>
-          lloydSql(e, if (i == 1) s"c0_$b" else s"c${i - 1}_$b", s"c${i}_$b"))
-          .mkString(",\n")
-        s"""$e AS (SELECT vec_id, v[${b * PqSub + 1}:${(b + 1) * PqSub}] AS v FROM e),
-           |c0_$b AS (
-           |  SELECT CAST(i AS INTEGER) AS cid, $e.v AS cv
-           |  FROM ids, n, $e WHERE $e.vec_id = i * n.n // $PqK),
-           |$iters,
-           |code_$b AS (
-           |  SELECT vec_id, CAST(cid AS BIGINT) AS code FROM (
-           |    SELECT $e.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY $e.vec_id ORDER BY
-           |        list_dot_product(c.cv, c.cv) - 2*list_dot_product($e.v, c.cv), c.cid) AS rn
-           |    FROM $e CROSS JOIN c${IvfIters}_$b c) t WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
       val joins = (0 until PqM).map(b => s"JOIN code_$b USING (vec_id)")
         .mkString(" ")
       val cols = (0 until PqM).map(b => s"code_$b.code AS code_$b")
         .mkString(", ")
-      s"""WITH e AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |n AS (SELECT count(*) AS n FROM e),
-         |ids AS (SELECT unnest(generate_series(0, ${PqK - 1})) AS i),
-         |$blocks
+      s"""WITH $PqSqlCtes
          |SELECT e.vec_id, $cols
          |FROM e $joins
          |ORDER BY e.vec_id""".stripMargin
+    },
+    "q76_ivfpq_adc" -> {
+      // per-block query LUT (k rows: c·c − 2 q_b·c), ADC = the same
+      // left-to-right 4-term double sum the Spark side emits, exact
+      // cosine re-rank of the top-50 (adc, vec_id) candidates
+      val luts = (0 until PqM).map { b =>
+        s"""lut_$b AS (
+           |  SELECT cid, list_dot_product(cv, cv)
+           |    - 2*list_dot_product(q.qv[${b * PqSub + 1}:${(b + 1) * PqSub}], cv) AS d
+           |  FROM c${IvfIters}_$b CROSS JOIN q)""".stripMargin
+      }.mkString(",\n")
+      val lutJoins = (0 until PqM).map(b =>
+        s"JOIN code_$b ON code_$b.vec_id = e.vec_id " +
+          s"JOIN lut_$b l$b ON l$b.cid = code_$b.code").mkString(" ")
+      val adcSum = (0 until PqM).map(b => s"l$b.d").mkString(" + ")
+      s"""WITH $PqSqlCtes,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |$luts,
+         |adc AS (
+         |  SELECT e.vec_id, $adcSum AS adc
+         |  FROM e $lutJoins),
+         |cand AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT $AdcCandidates)
+         |SELECT e.vec_id,
+         |  list_dot_product(e.v, q.qv)
+         |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+         |FROM cand JOIN e USING (vec_id) CROSS JOIN q
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
     },
     "q36_ann_ivf" -> {
       // one Lloyd iteration as a SQL template: assign to argmin cell,

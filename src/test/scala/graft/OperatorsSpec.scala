@@ -119,6 +119,67 @@ class OperatorsSpec extends AnyFunSuite {
       c >= 0 && c < 16))
   }
 
+  test("q76: IVF-PQ ADC query equals a plain-Scala recompute (train, " +
+    "code, LUT-sum, top-50 cut, exact re-rank)") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val n = vecs.length.toLong
+    val byId = vecs.toMap
+    def roundDp(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sdot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def argmin(cents: IndexedSeq[Seq[Double]], v: Seq[Double]): Int = {
+      var best = -1; var bestD = Double.MaxValue
+      cents.indices.foreach { c =>
+        val d = sdot(cents(c), cents(c)) - 2.0 * sdot(v, cents(c))
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    val blockCents = (0 until 4).map { b =>
+      def blk(v: Seq[Double]): Seq[Double] = v.slice(b * 16, b * 16 + 16)
+      var cents: IndexedSeq[Seq[Double]] =
+        (0 until 16).map(i => blk(byId(i.toLong * n / 16)))
+      (1 to 2).foreach { _ =>
+        val sums = Array.fill(16)(new Array[Double](16))
+        val cnts = new Array[Long](16)
+        vecs.foreach { case (_, v) =>
+          val bv = blk(v); val c = argmin(cents, bv)
+          (0 until 16).foreach(i => sums(c)(i) += bv(i)); cnts(c) += 1
+        }
+        cents = cents.indices.map(c =>
+          if (cnts(c) == 0) cents(c)
+          else sums(c).map(x => roundDp(x / cnts(c))).toSeq)
+      }
+      cents
+    }
+    val qv = byId(0L)
+    val luts = (0 until 4).map { b =>
+      val qb = qv.slice(b * 16, b * 16 + 16)
+      blockCents(b).map(cv => sdot(cv, cv) - 2.0 * sdot(qb, cv))
+    }
+    val exp = vecs.map { case (id, v) =>
+      val adc = (0 until 4).map(b =>
+        luts(b)(argmin(blockCents(b), v.slice(b * 16, b * 16 + 16))))
+        .reduce(_ + _)
+      (id, v, adc)
+    }.sortBy(r => (r._3, r._1)).take(50)
+      .map { case (id, v, _) =>
+        (id, sdot(v, qv) / (math.sqrt(sdot(v, v)) * math.sqrt(sdot(qv, qv))))
+      }.sortBy(r => (-r._2, r._1)).take(10)
+    val got = SparkEntry.queries("q76_ivfpq_adc")(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === exp)
+    assert(got.size === 10 && got.head._1 === 0L,
+      "the query vector itself should top the re-ranked list")
+  }
+
   test("q74: BPE merge candidates equal a brute-force adjacent-pair " +
     "count with the (count desc, pair asc) total order") {
     import spark.implicits._

@@ -226,6 +226,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p75.contains("Join"), s"q75 grew a join:\n${p75.take(1500)}")
     val rs75 = p75.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!rs75.contains("label"), s"q75 scan reads unused columns: $rs75")
+    // q76 (round 7): the ADC scan feeds a TakeOrderedAndProject
+    // top-50 — no join anywhere in the serving path
+    val p76 = planOf("q76_ivfpq_adc")
+    assert(!p76.contains("Join"), s"q76 grew a join:\n${p76.take(1500)}")
+    assert(p76.contains("TakeOrderedAndProject"),
+      s"q76 lost its top-k plan:\n${p76.take(1500)}")
     // q67: embeddings scan prunes to (vec_id, embedding); zero joins
     val p67 = planOf("q67_vec_quantize")
     val rs67 = p67.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
