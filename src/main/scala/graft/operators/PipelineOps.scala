@@ -120,25 +120,38 @@ object PipelineOps {
       .orderBy($"shard", $"window_id")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // near-dup clustering: connected components over the q24 LSH
-    // candidate-pair graph → one row per document with its cluster id
-    // (= min doc_id in the component), the cluster size, and the
-    // keep/drop decision (keep the canonical min-id member). This is
-    // the step that turns pairwise near-dup evidence into an actual
-    // dedup of the corpus.
-    //
-    // Algorithm: min-label propagation with POINTER DOUBLING — each
-    // iteration a node takes the min of (its label, its neighbors'
-    // labels, its label's label), so convergence is O(log diameter)
-    // rounds, not O(diameter). Each round is two shuffles on compact
-    // (id, label) pairs; the edge set comes pre-bucketed from the LSH
-    // band join (never all-pairs). localCheckpoint truncates the
-    // iterative plan lineage (on a real cluster: checkpoint to the
-    // job's reliable store). Near-dup graphs cluster tightly (dups of
-    // one source document), so rounds ≈ 2–3 in practice; the loop
-    // exits on the first fixpoint.
-    "q40_dedup_clusters" -> ((s: SparkSession, dir: String) => {
+  /** Near-dup cluster assignment, computed FRESH: connected components
+    * over the q24 LSH candidate-pair graph → one row per document with
+    * its cluster id (= min doc_id in the component), the cluster size,
+    * and the keep/drop decision (keep the canonical min-id member).
+    *
+    * Algorithm: min-label propagation with POINTER DOUBLING — each
+    * iteration a node takes the min of (its label, its neighbors'
+    * labels, its label's label), so convergence is O(log diameter)
+    * rounds, not O(diameter). Each round is two shuffles on compact
+    * (id, label) pairs; the edge set comes pre-bucketed from the LSH
+    * band join (never all-pairs). localCheckpoint truncates the
+    * iterative plan lineage (on a real cluster: checkpoint to the
+    * job's reliable store). Near-dup graphs cluster tightly (dups of
+    * one source document), so rounds ≈ 2–3 in practice; the loop
+    * exits on the first fixpoint.
+    *
+    * Prefer [[dedupClusters]]: cluster assignment is build-once/
+    * read-many state in a real pipeline (refreshed per corpus drop,
+    * not per query), so consumers route through the session cache or
+    * an attached [[ClusterStore]]. The returned plan reads the final
+    * labels checkpoint; callers that materialize the result release it
+    * via [[TextOps.releaseCheckpoint]] (the cached path and the store
+    * build both do). */
+  def dedupClustersFresh(s: SparkSession, dir: String): DataFrame =
+    assembleClusters(s, dir, fixpointLabels(s, dir))
+
+  /** The pointer-doubling fixpoint itself → the final (node, label)
+    * table, localCheckpointed. Every superseded intermediate
+    * checkpoint (edge set, earlier rounds) is released as soon as the
+    * next round materializes — the iterated state the executors pin is
+    * ONE round's labels, not the whole history. */
+  private[graft] def fixpointLabels(s: SparkSession, dir: String): DataFrame = {
       import s.implicits._
       val pairs = TextOps.lshCandidatePairs(s, dir)
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
@@ -184,10 +197,20 @@ object PipelineOps {
           case Some(v: Number) => v.longValue()
           case _ => 0L
         }
+        TextOps.releaseCheckpoint(labels) // superseded round
         labels = next
         converged = changed == 0
         rounds += 1
       }
+      TextOps.releaseCheckpoint(edges)
+      labels
+  }
+
+  /** Labels → the per-document (doc_id, cluster_id, cluster_size,
+    * keep) assignment (singletons rejoin as their own clusters). */
+  private[graft] def assembleClusters(s: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
+      import s.implicits._
       val sizes = labels.groupBy($"label".as("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
       val connected = labels.select($"node".as("doc_id"), $"label".as("cluster_id"))
@@ -198,7 +221,35 @@ object PipelineOps {
           coalesce($"cluster_id", $"doc_id").as("cluster_id"),
           coalesce($"cluster_size", lit(1L)).as("cluster_size"))
         .withColumn("keep", $"doc_id" === $"cluster_id")
-        .orderBy($"doc_id")
+  }
+
+  /** THE cluster-assignment entry point (round-7 verdict #2): an
+    * attached [[ClusterStore]] serves the persisted `(doc_id,
+    * cluster_id, cluster_size, keep)` table (the warehouse path —
+    * build once per corpus refresh, every split/rep/dedup consumer
+    * reads it); otherwise the fixpoint runs once per (session, dir,
+    * corpus version) and is shared through the session cache — q40,
+    * q59 and q72 are three consumers of one build-once artifact, the
+    * same precedent as the LSH pair graph. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    ClusterStore.attachedStore(dir) match {
+      case Some(sd) => ClusterStore.clusters(s, sd)
+      case None =>
+        TextOps.cachedClusters(s, dir) {
+          val labels = fixpointLabels(s, dir)
+          val out = assembleClusters(s, dir, labels).localCheckpoint(true)
+          TextOps.releaseCheckpoint(labels) // materialized: labels consumable
+          out
+        }
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // near-dup clustering (see dedupClustersFresh for the algorithm;
+    // this gate query is the canonical first consumer — it carries the
+    // fixpoint cost for the session, q59/q72 reuse the assignment)
+    "q40_dedup_clusters" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      dedupClusters(s, dir).orderBy($"doc_id")
     }),
 
     // deterministic stratified sampling (data mixing): keep a document
@@ -644,7 +695,7 @@ object PipelineOps {
     "q59_cluster_rep" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val clusters = queries("q40_dedup_clusters")(s, dir)
+      val clusters = dedupClusters(s, dir)
         .select($"doc_id", $"cluster_id")
       val scores = s.read.parquet(t(dir, "documents"))
         .select($"doc_id", split($"text", " ").as("ws"))
@@ -671,7 +722,7 @@ object PipelineOps {
     // is one per-row projection — ZERO additional shuffles or joins.
     "q72_split_assign" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      queries("q40_dedup_clusters")(s, dir)
+      dedupClusters(s, dir)
         .withColumn("bkt",
           conv(substring(md5(concat(lit("split|"),
             $"cluster_id".cast("string"))), 1, 8), 16, 10)

@@ -381,6 +381,11 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, CachedDf]()
   private val simhashCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedDf]()
+  // q40's cluster assignment (owned by PipelineOps, cached here so it
+  // shares the one fingerprint/invalidation/release mechanism with the
+  // other session intermediates it derives from)
+  private val clustersCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedDf]()
 
   /** dir → caller-pinned snapshot token: when present, the token IS the
     * cache fingerprint and NO file listing runs — the table-format
@@ -502,12 +507,31 @@ object TextOps {
       }).df
   }
 
+  /** Session-shared q40 cluster assignment (PipelineOps supplies the
+    * fixpoint plan; the cache materializes it once per (session, dir,
+    * corpus version) so q40/q59/q72 — three consumers of one
+    * build-once artifact — share a single computation, the same
+    * precedent as the LSH pair graph). */
+  private[operators] def cachedClusters(s: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
+    cachedBuild(clustersCache, s, dir)(build)
+
+  /** Drop and release ONLY the cluster-assignment intermediates for
+    * `dir` — the ClusterStore route-change hook (attaching a cluster
+    * store must not evict signature/pair caches that route through
+    * their own store). */
+  private[graft] def invalidateClusters(dir: String): Unit =
+    clustersCache.keySet().toArray(Array.empty[String])
+      .filter(_.endsWith("|" + dir))
+      .foreach(k =>
+        Option(clustersCache.remove(k)).foreach(e => releaseCheckpoint(e.df)))
+
   /** Drop and release every cached intermediate for `dir` (all
     * sessions). The explicit-invalidation contract for callers that
     * rewrite a corpus in place and want storage back immediately
     * rather than at the next fingerprint miss. */
   def invalidateDir(dir: String): Unit =
-    Seq(sigCache, pairsCache, simhashCache).foreach { cache =>
+    Seq(sigCache, pairsCache, simhashCache, clustersCache).foreach { cache =>
       cache.keySet().toArray(Array.empty[String])
         .filter(_.endsWith("|" + dir))
         .foreach(k => Option(cache.remove(k)).foreach(e => releaseCheckpoint(e.df)))
