@@ -288,6 +288,11 @@ object TextOps {
         .limit(100)
     }),
 
+    // q77: ITERATIVE BPE training (the q74 completion, round-7 verdict
+    // #3) — apply the top merge and recount, N times. See [[bpeTrain]]
+    // for the algorithm and scale shape.
+    "q77_bpe_train" -> ((s: SparkSession, dir: String) => bpeTrain(s, dir, 10)),
+
     // charset sniff + decode (F6): payload bytes -> detected charset +
     // decoded length, via the CharsetSniffer heuristic per partition.
     "q35_charset_decode" -> ((s: SparkSession, dir: String) => {
@@ -335,6 +340,73 @@ object TextOps {
       .select($"doc_id", $"rnk", $"term", $"tf", $"df",
         round($"tf" * log(lit(nDocs.toDouble) / $"df"), 6).as("tfidf"))
       .orderBy($"doc_id", $"rnk")
+  }
+
+  /** Iterative BPE tokenizer training (Sennrich et al., ACL 2016 —
+    * q74 counted the FIRST round's merge candidates; this applies the
+    * top merge and recounts, `nMerges` times), returning the ranked
+    * merge list `(step, pair, merged, cnt)`.
+    *
+    * Distributed shape: the working set is the DISTINCT-WORD table
+    * (word → corpus frequency — sublinear in corpus size; the standard
+    * BPE-training reduction), built from ONE corpus scan and
+    * localCheckpointed. Each merge step is then (a) one bounded hash
+    * aggregate over the vocab (adjacent-pair counts weighted by word
+    * freq, state ≤ |active symbol alphabet|²), (b) a top-1
+    * TakeOrderedAndProject collected to the driver (the merge table is
+    * the only driver state — nMerges rows), and (c) one narrow
+    * codegen'd `replace` projection applying the merge — no joins, no
+    * extra shuffles, embarrassingly parallel at any corpus size.
+    *
+    * Greedy left-to-right merge semantics ride a DOUBLE-SPACE symbol
+    * encoding: `sym = "  h  e  y  "` and merging (x, y) is the literal
+    * replace of `" x  y "` with `" xy "` — each match consumes one
+    * space of each boundary and restores it, so adjacent occurrences
+    * (`b a b a b` under merge (b,a) → `ba ba b`) merge exactly as the
+    * reference algorithm's leftmost-first scan does, in BOTH engines
+    * (Spark's non-regex StringReplace and DuckDB's literal replace
+    * share the sequential non-overlapping scan). Ties break (count
+    * desc, pair asc) — a total order, deterministic on both sides. */
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int): DataFrame = {
+    import s.implicits._
+    val vocab = s.read.parquet(t(dir, "documents"))
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), regexp_replace($"w", "(.)", " $1 "), lit(" "))
+        .as("sym"), $"freq")
+      .localCheckpoint(true)
+    var cur: DataFrame = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = cur
+        .select($"freq", split(trim($"sym"), "  ").as("syms"))
+        .filter(size($"syms") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "concat(element_at(syms, cast(i as int)), ' ', " +
+            "element_at(syms, cast(i + 1 as int))))")).as("pair"))
+        .groupBy($"pair").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"pair")
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((step.toLong, pair, top(0).getLong(1)))
+        val Array(a, b) = pair.split(" ", 2)
+        cur = cur.withColumn("sym",
+          replace($"sym", lit(s" $a  $b "), lit(s" $a$b ")))
+        step += 1
+      }
+    }
+    val out = merges.toSeq.toDF("step", "pair", "cnt")
+      .select($"step", $"pair",
+        replace($"pair", lit(" "), lit("")).as("merged"), $"cnt")
+      .orderBy($"step")
+    releaseCheckpoint(vocab)
+    out
   }
 
   /** Skew valve for every LSH bucket join: a bucket larger than this
@@ -956,6 +1028,42 @@ object TextOps {
         |            WHERE length(w) >= 2))
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100""".stripMargin,
+    // q77: the 10-step training loop UNROLLED as a chained-CTE pipeline
+    // (w0 → p1/m1/w1 → … → p10/m10): pk counts adjacent pairs of wk-1's
+    // double-space symbol encoding, mk is the deterministic top-1
+    // (count desc, pair asc), wk applies the merge via the SAME literal
+    // replace the Spark side uses — greedy-merge parity by construction.
+    "q77_bpe_train" -> {
+      val steps = (1 to 10).map { k =>
+        s"""p$k AS (
+           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(
+           |      range(1, len(string_split(trim(sym), '  '))),
+           |      i -> string_split(trim(sym), '  ')[i] || ' ' ||
+           |           string_split(trim(sym), '  ')[i + 1])) AS pair
+           |    FROM w${k - 1}) GROUP BY pair),
+           |m$k AS (
+           |  SELECT pair, cnt, string_split(pair, ' ')[1] AS a,
+           |    string_split(pair, ' ')[2] AS b
+           |  FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+           |w$k AS (
+           |  SELECT replace(sym, ' ' || a || '  ' || b || ' ',
+           |                 ' ' || a || b || ' ') AS sym, freq
+           |  FROM w${k - 1}, m$k)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 10).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, cnt FROM m$k"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH w0 AS (
+         |  SELECT ' ' || regexp_replace(w, '(.)', ' \\1 ', 'g') || ' ' AS sym,
+         |    CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) tok
+         |  WHERE length(w) >= 2 GROUP BY 1),
+         |$steps
+         |SELECT * FROM (
+         |  $union
+         |) ORDER BY step""".stripMargin
+    },
     "q34_token_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)

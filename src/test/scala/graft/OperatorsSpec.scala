@@ -203,6 +203,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size === math.min(100, counts.size) && got.nonEmpty)
   }
 
+  test("q77: iterative BPE training equals a plain-Scala reference fold " +
+    "(greedy leftmost merge application, (count desc, pair asc) selection)") {
+    import spark.implicits._
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select($"text").as[String].collect()
+      .foreach(_.split(" ", -1).filter(_.length >= 2)
+        .foreach(w => freq.update(w, freq.getOrElse(w, 0L) + 1L)))
+    var vocab: Seq[(Vector[String], Long)] =
+      freq.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val expected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    for (step <- 1 to 10) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+        }
+      }
+      val ((a, b), c) = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x + " " + y) }.head
+      expected += ((step.toLong, s"$a $b", a + b, c))
+      vocab = vocab.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2 // greedy leftmost, scan continues after
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), f)
+      }
+    }
+    val got = SparkEntry.queries("q77_bpe_train")(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got === expected.toSeq)
+    // the trained list must COMPOSE: some later merge consumes an
+    // earlier merged symbol (multi-char side), or the corpus is too
+    // degenerate for the test to mean anything
+    assert(got.exists { case (_, pair, _, _) =>
+      pair.split(" ", 2).exists(_.length > 1) })
+  }
+
   test("q73: substring scrub equals a brute-force recompute; canonical " +
     "copies and untouched docs keep their exact text") {
     import spark.implicits._
