@@ -30,10 +30,21 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Train on `embDir`/embeddings.parquet and write the index. Returns
-    * the trained centroids (cid → centroid). */
-  def build(spark: SparkSession, embDir: String, indexDir: String,
-      k: Int = 32, iters: Int = 2, roundDpDigits: Int = 6): Seq[(Int, Seq[Double])] = {
+  /** The native argmin assignment column for a trained centroid set
+    * (cids 0..k−1; matrix is cid-ordered, so the array index IS the
+    * cid). Shared with [[IvfPqIndex]]. */
+  private[operators] def cidOf(v: org.apache.spark.sql.Column,
+      cs: Seq[(Int, Seq[Double])]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.IvfAssignExpr(
+      ColumnShim.expression(v), cs.sortBy(_._1).map(_._2.toArray).toArray))
+  }
+
+  /** q36's deterministic coarse training (evenly-spaced seeding, Lloyd
+    * with one VecSumAggregator hash-agg per iteration, rounded means) —
+    * extracted so [[IvfPqIndex.build]] trains the identical quantizer. */
+  private[operators] def trainCentroids(spark: SparkSession, embDir: String,
+      k: Int, iters: Int, roundDpDigits: Int): Seq[(Int, Seq[Double])] = {
     import spark.implicits._
     val emb = spark.read.parquet(s"$embDir/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -43,25 +54,30 @@ object IvfIndex {
     val vidVec = emb.filter($"vec_id".isin(initVids.distinct: _*))
       .as[(Long, Seq[Double])].collect().toMap
     var cents: Seq[(Int, Seq[Double])] = (0 until k).map(i => i -> vidVec(initVids(i)))
-
-    def cidOf(cs: Seq[(Int, Seq[Double])]) = {
-      import org.apache.spark.sql.graftshim.ColumnShim
-      ColumnShim.column(graft.functions.IvfAssignExpr(
-        ColumnShim.expression($"v"), cs.sortBy(_._1).map(_._2.toArray).toArray))
-    }
     def roundDp(x: Double): Double =
       BigDecimal(x).setScale(roundDpDigits, BigDecimal.RoundingMode.HALF_UP).toDouble
     val vecSum = udaf(new graft.functions.VecSumAggregator())
     (1 to iters).foreach { _ =>
-      val means = emb.groupBy(cidOf(cents).as("cid"))
+      val means = emb.groupBy(cidOf($"v", cents).as("cid"))
         .agg(vecSum($"v").as("sv"), count(lit(1)).as("cnt"))
         .as[(Int, Seq[Double], Long)].collect()
         .map { case (cid, sv, cnt) => cid -> sv.map(x => roundDp(x / cnt)) }
         .toMap
       cents = cents.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
     }
+    cents
+  }
 
-    emb.select($"vec_id", $"v", cidOf(cents).as("cid"))
+  /** Train on `embDir`/embeddings.parquet and write the index. Returns
+    * the trained centroids (cid → centroid). */
+  def build(spark: SparkSession, embDir: String, indexDir: String,
+      k: Int = 32, iters: Int = 2, roundDpDigits: Int = 6): Seq[(Int, Seq[Double])] = {
+    import spark.implicits._
+    val cents = trainCentroids(spark, embDir, k, iters, roundDpDigits)
+    val emb = spark.read.parquet(s"$embDir/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+
+    emb.select($"vec_id", $"v", cidOf($"v", cents).as("cid"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(s"$indexDir/cells")
     cents.toDF("cid", "centroid")

@@ -148,7 +148,7 @@ object VectorOps {
     * seeding, IvfIters iterations, IvfRoundDp-rounded means, (c·c −
     * 2 v·c, cid) argmin). M×k×Sub doubles of driver-side training
     * state — the q36 precedent. */
-  private def pqCodebooks(s: SparkSession, dir: String)
+  private[operators] def pqCodebooks(s: SparkSession, dir: String)
       : Seq[Seq[(Int, Seq[Double])]] = {
     import s.implicits._
     val emb = s.read.parquet(t(dir, "embeddings"))
@@ -181,7 +181,7 @@ object VectorOps {
   }
 
   /** Native argmin over a block codebook (IvfAssignExpr, codegen'd). */
-  private def pqAssign(vcol: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+  private[operators] def pqAssign(vcol: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     val matrix = cents.sortBy(_._1).map(_._2.toArray).toArray
     ColumnShim.column(graft.functions.IvfAssignExpr(
