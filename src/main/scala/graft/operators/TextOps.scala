@@ -218,16 +218,7 @@ object TextOps {
     "q70_simhash_neardup" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val sim = simhash64Signatures(s, dir)
-      val bandCols = array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright($"sh", b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)
-      val cand = sim.select($"doc_id", explode(bandCols).as("bc"))
-        .select($"doc_id", $"bc.band", $"bc.chunk")
-        .groupBy($"band", $"chunk")
-        .agg(cappedSortedSet($"doc_id", MaxLshBucket).as("ids"))
-        .filter($"ids".isNotNull && size($"ids") >= 2)
-        .select(explode(bucketPairsExpr("doc_a", "doc_b")).as("p"))
-        .select($"p.doc_a", $"p.doc_b")
-        .distinct()
+      val cand = simhashCandidatePairs(sim)
       // re-rank mirrors q30's shape: the candidate set is the explicit
       // broadcast side of BOTH joins, the corpus-sized signature table
       // streams through each — nothing corpus-scale is ever built
@@ -728,32 +719,74 @@ object TextOps {
       .distinct()
   }
 
-  /** q70's 64-bit md5-derived simhash per doc `(doc_id, sh)` — two
-    * 32-bit digest words vote bits 0–31 and 32–63 (md5 is the hash
-    * both engines share bit-for-bit; the production variant swaps in
-    * the native simhash64 expression, same downstream plan). One 16-
-    * byte row per doc, checkpointed under the shared fingerprint cache
-    * (q70 has three consumers — band build + both re-rank sides — and
-    * repeated invocations must not leak checkpoint storage; a corpus
-    * refresh releases and rebuilds, same as [[perDocSignatures]]). */
+  /** q70's 64-bit md5-derived simhash `(doc_id, sh)` over an arbitrary
+    * (doc_id, text) frame — two 32-bit digest words vote bits 0–31 and
+    * 32–63 (md5 is the hash both engines share bit-for-bit; the
+    * production variant swaps in the native simhash64 expression, same
+    * downstream plan). The EXACT batch formula: the streaming gate and
+    * [[SimhashStore.build]] reuse it so stream, store, and batch agree
+    * row-for-row. */
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val h = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .select(col("doc_id"), md5Ints4(col("tk")).as("hs"))
+      .select(col("doc_id"), element_at(col("hs"), 1).as("h0"),
+        element_at(col("hs"), 2).as("h1"))
+    val votes = (0 until 64).map { b =>
+      val src = if (b < 32) col("h0") else col("h1")
+      sum(shiftright(src, b % 32).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+    }
+    val recomb = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    h.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), recomb.cast("long").as("sh"))
+  }
+
+  /** The 4×16-bit pigeonhole bands of a simhash table (Manku et al.:
+    * a Hamming-≤3 pair leaves ≥1 of 4 bands untouched, so the band
+    * join is EXACT for the ≤3 contract). Carries `sh` so a gate can
+    * popcount-re-rank without a join back. */
+  private[graft] def simhashBands(sigs: DataFrame): DataFrame = {
+    val bandCols = array((0 until 4).map(b => struct(lit(b).as("band"),
+      shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)
+    sigs.select(col("doc_id"), col("sh"), explode(bandCols).as("bc"))
+      .select(col("doc_id"), col("sh"), col("bc.band"), col("bc.chunk"))
+  }
+
+  /** Distinct simhash candidate pairs (doc_a < doc_b) via the capped
+    * bucket enumeration — the q70 gate shape, shared with the
+    * streaming within-batch gate. */
+  private[graft] def simhashCandidatePairs(sigs: DataFrame): DataFrame =
+    simhashBands(sigs)
+      .groupBy(col("band"), col("chunk"))
+      .agg(cappedSortedSet(col("doc_id"), MaxLshBucket).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(bucketPairsExpr("doc_a", "doc_b")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+
+  /** Session-cached per-corpus simhash table: an attached
+    * [[SimhashStore]] serves the persisted 8-byte signatures (the q70
+    * warehouse note, now real); otherwise computed from text and
+    * checkpointed once per (session, dir, corpus version) — q70 has
+    * three consumers (band build + both re-rank sides) and repeated
+    * invocations must not leak checkpoint storage. */
   private def simhash64Signatures(s: SparkSession, dir: String): DataFrame =
     cachedBuild(simhashCache, s, dir) {
-      import s.implicits._
-      val h = s.read.parquet(t(dir, "documents"))
-        .select($"doc_id", explode(split($"text", " ")).as("tk"))
-        .select($"doc_id", md5Ints4($"tk").as("hs"))
-        .select($"doc_id", element_at($"hs", 1).as("h0"),
-          element_at($"hs", 2).as("h1"))
-      val votes = (0 until 64).map { b =>
-        val src = if (b < 32) $"h0" else $"h1"
-        sum(shiftright(src, b % 32).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+      SimhashStore.attachedStore(dir) match {
+        case Some(sd) => SimhashStore.simhashes(s, sd)
+        case None =>
+          simhashOf(s.read.parquet(t(dir, "documents"))).localCheckpoint(true)
       }
-      val recomb = (0 until 64).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-      h.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-        .select($"doc_id", recomb.cast("long").as("sh"))
-        .localCheckpoint(true)
     }
+
+  /** Drop and release ONLY the simhash intermediates for `dir` — the
+    * SimhashStore route-change hook. */
+  private[graft] def invalidateSimhashes(dir: String): Unit =
+    simhashCache.keySet().toArray(Array.empty[String])
+      .filter(_.endsWith("|" + dir))
+      .foreach(k =>
+        Option(simhashCache.remove(k)).foreach(e => releaseCheckpoint(e.df)))
 
   def perDocSignatures(s: SparkSession, dir: String): DataFrame =
     cachedBuild(sigCache, s, dir) {

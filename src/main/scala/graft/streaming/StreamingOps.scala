@@ -240,6 +240,84 @@ object StreamingOps {
     TextOps.releaseCheckpoint(sigs)
   }
 
+  /** Incremental SimHash near-dup gate (the q70 gate as a stream;
+    * Manku et al.'s fingerprint-store design, round-7 verdict #5):
+    * each micro-batch computes its docs' 64-bit simhashes
+    * ([[graft.operators.TextOps.simhashOf]] — the exact batch
+    * formula), pigeonhole-bands them against (a) the persisted
+    * [[graft.operators.SimhashStore]] holding every previous survivor
+    * and (b) the batch itself, drops documents within Hamming ≤ 3 of
+    * a survivor, and appends the rest's signatures to the store.
+    *
+    * Drop rule (deterministic, mirrors the MinHash stream): a doc
+    * drops iff it is Hamming-≤3 of a store signature, or of a
+    * smaller-doc_id doc of its own batch — first-writer-wins across
+    * batches, min-id-wins within one. The 4×16-bit band join is EXACT
+    * for the ≤3 contract (a qualifying pair leaves ≥1 band untouched),
+    * and the popcount re-check makes the verdict exact, not
+    * candidate-approximate. State is the store itself: 8 bytes per
+    * surviving document, the cheapest dedup state a 100 TB pipeline
+    * can carry. Exactly-once via the shared `batch=<id>/` overwrite
+    * layout (a replay gates only on batches strictly before itself). */
+  def simhashDedupStream(spark: SparkSession, inputDir: String,
+      storeDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(documentsSchema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        simhashBatchApply(batch.toDF(), batchId, storeDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** One micro-batch of the simhash gate (public for retry tests). */
+  def simhashBatchApply(batch: DataFrame, batchId: Long,
+      storeDir: String): Unit = {
+    import graft.operators.TextOps
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val sigs = TextOps.simhashOf(batch.select($"doc_id", $"text"))
+      .localCheckpoint(true)
+    val shRoot = new org.apache.hadoop.fs.Path(s"$storeDir/simhashes")
+    val fs = shRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.store.PersistedStore.adoptFlat(fs, shRoot)
+    val priorBatches: Seq[Long] = graft.store.PersistedStore
+      .batchIds(spark, s"$storeDir/simhashes", before = batchId)
+    // (a) cross-batch gate: band-collide against prior survivors, then
+    // the exact popcount check — both signatures ride the band rows,
+    // so no join back to either side
+    val dropVsStore =
+      if (priorBatches.isEmpty) spark.emptyDataset[Long].toDF("doc_id")
+      else {
+        val store = spark.read.parquet(s"$storeDir/simhashes")
+          .where($"batch".isin(priorBatches: _*)) // partition-pruned
+          .drop("batch")
+        TextOps.simhashBands(sigs)
+          .join(TextOps.simhashBands(store)
+            .select($"band", $"chunk", $"sh".as("sh_prev")),
+            Seq("band", "chunk"))
+          .filter(bit_count($"sh".bitwiseXOR($"sh_prev")) <= 3)
+          .select($"doc_id").distinct()
+      }
+    // (b) within-batch gate: candidate pairs via the q70 bucket
+    // enumeration, exact popcount, min-id survivor
+    val shOf = sigs.select($"doc_id", $"sh")
+    val dropWithin = TextOps.simhashCandidatePairs(sigs)
+      .join(shOf.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
+      .join(shOf.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
+      .filter(bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+      .select($"doc_b".as("doc_id")).distinct()
+    val survivors = sigs
+      .join(dropVsStore.union(dropWithin).distinct(), Seq("doc_id"), "left_anti")
+    graft.store.PersistedStore
+      .writeBatch(survivors, s"$storeDir/simhashes", batchId)
+    TextOps.releaseCheckpoint(sigs)
+  }
+
   // ---- incremental corpus diff (the q55 operator as a stream) --------
 
   /** Build the baseline (doc_id, content-hash) index a diff stream

@@ -241,6 +241,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(SignatureStore.candidatePairs(spark, store).columns.nonEmpty)
   }
 
+  test("incremental SimHash gate: stream survivors equal the batch-semantics " +
+    "fold; cross-batch Hamming<=3 drops against the store; replay idempotent") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val sfDir = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft-shd-in").toString
+    val store = Files.createTempDirectory("graft-shd-store").toString
+    val cp = Files.createTempDirectory("graft-shd-cp").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source")
+    // golden signature map — the exact stream/store formula
+    val sh: Map[Long, Long] = TextOps.simhashOf(docs.select($"doc_id", $"text"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val b1Ids = sh.keySet.filter(_ < 250L)
+    // batch 2 = the rest + a planted EXACT dup (Hamming 0) of a batch-1
+    // doc, so a cross-batch drop is guaranteed on any fixture
+    val plantedSrc = b1Ids.min
+    val plantedText = docs.filter($"doc_id" === plantedSrc)
+      .select($"text").as[String].head()
+    docs.filter($"doc_id" < 250L).coalesce(1).write.parquet(s"$in/b1.parquet")
+    def runOnce(): Unit =
+      StreamingOps.simhashDedupStream(spark, s"$in/*", store, cp)
+        .awaitTermination()
+    runOnce()
+    // batch-semantics fold (what the stream MUST implement): within a
+    // batch any doc Hamming<=3 of a smaller-id batch doc drops; across
+    // batches a doc drops only against prior SURVIVORS
+    def foldBatch(prior: Set[Long], batch: Seq[Long],
+        shOf: Long => Long): Set[Long] = {
+      val bs = batch.sorted
+      bs.filterNot { b =>
+        bs.exists(a => a < b && ham(shOf(a), shOf(b)) <= 3) ||
+          prior.exists(sv => ham(shOf(sv), shOf(b)) <= 3)
+      }.toSet
+    }
+    def storeIds: Set[Long] = spark.read.parquet(s"$store/simhashes")
+      .select("doc_id").as[Long].collect().toSet
+    val surv1 = foldBatch(Set.empty, b1Ids.toSeq, sh)
+    assert(storeIds === surv1, "batch-1 survivors diverge from the fold")
+
+    val b2Ids = sh.keySet.filterNot(_ < 250L)
+    docs.filter($"doc_id" >= 250L)
+      .union(Seq((9999L, plantedText, "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"))
+      .coalesce(1).write.parquet(s"$in/b2.parquet")
+    runOnce()
+    val sh2 = sh + (9999L -> sh(plantedSrc))
+    val surv2 = surv1 ++ foldBatch(surv1, (b2Ids + 9999L).toSeq, sh2)
+    assert(storeIds === surv2, "batch-2 survivors diverge from the fold")
+    assert(!storeIds.contains(9999L), "planted cross-batch dup survived")
+    assert(storeIds.size < sh.size + 1, "no near-dup ever dropped — vacuous")
+
+    // replay idempotence: re-applying the last batch leaves the store
+    // row-equal (batch=1 partition overwritten, gate reads batch < 1)
+    val replay = docs.filter($"doc_id" >= 250L)
+      .union(Seq((9999L, plantedText, "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"))
+    StreamingOps.simhashBatchApply(replay, batchId = 1L, store)
+    assert(storeIds === surv2, "replayed batch changed the store")
+    // and the store's signatures equal the batch formula on survivors
+    val stored = spark.read.parquet(s"$store/simhashes")
+      .select("doc_id", "sh").as[(Long, Long)].collect().toMap
+    assert(stored === surv2.map(id => id -> sh2(id)).toMap)
+  }
+
+  test("SimhashStore attach routes q70 through the persisted signatures") {
+    import spark.implicits._
+    import graft.operators.SimhashStore
+    val sfDir = "/root/testdata/sf0.001"
+    val store = Files.createTempDirectory("graft-shd-att").toString
+    SimhashStore.build(spark, sfDir, store)
+    val fresh = SparkEntry.queries("q70_simhash_neardup")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    SimhashStore.attach(sfDir, store, snapshot = "v1")
+    try {
+      val df = SparkEntry.queries("q70_simhash_neardup")(spark, sfDir)
+      assert(df.queryExecution.analyzed.toString.contains(store) ||
+        df.queryExecution.executedPlan.toString.contains(store),
+        "attached q70 does not read the store")
+      assert(df.as[(Long, Long, Long)].collect().toSeq === fresh)
+    } finally SimhashStore.detach(sfDir)
+  }
+
   test("incremental corpus diff: batched deltas + closing deletions equal " +
     "the one-shot q55 answer; a replayed batch leaves the store row-equal") {
     import spark.implicits._
