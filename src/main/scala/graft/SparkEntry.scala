@@ -40,7 +40,9 @@ object SparkEntry {
     * product-quantization codes, q76 IVF-PQ ADC serving. Round 7 also
     * flattened the q58/q61 gate
     * outputs to scalar rows (one row per segment/span, DuckDB unnest
-    * twins) — the driver's hash compare requires scalar cells. */
+    * twins) — the driver's hash compare requires scalar cells.
+    * Round 8: q77 iterative BPE training (apply-top-merge-and-recount,
+    * unrolled chained-CTE oracle). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ CrawlQueries.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles ++ PipelineOps.oracles ++

@@ -372,16 +372,7 @@ object TextOps {
     var step = 1
     var exhausted = false
     while (step <= nMerges && !exhausted) {
-      val top = cur
-        .select($"freq", split(trim($"sym"), "  ").as("syms"))
-        .filter(size($"syms") >= 2)
-        .select($"freq", explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> " +
-            "concat(element_at(syms, cast(i as int)), ' ', " +
-            "element_at(syms, cast(i + 1 as int))))")).as("pair"))
-        .groupBy($"pair").agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"pair")
-        .limit(1).collect()
+      val top = bpeStepTop1(cur).collect()
       if (top.isEmpty) exhausted = true
       else {
         val pair = top(0).getString(0)
@@ -399,6 +390,22 @@ object TextOps {
     releaseCheckpoint(vocab)
     out
   }
+
+  /** One BPE training step's top-merge plan over the current vocab
+    * symbolization — one bounded hash aggregate into a top-1
+    * TakeOrderedAndProject (PlanSpec locks this shape: no join, no
+    * full sort shuffle). */
+  private[graft] def bpeStepTop1(cur: DataFrame): DataFrame =
+    cur
+      .select(col("freq"), split(trim(col("sym")), "  ").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> " +
+          "concat(element_at(syms, cast(i as int)), ' ', " +
+          "element_at(syms, cast(i + 1 as int))))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(1)
 
   /** Skew valve for every LSH bucket join: a bucket larger than this
     * is dropped before the self-join. A degenerate bucket (boilerplate

@@ -92,6 +92,51 @@ class CuckooSpec extends AnyFunSuite {
     }
   }
 
+  test("property: a deliberately OVER-CAP table (driven far past the 50% " +
+    "design load) never false-negatives under insert/remove interleavings") {
+    import GenCheck.forAllGen
+    import org.scalacheck.Gen
+    // the round-7 cap-degradation regime: the table is sized for 64
+    // keys and the interleaving drives thousands through it, so sticky
+    // overflow MUST fire mid-run — removes stop landing (remove
+    // returns false once overflowed, the key conservatively stays
+    // live), inserts become no-ops, and the contract that survives is
+    // exactly the engine's: every key inserted and not successfully
+    // removed still probes true, before, across, and after the
+    // degradation point.
+    val opsGen = for {
+      pool <- Gen.listOfN(4000, Gen.long)
+      ops <- Gen.listOfN(6000, Gen.zip(Gen.choose(0, 3999), Gen.prob(0.25)))
+    } yield (pool, ops)
+    forAllGen(opsGen, n = 20) { case (pool, ops) =>
+      val f = Cuckoo.sizeFor(64) // deliberately over-cap for this drive
+      val live = scala.collection.mutable.Set.empty[Long]
+      var degradedAt = -1
+      ops.zipWithIndex.foreach { case ((ki, wantRemove), i) =>
+        val k = pool(ki)
+        if (wantRemove && live(k)) {
+          val did = Cuckoo.remove(f, k)
+          if (did) live -= k // un-removed keys stay live (conservative)
+          else assert(Cuckoo.overflowed(f),
+            s"remove of live $k failed on a non-degraded table")
+        } else if (!live(k)) {
+          Cuckoo.add(f, k)
+          live += k
+        }
+        if (degradedAt < 0 && Cuckoo.overflowed(f)) {
+          degradedAt = i
+          // the degradation boundary itself must not lose anything
+          live.foreach(x => assert(Cuckoo.mightContain(f, x),
+            s"lost $x at the degradation point"))
+        }
+      }
+      assert(degradedAt >= 0,
+        "drive never degraded the over-cap table — the property is vacuous")
+      live.foreach(k => assert(Cuckoo.mightContain(f, k),
+        s"false negative $k on the degraded table"))
+    }
+  }
+
   test("overflow is sticky and degrades to always-true (no false negatives ever)") {
     val f = Cuckoo.sizeFor(64) // tiny table
     val ks = keys(20000, 6L)

@@ -220,6 +220,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p74.contains("TakeOrderedAndProject"),
       s"q74 lost its top-k plan:\n${p74.take(1500)}")
     assert(!p74.contains("Join"), s"q74 grew a join:\n${p74.take(1500)}")
+    // q77 (round 8): each BPE training step is one bounded hash agg
+    // into a top-1 TakeOrderedAndProject — no join, no full sort
+    // shuffle (the gate's OUTPUT is a driver-built merge list, so the
+    // lock sits on the step plan the training loop actually runs)
+    locally {
+      import spark.implicits._
+      val vocabLike = Seq(("  a  b  c  ", 3L), ("  b  c  ", 2L))
+        .toDF("sym", "freq")
+      val p77 = graft.operators.TextOps.bpeStepTop1(vocabLike)
+        .queryExecution.executedPlan.toString
+      assert(p77.contains("TakeOrderedAndProject"),
+        s"q77 step lost its top-1 plan:\n${p77.take(1500)}")
+      assert(!p77.contains("Join"), s"q77 step grew a join:\n${p77.take(1500)}")
+      assert(p77.contains("HashAggregate"),
+        s"q77 step lost map-side partial aggregation:\n${p77.take(1500)}")
+    }
     // q75 (round 7): encoding is one scan with M native argmin
     // expressions — no join anywhere, scan pruned to (vec_id, embedding)
     val p75 = planOf("q75_pq_codes")
