@@ -284,6 +284,11 @@ object TextOps {
     // for the algorithm and scale shape.
     "q77_bpe_train" -> ((s: SparkSession, dir: String) => bpeTrain(s, dir, 10)),
 
+    // q78: encode under the TRAINED tokenizer — per-doc token totals
+    // after applying q77's ranked merges. See [[bpeEncodeCounts]].
+    "q78_bpe_encode" -> ((s: SparkSession, dir: String) =>
+      bpeEncodeCounts(s, dir, 10)),
+
     // charset sniff + decode (F6): payload bytes -> detected charset +
     // decoded length, via the CharsetSniffer heuristic per partition.
     "q35_charset_decode" -> ((s: SparkSession, dir: String) => {
@@ -389,6 +394,36 @@ object TextOps {
       .orderBy($"step")
     releaseCheckpoint(vocab)
     out
+  }
+
+  /** Per-document token counts under the TRAINED tokenizer — the
+    * apply side of [[bpeTrain]] and the op a token-budgeting pipeline
+    * actually runs (q56's budgets, q54's packing and q66's mixing all
+    * consume token counts; a trained tokenizer's counts are the real
+    * ones). Trains the ranked merge list (nMerges tiny aggregates),
+    * then ONE corpus scan: explode words, symbolize, apply the merges
+    * as nMerges chained codegen'd literal replaces (training-order
+    * apply ≡ the training loop's own vocab evolution, so a trained
+    * word's encoding is exactly its `w_n` symbolization), count
+    * symbols, sum per doc — one hash aggregate on doc_id, no joins,
+    * driver state = the merge list. */
+  def bpeEncodeCounts(s: SparkSession, dir: String, nMerges: Int): DataFrame = {
+    import s.implicits._
+    val merges = bpeTrain(s, dir, nMerges).select($"pair").as[String].collect()
+    val encoded0 = concat(lit(" "),
+      regexp_replace($"w", "(.)", " $1 "), lit(" "))
+    val applied = merges.foldLeft(encoded0) { (c, pair) =>
+      val Array(a, b) = pair.split(" ", 2)
+      replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    s.read.parquet(t(dir, "documents"))
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .select($"doc_id",
+        size(split(trim(applied), "  ")).cast("long").as("wt"))
+      .groupBy($"doc_id")
+      .agg(sum($"wt").as("n_bpe_tokens"), count(lit(1)).as("n_words"))
+      .orderBy($"doc_id")
   }
 
   /** One BPE training step's top-merge plan over the current vocab
@@ -921,6 +956,36 @@ object TextOps {
 
   val rollingHashUdf = udf { (s: String) => rollingHash(s) }
 
+  /** The shared q77/q78 oracle training chain: `w0` (distinct-word
+    * vocab, double-space symbolized) then `p_k/m_k/w_k` per merge step
+    * — pair counts, deterministic top-1, literal-replace application.
+    * q77 reads the m-chain; q78 additionally applies it per document. */
+  private def bpeTrainCtes(n: Int): String = {
+    val steps = (1 to n).map { k =>
+      s"""p$k AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(
+         |      range(1, len(string_split(trim(sym), '  '))),
+         |      i -> string_split(trim(sym), '  ')[i] || ' ' ||
+         |           string_split(trim(sym), '  ')[i + 1])) AS pair
+         |    FROM w${k - 1}) GROUP BY pair),
+         |m$k AS (
+         |  SELECT pair, cnt, string_split(pair, ' ')[1] AS a,
+         |    string_split(pair, ' ')[2] AS b
+         |  FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+         |w$k AS (
+         |  SELECT replace(sym, ' ' || a || '  ' || b || ' ',
+         |                 ' ' || a || b || ' ') AS sym, freq
+         |  FROM w${k - 1}, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', ' \\1 ', 'g') || ' ' AS sym,
+       |    CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) tok
+       |  WHERE length(w) >= 2 GROUP BY 1),
+       |$steps""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->
       """WITH d AS (SELECT lang,
@@ -1074,35 +1139,37 @@ object TextOps {
     // (count desc, pair asc), wk applies the merge via the SAME literal
     // replace the Spark side uses — greedy-merge parity by construction.
     "q77_bpe_train" -> {
-      val steps = (1 to 10).map { k =>
-        s"""p$k AS (
-           |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT freq, unnest(list_transform(
-           |      range(1, len(string_split(trim(sym), '  '))),
-           |      i -> string_split(trim(sym), '  ')[i] || ' ' ||
-           |           string_split(trim(sym), '  ')[i + 1])) AS pair
-           |    FROM w${k - 1}) GROUP BY pair),
-           |m$k AS (
-           |  SELECT pair, cnt, string_split(pair, ' ')[1] AS a,
-           |    string_split(pair, ' ')[2] AS b
-           |  FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
-           |w$k AS (
-           |  SELECT replace(sym, ' ' || a || '  ' || b || ' ',
-           |                 ' ' || a || b || ' ') AS sym, freq
-           |  FROM w${k - 1}, m$k)""".stripMargin
-      }.mkString(",\n")
       val union = (1 to 10).map { k =>
         s"SELECT CAST($k AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, cnt FROM m$k"
       }.mkString("\n  UNION ALL ")
-      s"""WITH w0 AS (
-         |  SELECT ' ' || regexp_replace(w, '(.)', ' \\1 ', 'g') || ' ' AS sym,
-         |    CAST(COUNT(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) tok
-         |  WHERE length(w) >= 2 GROUP BY 1),
-         |$steps
+      s"""WITH ${bpeTrainCtes(10)}
          |SELECT * FROM (
          |  $union
          |) ORDER BY step""".stripMargin
+    },
+
+    // q78: encode under the TRAINED tokenizer — the same m1..m10 merge
+    // chain applied per document word (sequential literal replaces, the
+    // training-order apply that reproduces w10's symbolization exactly),
+    // then per-doc token totals.
+    "q78_bpe_encode" -> {
+      val applies = (1 to 10).map { k =>
+        s"""e$k AS (
+           |  SELECT doc_id, replace(sym, ' ' || m$k.a || '  ' || m$k.b || ' ',
+           |                 ' ' || m$k.a || m$k.b || ' ') AS sym
+           |  FROM e${k - 1}, m$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bpeTrainCtes(10)},
+         |e0 AS (
+         |  SELECT doc_id, ' ' || regexp_replace(w, '(.)', ' \\1 ', 'g') || ' ' AS sym
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents) tok
+         |  WHERE length(w) > 0),
+         |$applies
+         |SELECT doc_id,
+         |  CAST(SUM(len(string_split(trim(sym), '  '))) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words
+         |FROM e10 GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q34_token_bpe" ->
       """SELECT doc_id,

@@ -246,6 +246,61 @@ class OperatorsSpec extends AnyFunSuite {
       pair.split(" ", 2).exists(_.length > 1) })
   }
 
+  test("q78: trained-tokenizer encode equals a plain-Scala apply of the " +
+    "reference merge list (and is never coarser than chars or finer than words)") {
+    import spark.implicits._
+    // reference merges — the same fold the q77 golden validates
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    docs.foreach(_._2.split(" ", -1).filter(_.length >= 2)
+      .foreach(w => freq.update(w, freq.getOrElse(w, 0L) + 1L)))
+    var vocab: Seq[(Vector[String], Long)] =
+      freq.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to 10) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+        }
+      }
+      val ((a, b), _) = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x + " " + y) }.head
+      merges += ((a, b))
+      vocab = vocab.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+    }
+    // reference encode: every word (incl. single-char words the
+    // training vocab excludes), merges applied in training order
+    val expected = docs.map { case (id, text) =>
+      val words = text.split(" ", -1).filter(_.nonEmpty)
+      val toks = words.map { w =>
+        merges.foldLeft(w.map(_.toString).toVector) {
+          case (syms, (a, b)) => applyMerge(syms, a, b)
+        }.length.toLong
+      }.sum
+      (id, toks, words.length.toLong)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q78_bpe_encode")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // sanity bounds: tokens never exceed chars-per-word sum, never
+    // fall below word count, and SOME doc actually compressed
+    assert(got.forall { case (_, t, w) => t >= w })
+    assert(got.exists { case (id, t, _) =>
+      t < docs.find(_._1 == id).get._2.count(_ != ' ') })
+  }
+
   test("q73: substring scrub equals a brute-force recompute; canonical " +
     "copies and untouched docs keep their exact text") {
     import spark.implicits._
