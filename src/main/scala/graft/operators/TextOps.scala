@@ -365,6 +365,40 @@ object TextOps {
     * desc, pair asc) — a total order, deterministic on both sides. */
   def bpeTrain(s: SparkSession, dir: String, nMerges: Int): DataFrame = {
     import s.implicits._
+    trainedMerges(s, dir, nMerges).toDF("step", "pair", "cnt")
+      .select($"step", $"pair",
+        replace($"pair", lit(" "), lit("")).as("merged"), $"cnt")
+      .orderBy($"step")
+  }
+
+  /** The trained merge list is BUILD-ONCE state (like the cluster
+    * assignment): q77 (the ranked list) and q78 (the encode) are two
+    * consumers of one training run, so it caches per (session, dir,
+    * corpus version, n) under the same fingerprint discipline as the
+    * DataFrame intermediates. The cached value is nMerges driver-side
+    * tuples — no executor storage to release. */
+  private val bpeMergesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(Long, String, Long)])]()
+
+  private def trainedMerges(s: SparkSession, dir: String,
+      nMerges: Int): Seq[(Long, String, Long)] = {
+    val key = sessionKey(s) + "|" + dir + "|" + nMerges
+    val fp = snapshotFor.get(dir) match {
+      case null => fingerprint(s, t(dir, "documents"))
+      case tok  => "snap:" + tok
+    }
+    val hit = bpeMergesCache.get(key)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val m = trainMergesUncached(s, dir, nMerges)
+      bpeMergesCache.put(key, (fp, m))
+      m
+    }
+  }
+
+  private def trainMergesUncached(s: SparkSession, dir: String,
+      nMerges: Int): Seq[(Long, String, Long)] = {
+    import s.implicits._
     val vocab = s.read.parquet(t(dir, "documents"))
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") >= 2)
@@ -388,12 +422,8 @@ object TextOps {
         step += 1
       }
     }
-    val out = merges.toSeq.toDF("step", "pair", "cnt")
-      .select($"step", $"pair",
-        replace($"pair", lit(" "), lit("")).as("merged"), $"cnt")
-      .orderBy($"step")
     releaseCheckpoint(vocab)
-    out
+    merges.toSeq
   }
 
   /** Per-document token counts under the TRAINED tokenizer — the
@@ -409,7 +439,7 @@ object TextOps {
     * driver state = the merge list. */
   def bpeEncodeCounts(s: SparkSession, dir: String, nMerges: Int): DataFrame = {
     import s.implicits._
-    val merges = bpeTrain(s, dir, nMerges).select($"pair").as[String].collect()
+    val merges = trainedMerges(s, dir, nMerges).map(_._2)
     val encoded0 = concat(lit(" "),
       regexp_replace($"w", "(.)", " $1 "), lit(" "))
     val applied = merges.foldLeft(encoded0) { (c, pair) =>
