@@ -236,6 +236,16 @@ class PlanSpec extends AnyFunSuite {
       assert(p77.contains("HashAggregate"),
         s"q77 step lost map-side partial aggregation:\n${p77.take(1500)}")
     }
+    // q78 (round 8): trained-tokenizer encode — one scan + chained
+    // literal replaces + one doc_id hash agg; no join, scan pruned to
+    // (doc_id, text)
+    val p78 = planOf("q78_bpe_encode")
+    assert(!p78.contains("Join"), s"q78 grew a join:\n${p78.take(1500)}")
+    assert(p78.contains("HashAggregate"),
+      s"q78 lost map-side partial aggregation:\n${p78.take(1500)}")
+    val rs78 = p78.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!rs78.contains("lang") && !rs78.contains("source"),
+      s"q78 scan reads unused columns: $rs78")
     // q75 (round 7): encoding is one scan with M native argmin
     // expressions — no join anywhere, scan pruned to (vec_id, embedding)
     val p75 = planOf("q75_pq_codes")
