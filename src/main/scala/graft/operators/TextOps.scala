@@ -615,7 +615,14 @@ object TextOps {
   private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
+        // a cache entry can outlive its session (fresh-session A/Bs,
+        // teardown-then-attach sequences): unpersisting on a stopped
+        // SparkContext NPEs in the block-manager RPC — and the blocks
+        // died with their executors anyway, so there is nothing left
+        // to release
+        if (!l.rdd.sparkContext.isStopped)
+          try l.rdd.unpersist(blocking = false)
+          catch { case _: Exception => () }
       case _ => ()
     }
 

@@ -307,6 +307,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored === surv2.map(id => id -> sh2(id)).toMap)
   }
 
+  test("simhash gate adopts a pre-existing FLAT SimhashStore as batch=-1 " +
+    "and gates against it") {
+    import spark.implicits._
+    import graft.operators.SimhashStore
+    val corpus = Files.createTempDirectory("graft-shd-flat-src").toString
+    val store = Files.createTempDirectory("graft-shd-flat").toString
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val tC = "quark lepton boson gluon photon meson baryon hadron spin charm " * 8
+    Seq((1L, tA, "en", "web"), (3L, tC, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$corpus/documents.parquet")
+    SimhashStore.build(spark, corpus, store) // FLAT layout
+    // batch 0: doc 4 is an exact dup of the flat store's tA (Hamming 0)
+    // — must drop against the ADOPTED batch=-1 partition; doc 5 is new
+    StreamingOps.simhashBatchApply(
+      Seq((4L, tA, "en", "web"), (5L, "omega psi chi " * 20, "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"),
+      batchId = 0L, store)
+    val ids = spark.read.parquet(s"$store/simhashes")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L, 5L),
+      s"flat store not adopted / gate missed the dup: $ids")
+    // the adopted layout is batch-partitioned and stays readable
+    val batches = spark.read.parquet(s"$store/simhashes")
+      .select("batch").distinct().as[Long].collect().toSet
+    assert(batches === Set(-1L, 0L), s"unexpected batch layout: $batches")
+  }
+
   test("SimhashStore attach routes q70 through the persisted signatures") {
     import spark.implicits._
     import graft.operators.SimhashStore
