@@ -289,6 +289,25 @@ object TextOps {
     "q78_bpe_encode" -> ((s: SparkSession, dir: String) =>
       bpeEncodeCounts(s, dir, 10)),
 
+    // q79: corpus-trained character-trigram LM scoring — the
+    // perplexity-proxy quality filter (the CCNet/Gopher recipe scores
+    // documents under a small LM and drops the tail; with no external
+    // model in a hermetic pipeline, the LM is trained on the corpus
+    // itself and outliers score low). Model: P(c3 | c1c2) by exact
+    // counts; a document's score is the SUM of per-trigram
+    // log-probabilities in integer MICRO-NATS — each term is
+    // round(ln(cnt3/cnt2)·1e6) as a BIGINT, so the per-doc sum is
+    // order-free exact integer arithmetic (a raw double sum would be
+    // aggregation-order-dependent and could flip a 6 dp hash; ln-ulp
+    // differences between engines sit ~10 orders below the rounding
+    // grid). Scale shape: the model is bounded vocabulary state
+    // (≤ |charset|³ rows — broadcast-scale); training is one trigram
+    // hash agg; scoring is one scan + a broadcast join + a long-sum
+    // agg whose shuffle carries (doc_id, two longs). See
+    // [[charLmScores]].
+    "q79_charlm_score" -> ((s: SparkSession, dir: String) =>
+      charLmScores(s, dir)),
+
     // charset sniff + decode (F6): payload bytes -> detected charset +
     // decoded length, via the CharsetSniffer heuristic per partition.
     "q35_charset_decode" -> ((s: SparkSession, dir: String) => {
@@ -453,6 +472,39 @@ object TextOps {
         size(split(trim(applied), "  ")).cast("long").as("wt"))
       .groupBy($"doc_id")
       .agg(sum($"wt").as("n_bpe_tokens"), count(lit(1)).as("n_words"))
+      .orderBy($"doc_id")
+  }
+
+  /** q79: per-document character-trigram LM scores. Two aggregates
+    * (trigram counts; bigram-prefix totals derived from them) train
+    * the model; scoring joins each document's trigrams to the
+    * BROADCAST model and sums integer micro-nats — exact, order-free.
+    * Output: (doc_id, n_trigrams, total_micro_nats). Documents shorter
+    * than one trigram score (0, 0). */
+  def charLmScores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(t(dir, "documents"))
+    val tris = docs
+      .filter(length($"text") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text) - 2), " +
+          "i -> substring(text, cast(i as int), 3))")).as("tri"))
+    val t3 = tris.groupBy($"tri").agg(count(lit(1)).as("cnt3"))
+    val t2 = t3.groupBy(substring($"tri", 1, 2).as("big"))
+      .agg(sum($"cnt3").as("cnt2"))
+    val model = t3.join(t2, substring($"tri", 1, 2) === $"big")
+      .select($"tri",
+        round(log($"cnt3".cast("double") / $"cnt2".cast("double")) * 1e6, 0)
+          .cast("long").as("micro_nats"))
+    val scored = tris.join(broadcast(model), "tri")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum($"micro_nats").as("total_micro_nats"))
+    docs.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_trigrams", lit(0L)).as("n_trigrams"),
+        coalesce($"total_micro_nats", lit(0L)).as("total_micro_nats"))
       .orderBy($"doc_id")
   }
 
@@ -1170,6 +1222,30 @@ object TextOps {
         |            WHERE length(w) >= 2))
         |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
         |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100""".stripMargin,
+    // q79: trigram LM scoring — identical count model + the same
+    // integer micro-nat term, so the per-doc sums compare exactly.
+    "q79_charlm_score" ->
+      """WITH trs AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+        |    i -> substr(text, CAST(i AS INTEGER), 3))) AS tri
+        |  FROM documents WHERE length(text) >= 3),
+        |t3 AS (SELECT tri, COUNT(*) AS cnt3 FROM trs GROUP BY tri),
+        |t2 AS (SELECT substr(tri, 1, 2) AS big, SUM(cnt3) AS cnt2
+        |       FROM t3 GROUP BY 1),
+        |model AS (
+        |  SELECT tri, CAST(round(ln(CAST(cnt3 AS DOUBLE) / CAST(cnt2 AS DOUBLE))
+        |    * 1e6) AS BIGINT) AS micro_nats
+        |  FROM t3 JOIN t2 ON substr(t3.tri, 1, 2) = t2.big),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(micro_nats) AS BIGINT) AS total_micro_nats
+        |  FROM trs JOIN model USING (tri) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_trigrams, CAST(0 AS BIGINT)) AS n_trigrams,
+        |  COALESCE(sc.total_micro_nats, CAST(0 AS BIGINT)) AS total_micro_nats
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // q77: the 10-step training loop UNROLLED as a chained-CTE pipeline
     // (w0 → p1/m1/w1 → … → p10/m10): pk counts adjacent pairs of wk-1's
     // double-space symbol encoding, mk is the deterministic top-1

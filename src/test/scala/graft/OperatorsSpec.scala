@@ -301,6 +301,38 @@ class OperatorsSpec extends AnyFunSuite {
       t < docs.find(_._1 == id).get._2.count(_ != ' ') })
   }
 
+  test("q79: trigram-LM scores equal a plain-Scala recompute " +
+    "(exact integer micro-nats, order-free)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def trigrams(t: String): Seq[String] =
+      if (t.length < 3) Nil else (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    val cnt3 = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, t) =>
+      trigrams(t).foreach(g => cnt3.update(g, cnt3.getOrElse(g, 0L) + 1L))
+    }
+    val cnt2 = cnt3.groupBy(_._1.substring(0, 2)).map { case (b, m) =>
+      b -> m.values.sum
+    }
+    def micro(g: String): Long =
+      BigDecimal(math.log(cnt3(g).toDouble / cnt2(g.substring(0, 2)).toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = docs.map { case (id, t) =>
+      val gs = trigrams(t)
+      (id, gs.length.toLong, gs.map(micro).sum)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("q79_charlm_score")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // log-probs are non-positive; a corpus-trained LM must separate
+    // documents (not everything scores identically per trigram)
+    assert(got.forall(_._3 <= 0L))
+    val avgs = got.filter(_._2 > 0).map(r => r._3.toDouble / r._2)
+    assert(avgs.max - avgs.min > 1e5,
+      "no per-doc separation — the score is degenerate")
+  }
+
   test("q73: substring scrub equals a brute-force recompute; canonical " +
     "copies and untouched docs keep their exact text") {
     import spark.implicits._
