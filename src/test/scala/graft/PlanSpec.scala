@@ -246,6 +246,14 @@ class PlanSpec extends AnyFunSuite {
     val rs78 = p78.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!rs78.contains("lang") && !rs78.contains("source"),
       s"q78 scan reads unused columns: $rs78")
+    // q79 (round 8): the scoring join must broadcast the bounded-
+    // vocabulary model — a sort-merge join would shuffle the corpus's
+    // trigram rows on a string key
+    val p79 = planOf("q79_charlm_score")
+    assert(p79.contains("BroadcastHashJoin"),
+      s"q79 lost its broadcast model join:\n${p79.take(1500)}")
+    assert(!p79.contains("SortMergeJoin"),
+      s"q79 shuffles the corpus trigrams:\n${p79.take(1500)}")
     // q75 (round 7): encoding is one scan with M native argmin
     // expressions — no join anywhere, scan pruned to (vec_id, embedding)
     val p75 = planOf("q75_pq_codes")
