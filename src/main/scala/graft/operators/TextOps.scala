@@ -484,29 +484,52 @@ object TextOps {
   def charLmScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = s.read.parquet(t(dir, "documents"))
-    val tris = docs
-      .filter(length($"text") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, length(text) - 2), " +
-          "i -> substring(text, cast(i as int), 3))")).as("tri"))
-    val t3 = tris.groupBy($"tri").agg(count(lit(1)).as("cnt3"))
-    val t2 = t3.groupBy(substring($"tri", 1, 2).as("big"))
-      .agg(sum($"cnt3").as("cnt2"))
-    val model = t3.join(t2, substring($"tri", 1, 2) === $"big")
-      .select($"tri",
-        round(log($"cnt3".cast("double") / $"cnt2".cast("double")) * 1e6, 0)
-          .cast("long").as("micro_nats"))
-    val scored = tris.join(broadcast(model), "tri")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_trigrams"),
-        sum($"micro_nats").as("total_micro_nats"))
     docs.select($"doc_id")
-      .join(scored, Seq("doc_id"), "left")
+      .join(lmScoreAgainst(docs, lmModel(docs)).drop("n_unknown"),
+        Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_trigrams", lit(0L)).as("n_trigrams"),
         coalesce($"total_micro_nats", lit(0L)).as("total_micro_nats"))
       .orderBy($"doc_id")
   }
+
+  /** Per-doc character trigrams of a (doc_id, text) frame. */
+  private def docTrigrams(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(text) - 2), " +
+          "i -> substring(text, cast(i as int), 3))")).as("tri"))
+
+  /** Train the trigram LM: (tri, micro_nats) where micro_nats =
+    * round(ln(cnt3/cnt2)·1e6) — the exact q79 term. Bounded
+    * vocabulary state (≤ |charset|³ rows); the model a pipeline
+    * persists once per corpus refresh ([[LmStore]]). */
+  def lmModel(docs: DataFrame): DataFrame = {
+    val t3 = docTrigrams(docs).groupBy(col("tri"))
+      .agg(count(lit(1)).as("cnt3"))
+    val t2 = t3.groupBy(substring(col("tri"), 1, 2).as("big"))
+      .agg(sum(col("cnt3")).as("cnt2"))
+    t3.join(t2, substring(col("tri"), 1, 2) === col("big"))
+      .select(col("tri"),
+        round(log(col("cnt3").cast("double") / col("cnt2").cast("double")) * 1e6, 0)
+          .cast("long").as("micro_nats"))
+  }
+
+  /** Score (doc_id, text) rows against a trained model: per doc the
+    * count and micro-nat sum of KNOWN trigrams plus the unknown-
+    * trigram count (a stream scores NEW documents, whose trigrams the
+    * corpus-trained model may not contain — unknowns are reported,
+    * not silently dropped). Docs with no trigrams at all are absent
+    * from the output (callers zero-fill as their semantics demand). */
+  def lmScoreAgainst(docs: DataFrame, model: DataFrame): DataFrame =
+    docTrigrams(docs)
+      .join(broadcast(model), Seq("tri"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("micro_nats")).as("n_trigrams"),
+        coalesce(sum(col("micro_nats")), lit(0L)).as("total_micro_nats"),
+        sum(when(col("micro_nats").isNull, 1L).otherwise(0L)).as("n_unknown"))
 
   /** One BPE training step's top-merge plan over the current vocab
     * symbolization — one bounded hash aggregate into a top-1

@@ -531,6 +531,42 @@ object StreamingOps {
       outDir, batchId)
   }
 
+  /** Streaming LM quality scoring (q79 per micro-batch): documents
+    * arrive as parquet files; each batch's trigrams broadcast-join the
+    * persisted [[graft.operators.LmStore]] trigram model and per-doc
+    * verdicts `(doc_id, n_trigrams, total_micro_nats, n_unknown)`
+    * land in `<outDir>/batch=<id>/`. Verdicts depend only on the
+    * doc's own text and the model version, so results are
+    * batch-invariant; trigrams the reference-corpus model has never
+    * seen are COUNTED (`n_unknown`), not silently dropped — the
+    * honest OOV semantics a drifting ingest stream needs.
+    * Exactly-once by the shared batch-owned-subdirectory overwrite. */
+  def lmScoreStream(spark: SparkSession, inputDir: String,
+      storeDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(documentsSchema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        lmScoreBatchApply(batch.toDF(), batchId, storeDir, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** One micro-batch of [[lmScoreStream]] (public for retry tests). */
+  def lmScoreBatchApply(batch: DataFrame, batchId: Long,
+      storeDir: String, outDir: String): Unit = {
+    import graft.operators.{LmStore, TextOps}
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.store.PersistedStore.writeBatch(
+      TextOps.lmScoreAgainst(batch.select($"doc_id", $"text"),
+        LmStore.model(spark, storeDir)),
+      outDir, batchId)
+  }
+
   /** Stateful streaming interleaved packer — the arrival-order
     * counterpart of the q71 batch gate: documents arrive as parquet
     * files, each is costed with the SAME interleaved token-cost model

@@ -335,6 +335,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches === Set(-1L, 0L), s"unexpected batch layout: $batches")
   }
 
+  test("streaming LM scoring: batch-invariant verdicts equal the batch q79 " +
+    "gate; unseen trigrams are counted, not dropped; replay idempotent") {
+    import spark.implicits._
+    import graft.operators.LmStore
+    val sfDir = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft-lm-in").toString
+    val store = Files.createTempDirectory("graft-lm-store").toString
+    val out = Files.createTempDirectory("graft-lm-out").toString
+    val cp = Files.createTempDirectory("graft-lm-cp").toString
+    LmStore.build(spark, sfDir, store)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source")
+    docs.filter($"doc_id" < 250L).coalesce(1).write.parquet(s"$in/b1.parquet")
+    def runOnce(): Unit =
+      StreamingOps.lmScoreStream(spark, s"$in/*", store, out, cp)
+        .awaitTermination()
+    runOnce()
+    // batch 2: the rest + a doc whose trigrams the model never saw
+    docs.filter($"doc_id" >= 250L)
+      .union(Seq((9999L, "@@@###$$$%%%", "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"))
+      .coalesce(1).write.parquet(s"$in/b2.parquet")
+    runOnce()
+
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_trigrams", "total_micro_nats", "n_unknown")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // known-corpus docs: verdicts equal the batch q79 gate (which
+    // zero-fills trigram-less docs; the stream emits only docs with
+    // trigrams — compare where both speak)
+    val batch = SparkEntry.queries("q79_charlm_score")(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    batch.filter(_._2 > 0).foreach { case (id, n, tot) =>
+      assert(got(id) === ((n, tot, 0L)), s"doc $id diverged from batch q79")
+    }
+    // the planted doc: 10 trigrams total, the unseen ones counted as
+    // unknown (not silently dropped)
+    assert(got(9999L)._3 > 0L && got(9999L)._1 + got(9999L)._3 === 10L,
+      s"unknown trigrams mishandled: ${got(9999L)}")
+
+    // replay the last batch — rows must stay identical
+    val before = spark.read.parquet(out).collect().toSet
+    StreamingOps.lmScoreBatchApply(
+      docs.filter($"doc_id" >= 250L)
+        .union(Seq((9999L, "@@@###$$$%%%", "en", "web"))
+          .toDF("doc_id", "text", "lang", "source")),
+      batchId = 1L, store, out)
+    assert(spark.read.parquet(out).collect().toSet === before,
+      "replayed batch changed the verdicts")
+  }
+
   test("SimhashStore attach routes q70 through the persisted signatures") {
     import spark.implicits._
     import graft.operators.SimhashStore
