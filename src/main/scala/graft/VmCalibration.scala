@@ -103,14 +103,20 @@ object VmCalibration {
     else i / secs / 1e6
   }
 
-  /** Run the full probe: 2×~0.25 s 1-thread copy (best-of — a single
-    * shot dips 25% on scheduler noise alone) + ~0.5 s 8-thread copy +
-    * 2×~0.15 s alloc (plus page-fault warmup) ≈ 1.5–2 s. Best-of is
-    * the right estimator here: interference can only SLOW a copy, so
-    * the max is the least-contended sample of the current phase. */
+  /** Run the full probe: 3×~0.25 s 1-thread copy (best-of — a single
+    * shot dips 25% on scheduler noise alone; round 8 widened 2→3
+    * samples after a flicker regime where consecutive probes straddled
+    * the floor by <10% while the crawl ran at record levels — max can
+    * only rise, so the wider best-of reduces false-degraded labels
+    * without ever masking a true storm, whose samples ALL sit 30–40%
+    * under the floor) + ~0.5 s 8-thread copy + 2×~0.15 s alloc (plus
+    * page-fault warmup) ≈ 1.5–2.5 s. Best-of is the right estimator
+    * here: interference can only SLOW a copy, so the max is the
+    * least-contended sample of the current phase. */
   def run(): Probe = {
-    val g1 = math.max(copyBandwidth(mb = 64, ms = 250),
-      copyBandwidth(mb = 64, ms = 250))
+    val g1 = Seq(copyBandwidth(mb = 64, ms = 250),
+      copyBandwidth(mb = 64, ms = 250),
+      copyBandwidth(mb = 64, ms = 250)).max
     val g8 = copyBandwidthMt(threads = 8, mb = 32, ms = 500)
     val alloc = math.max(allocRate(ms = 150), allocRate(ms = 150))
     Probe(g1, g8, g8 / 8.0 / math.max(1e-9, g1), alloc)
