@@ -56,6 +56,6 @@ for attempt in $(seq 1 80); do
   else
     echo "$(date +%H:%M:%S) probe: $m1" >> "$LOG"
   fi
-  sleep 150
+  sleep 100
 done
 echo "$(date +%H:%M:%S) watcher exhausted" >> "$LOG"
