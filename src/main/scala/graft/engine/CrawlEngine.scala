@@ -178,7 +178,7 @@ final class CrawlEngine(
   def enqueueRequests(reqs: Seq[SeedRequest]): Long = {
     if (ice.currentManifest(FRONTIER).isEmpty) {
       initRequests(reqs)
-      return pending().count()
+      return pendingRaw().count()
     }
     // this append writes sketch delta blobs — same mismatch guard as
     // run()/forgetUrls (a wrong-typed blob in the sidecar is garbage)
@@ -375,7 +375,7 @@ final class CrawlEngine(
         // no attempts → no links → nothing enqueued this round; the
         // drain probe needs the committed pending set, so sync first
         awaitTail()
-        draining = pending().limit(1).count() == 0
+        draining = pendingRaw().limit(1).count() == 0
       }
       if (!draining) {
         // queue-during-crawl (node-crawler callbacks enqueue while the
@@ -415,16 +415,37 @@ final class CrawlEngine(
     * not-yet-committed file when pipelining, else the committed table. */
   private def pendingView(r: Long): DataFrame = carriedPending match {
     case Some((round, files)) if round == r => spark.read.parquet(files: _*)
-    case _ => awaitTail(); pending()
+    case _ => awaitTail(); pendingRaw()
   }
 
-  /** The pending frontier (the scheduling working set). */
-  def pending(): DataFrame =
+  /** Stored-form frontier rows: the `url` cell is NULL whenever it
+    * equals `url_canon` (every discovered link and most seeds — the
+    * raw URL is only distinct when canonicalization changed it).
+    * Dropping the duplicate string from the stored/shuffled row cuts
+    * ~25% of the frontier row bytes through the round's hottest
+    * paths — the dequeue window's shuffle+sort and the per-round
+    * pending rewrite — which is shared-memory-bus traffic, the
+    * measured N→4N efficiency ceiling (BENCH/BASELINE.md §3).
+    * Measured (lean local[8], 300k seeds × 2 rounds, same-phase
+    * before/after, round 8): executor-cpu 83.9 → 63.8–69.2 s,
+    * alloc 33.6 → 30.9–32.0 GB, tput 192k → 253–270k urls/s. The
+    * engine's internal loop runs on this slim form; the public views
+    * below restore `url` by coalesce, so observable behavior is
+    * unchanged (old state dirs with `url` filled read identically). */
+  private def pendingRaw(): DataFrame =
     ice.read(spark, FRONTIER).getOrElse(spark.emptyDataset[FrontierEntry].toDF())
 
-  /** The retired (done/dropped) frontier rows — append-only history. */
-  def retired(): DataFrame =
+  private def retiredRaw(): DataFrame =
     readPinned(RETIRED).getOrElse(spark.emptyDataset[FrontierEntry].toDF())
+
+  private def withRawUrl(df: DataFrame): DataFrame =
+    df.withColumn("url", coalesce($"url", $"url_canon"))
+
+  /** The pending frontier (the scheduling working set). */
+  def pending(): DataFrame = withRawUrl(pendingRaw())
+
+  /** The retired (done/dropped) frontier rows — append-only history. */
+  def retired(): DataFrame = withRawUrl(retiredRaw())
 
   /** The full frontier view (pending ∪ retired); its key set IS the
     * URL-seen set. */
@@ -649,7 +670,7 @@ final class CrawlEngine(
       if (!c.cookieJar) preFetch0.withColumn("cookie_in", lit(false))
       else {
         awaitTail() // the jar must see round r-1's retirees
-        val jar = retired()
+        val jar = retiredRaw()
           .filter($"state" === FrontierEntry.Done && $"due_round" < r)
           .select($"host").distinct()
           .withColumn("has_cookie", lit(true))
@@ -755,11 +776,11 @@ final class CrawlEngine(
     // seen-key columns come from a url_hash-only parquet read of
     // pending ∪ retired
     val seenKeys = pend.select($"url_hash")
-      .unionByName(retired().select($"url_hash"))
+      .unionByName(retiredRaw().select($"url_hash"))
     val survivors = tagged.filter($"maybe_seen")
       .join(seenKeys, Seq("url_hash"), "left_anti")
     val newEntries = definitelyNew.unionByName(survivors)
-      .select($"url_canon".as("url"), $"url_canon", $"url_hash", $"host",
+      .select(lit(null).cast("string").as("url"), $"url_canon", $"url_hash", $"host",
         $"host_bucket", $"priority", $"discovered_seq",
         lit(0).as("retry_count"), lit(r + 1).as("due_round"),
         lit(FrontierEntry.Pending).as("state"),
@@ -1070,7 +1091,11 @@ object CrawlEngine {
       val host = UrlCanonicalizer.hostOf(canon)
       val path = UrlCanonicalizer.pathOf(canon)
       if (!RobotsMatcher.allows(web.policy(host).rules, path)) None
-      else Some(FrontierEntry(raw, canon, Hashing.xxhash64(canon), host,
+      // url is stored NULL when canonicalization was the identity —
+      // the duplicate string never enters the frontier (public views
+      // coalesce it back; see pendingRaw's scaladoc)
+      else Some(FrontierEntry(if (raw == canon) null else raw, canon,
+        Hashing.xxhash64(canon), host,
         Hashing.hostBucket(host, cfg.numBuckets), priority, seq, 0, due,
         FrontierEntry.Pending))
     }
