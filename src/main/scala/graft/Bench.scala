@@ -110,37 +110,55 @@ object Bench {
       p
     }
     // Per-c8-rep bus gate (round-7 verdict #1): the r7 window's pair
-    // failed on `mem_scale_8t = 0.565` — 1-thread bandwidth recovered
-    // while the multi-thread bus stayed contended, which deflates
-    // exactly the 4-JVM level. Before each c8 rep, probe; if the bus
-    // scale sits below the floor, wait (short bounded loop) for it to
-    // clear rather than burning the rep into a contended bus.
-    val busScaleFloor: Double =
-      sys.env.get("SPARK_GRAFT_VM_SCALE8_FLOOR").map(_.toDouble).getOrElse(0.75)
+    // failed with the multi-thread bus contended while 1-thread
+    // bandwidth was healthy — which deflates exactly the 4-JVM level.
+    // Before each c8 rep, probe; if the bus sits below the floor, wait
+    // (short bounded loop) for it to clear rather than burning the rep
+    // into a contended bus.
+    // The gate tests ABSOLUTE 8-thread bandwidth, not the 8t/1t scale
+    // ratio the first v4 runs used: the ratio's denominator is the
+    // noisy 1-thread copy, so a FAST 1t sample (seen up to 9.9 GB/s in
+    // the round-8 ok window) mechanically pushes the ratio under any
+    // floor while the bus itself is at its healthiest — that window's
+    // best c8 rep (357k, the all-time record) launched right after a
+    // "scale 0.593" probe with 8t at 46.9 GB/s. Absolute 8t separates
+    // the real cases cleanly: contended windows probe 30–36 GB/s
+    // (r7 failure ≈39.6 at 1t 8.76; r8 flicker lows 30–32), healthy
+    // windows 41–48.
+    val busGbps8Floor: Double =
+      sys.env.get("SPARK_GRAFT_VM_GBPS8_GATE").map(_.toDouble).getOrElse(40.0)
     var busContended = false
     var gateSeq = 0
     def busGate(tag: String, maxWaitS: Int, budgetGuard: => Double): VmCalibration.Probe = {
       gateSeq += 1
       var p = probe(s"$tag-$gateSeq")
       var waited = 0
-      while (p.memScale8 < busScaleFloor && waited < maxWaitS &&
+      while (p.memGbps8 < busGbps8Floor && waited < maxWaitS &&
              budgetGuard > maxWaitS.toDouble) {
         Thread.sleep(18000); waited += 18
         gateSeq += 1
         p = probe(s"$tag-$gateSeq")
       }
-      if (p.memScale8 < busScaleFloor) busContended = true
+      if (p.memGbps8 < busGbps8Floor) busContended = true
       p
     }
     if (!skipScaling) probe("pre")
 
     var reps2 = List.empty[R]; var reps8 = List.empty[R]
+    // matched pairs: the (c2, c8) reps that ran ADJACENTLY in time.
+    // Best-of-per-level pairing lets a hot late c2 rep deflate a clean
+    // early c8 rep it never shared a window with (the r8 ok capture:
+    // best-of 0.668, but its first interleaved pair read 0.735 — the
+    // second c2 rep set a record as the bus freed up). Recorded as an
+    // informational field; the headline stays best-of for continuity.
+    var matchedPairs = List.empty[(R, R)]
     var effNote = ""
     if (!skipScaling) {
       // pair 1 at full size (interleaved c2 then c8; c8 bus-gated)
       reps2 ::= level(2, seeds0)
       busGate("pre-c8", maxWaitS = 54, remaining - c32ReserveS)
       reps8 ::= level(8, seeds0)
+      matchedPairs ::= ((reps2.head, reps8.head))
       val pairWall = reps2.head.wallFull + reps8.head.wallFull
       // pair 2: MANDATORY — shrink the workload if the budget demands,
       // never drop below 2 reps/level
@@ -154,6 +172,7 @@ object Bench {
       reps2 ::= level(2, pair2Seeds)
       busGate("pre-c8", maxWaitS = 54, remaining - c32ReserveS)
       reps8 ::= level(8, pair2Seeds)
+      matchedPairs ::= ((reps2.head, reps8.head))
       // degraded-rep retry: a level whose same-size reps disagree >1.5×
       // is bimodal-VM noise — rerun it once (c8 first: an undershot c8
       // is what tanks the ratio) if the budget allows
@@ -213,6 +232,7 @@ object Bench {
         reps2 ::= level(2, seeds0)
         busGate("pre-c8", maxWaitS = 54, remaining - c32ReserveS)
         reps8 ::= level(8, seeds0)
+        matchedPairs ::= ((reps2.head, reps8.head))
         probe("post-rerun")
         effCur = recompute(effCur)
       }
@@ -293,6 +313,16 @@ object Bench {
     def sarr(xs: List[String]) = xs.reverse.mkString("[", ",", "]")
     val effStr = efficiencyFinal.map(e => f"$e%.3f").getOrElse("null")
     val effFirstStr = efficiencyFirstPass.map(e => f"$e%.3f").getOrElse("null")
+    // matched-pair efficiencies, chronological: each value is one
+    // adjacent-in-time (c2, c8) pair at the same workload size
+    val effMatched: List[Double] = matchedPairs.reverse.collect {
+      case (a, b) if a.seeds == b.seeds && a.rep.tput > 0 && b.rep.tput > 0 =>
+        (b.rep.tput / a.rep.tput) / 4.0
+    }
+    val effMatchedStr =
+      effMatched.map(e => f"$e%.3f").mkString("[", ",", "]")
+    val effMatchedBestStr =
+      if (effMatched.isEmpty) "null" else f"${effMatched.max}%.3f"
     // vm_mode: worst mode across the probes that bracket the PAIR —
     // one degraded bracket is enough to mark the window suspect. The
     // analytics-tail probes carry their own analytics_vm_mode field.
@@ -341,8 +371,10 @@ object Bench {
         f""""tput_urls_per_s_c2":$tput2%.0f,"wall_s_c2":$wall2%.1f,""" +
         s""""scaling_efficiency_n_to_4n":$effStr,""" +
         s""""efficiency_first_pass":$effFirstStr,""" +
+        s""""efficiency_matched_pairs":$effMatchedStr,""" +
+        s""""efficiency_matched_best":$effMatchedBestStr,""" +
         s""""vm_mode":"$vmMode","analytics_vm_mode":"$analyticsVmMode",""" +
-        f""""bus_scale_floor":$busScaleFloor%.2f,"bus_contended":$busContended,""" +
+        f""""bus_gbps8_gate":$busGbps8Floor%.1f,"bus_contended":$busContended,""" +
         s""""vm_probe":$vmProbesStr,""" +
         s""""efficiency_by_seeds":$effBySizeStr,""" +
         s""""efficiency_note":"${effNote.trim}",""" +

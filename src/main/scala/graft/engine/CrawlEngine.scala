@@ -587,10 +587,16 @@ final class CrawlEngine(
     // (node-crawler: tasks sharing a `limiter` share one rate bucket
     // [PK:high]) — computed in place by a native expression. No
     // distinct(), no broadcast, no extra job, no bound on #hosts.
-    val withLim = cands.withColumn("lim", coalesce($"limiter", $"host"))
+    // `lim` stays an INLINE expression: materializing it as a column
+    // would carry a near-copy of `host` (limiter is null on all
+    // link-discovered rows) through the dequeue window's shuffle+sort
+    // rows; as an expression it is evaluated into the hash-partition
+    // key and the quota column only (the same bus-traffic discipline
+    // as the null-when-equal `url` cell).
+    val limCol = coalesce($"limiter", $"host")
     val quotaCol = ColumnShim.column(graft.functions.HostQuotaExpr(
-      ColumnShim.expression($"lim"), w, c, r))
-    val joined = withLim.withColumn("quota", quotaCol)
+      ColumnShim.expression(limCol), w, c, r))
+    val joined = cands.withColumn("quota", quotaCol)
 
     // W1: per-limiter priority dequeue, two-phase salted top-K. The
     // salting phase pays a full extra shuffle+sort, so it's worth it
@@ -599,11 +605,11 @@ final class CrawlEngine(
     // single-window plan. Results are identical either way (phase 2
     // is definitive; a global top-q row is a top-q row of its salt).
     val ord = Seq($"priority", $"discovered_seq", $"url_hash")
-    val w2 = Window.partitionBy($"lim").orderBy(ord: _*)
+    val w2 = Window.partitionBy(limCol).orderBy(ord: _*)
     val preFiltered =
       if (saltFanout <= 1) joined
       else {
-        val w1 = Window.partitionBy($"lim", $"salt").orderBy(ord: _*)
+        val w1 = Window.partitionBy(limCol, $"salt").orderBy(ord: _*)
         joined
           .withColumn("salt", pmod($"url_hash", lit(saltFanout)))
           .withColumn("rn1", row_number().over(w1))
@@ -613,7 +619,7 @@ final class CrawlEngine(
     val admitted = preFiltered
       .withColumn("rn", row_number().over(w2))
       .filter($"rn" <= $"quota")
-      .drop("rn", "quota", "lim")
+      .drop("rn", "quota")
 
     // W2: global cap (maxConnections analog) — TakeOrderedAndProject.
     // (A leg-split that overlapped the keep-set rewrite with the fetch
