@@ -308,6 +308,25 @@ object TextOps {
     "q79_charlm_score" -> ((s: SparkSession, dir: String) =>
       charLmScores(s, dir)),
 
+    // q80: DSIR-style importance weights (Xie, Santurkar, Ma & Liang,
+    // NeurIPS 2023, "Data Selection for Language Models via Importance
+    // Resampling") — select raw data that LOOKS LIKE a target
+    // distribution by scoring each document under two n-gram LMs:
+    // log w(x) = log p_target(x) − log p_raw(x). Here the feature
+    // space is exact character trigrams (the paper hashes n-grams to
+    // a fixed bucket count; at trigram cardinality the exact table is
+    // already bounded vocabulary state, so hashing would only add
+    // collisions), the target is the corpus's `lang = 'en'` slice,
+    // and both terms reuse q79's integer micro-nat protocol so the
+    // per-doc sum is order-free exact arithmetic. Weights sum over
+    // SHARED-support trigrams only (trigrams absent from either model
+    // carry no ratio); the shared count is reported per doc. Scale
+    // shape: two bounded-vocabulary model aggregates, one broadcast
+    // delta join, one (doc_id, two longs) agg — q79's exact plan plus
+    // a second model pass over the target slice. See [[dsirWeights]].
+    "q80_dsir_weights" -> ((s: SparkSession, dir: String) =>
+      dsirWeights(s, dir)),
+
     // charset sniff + decode (F6): payload bytes -> detected charset +
     // decoded length, via the CharsetSniffer heuristic per partition.
     "q35_charset_decode" -> ((s: SparkSession, dir: String) => {
@@ -491,6 +510,34 @@ object TextOps {
         coalesce($"n_trigrams", lit(0L)).as("n_trigrams"),
         coalesce($"total_micro_nats", lit(0L)).as("total_micro_nats"))
       .orderBy($"doc_id")
+  }
+
+  /** q80: per-document DSIR importance weights. Trains the q79 model
+    * twice — once on the full corpus (p_raw), once on the target
+    * slice (p_target, `lang = 'en'`) — inner-joins the two into a
+    * per-trigram delta table (bounded vocabulary state, broadcast),
+    * and sums each document's deltas: one scan + broadcast join + a
+    * (doc_id, two longs) aggregate. Output: (doc_id, n_shared,
+    * weight_micro_nats); docs with no shared-support trigrams score
+    * (0, 0). */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(t(dir, "documents"))
+    val raw = lmModel(docs).withColumnRenamed("micro_nats", "mn_raw")
+    val tgt = lmModel(docs.filter(col("lang") === "en"))
+      .withColumnRenamed("micro_nats", "mn_tgt")
+    val delta = tgt.join(broadcast(raw), Seq("tri"))
+      .select(col("tri"), (col("mn_tgt") - col("mn_raw")).as("delta"))
+    val scored = docTrigrams(docs)
+      .join(broadcast(delta), Seq("tri"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("delta")).as("weight_micro_nats"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("weight_micro_nats"), lit(0L)).as("weight_micro_nats"))
+      .orderBy(col("doc_id"))
   }
 
   /** Per-doc character trigrams of a (doc_id, text) frame. */
@@ -1266,6 +1313,40 @@ object TextOps {
         |SELECT d.doc_id,
         |  COALESCE(sc.n_trigrams, CAST(0 AS BIGINT)) AS n_trigrams,
         |  COALESCE(sc.total_micro_nats, CAST(0 AS BIGINT)) AS total_micro_nats
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q80: DSIR weights — the q79 count model trained twice (corpus +
+    // target slice), identical integer micro-nat terms, delta summed
+    // over shared-support trigrams; exact parity with the Spark side.
+    "q80_dsir_weights" ->
+      """WITH trs AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, length(text) - 1),
+        |    i -> substr(text, CAST(i AS INTEGER), 3))) AS tri
+        |  FROM documents WHERE length(text) >= 3),
+        |r3 AS (SELECT tri, COUNT(*) AS cnt3 FROM trs GROUP BY tri),
+        |r2 AS (SELECT substr(tri, 1, 2) AS big, SUM(cnt3) AS cnt2
+        |       FROM r3 GROUP BY 1),
+        |rm AS (
+        |  SELECT tri, CAST(round(ln(CAST(cnt3 AS DOUBLE) / CAST(cnt2 AS DOUBLE))
+        |    * 1e6) AS BIGINT) AS mn_raw
+        |  FROM r3 JOIN r2 ON substr(r3.tri, 1, 2) = r2.big),
+        |t3 AS (SELECT tri, COUNT(*) AS cnt3 FROM trs WHERE lang = 'en' GROUP BY tri),
+        |t2 AS (SELECT substr(tri, 1, 2) AS big, SUM(cnt3) AS cnt2
+        |       FROM t3 GROUP BY 1),
+        |tm AS (
+        |  SELECT tri, CAST(round(ln(CAST(cnt3 AS DOUBLE) / CAST(cnt2 AS DOUBLE))
+        |    * 1e6) AS BIGINT) AS mn_tgt
+        |  FROM t3 JOIN t2 ON substr(t3.tri, 1, 2) = t2.big),
+        |dl AS (SELECT rm.tri, mn_tgt - mn_raw AS delta
+        |       FROM rm JOIN tm ON rm.tri = tm.tri),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |    CAST(SUM(delta) AS BIGINT) AS weight_micro_nats
+        |  FROM trs JOIN dl USING (tri) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |  COALESCE(sc.weight_micro_nats, CAST(0 AS BIGINT)) AS weight_micro_nats
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

@@ -254,6 +254,15 @@ class PlanSpec extends AnyFunSuite {
       s"q79 lost its broadcast model join:\n${p79.take(1500)}")
     assert(!p79.contains("SortMergeJoin"),
       s"q79 shuffles the corpus trigrams:\n${p79.take(1500)}")
+    // q80 (round 8): the delta table is bounded vocabulary state —
+    // the document-scoring join must broadcast it, same contract as
+    // q79 (a sort-merge join would shuffle corpus trigrams on a
+    // string key twice, once per model)
+    val p80 = planOf("q80_dsir_weights")
+    assert(p80.contains("BroadcastHashJoin"),
+      s"q80 lost its broadcast delta join:\n${p80.take(1500)}")
+    assert(!p80.contains("SortMergeJoin"),
+      s"q80 shuffles the corpus trigrams:\n${p80.take(1500)}")
     // q75 (round 7): encoding is one scan with M native argmin
     // expressions — no join anywhere, scan pruned to (vec_id, embedding)
     val p75 = planOf("q75_pq_codes")
