@@ -327,6 +327,15 @@ object TextOps {
     "q80_dsir_weights" -> ((s: SparkSession, dir: String) =>
       dsirWeights(s, dir)),
 
+    // q81: DSIR selection — q80's act-on-it completion: sample k
+    // documents without replacement with probability ∝ w(x) via the
+    // Gumbel top-k trick, in exact integer micro-nat arithmetic so
+    // the selected set is deterministic and engine-portable. See
+    // [[dsirSelect]] for the scale argument (one projection + a
+    // TakeOrderedAndProject over q80's plan — no global sort).
+    "q81_dsir_select" -> ((s: SparkSession, dir: String) =>
+      dsirSelect(s, dir)),
+
     // charset sniff + decode (F6): payload bytes -> detected charset +
     // decoded length, via the CharsetSniffer heuristic per partition.
     "q35_charset_decode" -> ((s: SparkSession, dir: String) => {
@@ -520,25 +529,79 @@ object TextOps {
     * (doc_id, two longs) aggregate. Output: (doc_id, n_shared,
     * weight_micro_nats); docs with no shared-support trigrams score
     * (0, 0). */
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightFrame(s, dir).orderBy(col("doc_id"))
+
+  /** The unsorted q80 frame — shared by [[dsirWeights]] (ordered
+    * gate output) and [[dsirSelect]] (top-k resampling; an inner sort
+    * here would be dead weight under its TakeOrderedAndProject). */
+  private def dsirWeightFrame(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
-    val raw = lmModel(docs).withColumnRenamed("micro_nats", "mn_raw")
-    val tgt = lmModel(docs.filter(col("lang") === "en"))
-      .withColumnRenamed("micro_nats", "mn_tgt")
-    val delta = tgt.join(broadcast(raw), Seq("tri"))
-      .select(col("tri"), (col("mn_tgt") - col("mn_raw")).as("delta"))
-    val scored = docTrigrams(docs)
-      .join(broadcast(delta), Seq("tri"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"),
-        sum(col("delta")).as("weight_micro_nats"))
+    val delta = dsirDelta(lmModel(docs),
+      lmModel(docs.filter(col("lang") === "en")))
     docs.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
+      .join(dsirScoreAgainst(docs, delta).drop("n_unshared"),
+        Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         coalesce(col("weight_micro_nats"), lit(0L)).as("weight_micro_nats"))
-      .orderBy(col("doc_id"))
   }
+
+  /** q81: DSIR selection — the act-on-it completion of q80's scoring,
+    * the paper's RESAMPLING step (Xie et al., NeurIPS 2023 §2: sample
+    * the raw corpus without replacement with probability ∝ w(x)).
+    * Gumbel top-k (Vieira 2014's public "Gumbel-max trick" k-sample
+    * form): key = log w(x) + Gumbel(0,1), take the k largest — an
+    * exact sample ∝ softmax(log w) = w, with NO sequential draw state,
+    * so selection is one projection + TakeOrderedAndProject(k) — no
+    * global sort, no shuffle beyond q80's own aggregates, the 100 TB
+    * shape. Determinism + oracle parity: the uniform is the exact
+    * dyadic rational (md5_24bits + 0.5) / 2²⁴ (the q41 md5-integer
+    * idiom) and the Gumbel lands in integer micro-nats via the q79
+    * round(ln·1e6) protocol, so the key is exact integer arithmetic in
+    * both engines. Output: the k selected docs with their weight,
+    * noise, and key, ranked. */
+  def dsirSelect(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val uInt = conv(substring(
+      md5(concat(lit("dsir1|"), col("doc_id").cast("string"))), 1, 6),
+      16, 10).cast("long")
+    val u = (uInt.cast("double") + lit(0.5)) / lit(16777216.0)
+    val gMicro = round(-log(-log(u)) * 1e6, 0).cast("long")
+    dsirWeightFrame(s, dir)
+      .withColumn("gumbel_micro_nats", gMicro)
+      .withColumn("sample_key",
+        col("weight_micro_nats") + col("gumbel_micro_nats"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_shared"), col("weight_micro_nats"),
+        col("gumbel_micro_nats"), col("sample_key"))
+  }
+
+  /** The DSIR per-trigram log-ratio table: (tri, delta) over the two
+    * models' SHARED support — delta = micro_nats_target −
+    * micro_nats_raw. Bounded vocabulary state, broadcast at use
+    * sites. */
+  def dsirDelta(raw: DataFrame, target: DataFrame): DataFrame =
+    target.withColumnRenamed("micro_nats", "mn_tgt")
+      .join(broadcast(raw.withColumnRenamed("micro_nats", "mn_raw")),
+        Seq("tri"))
+      .select(col("tri"), (col("mn_tgt") - col("mn_raw")).as("delta"))
+
+  /** Score (doc_id, text) rows against a DSIR delta table: per doc
+    * the shared-support trigram count, the integer weight sum, and
+    * the count of trigrams OUTSIDE the shared support (a stream
+    * scores new documents whose trigrams neither model may contain —
+    * unshared trigrams are reported, never silently dropped; they
+    * carry no ratio so they cannot contribute to the weight). Docs
+    * with no trigrams at all are absent (callers zero-fill). */
+  def dsirScoreAgainst(docs: DataFrame, delta: DataFrame): DataFrame =
+    docTrigrams(docs)
+      .join(broadcast(delta), Seq("tri"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("delta")).as("n_shared"),
+        coalesce(sum(col("delta")), lit(0L)).as("weight_micro_nats"),
+        sum(when(col("delta").isNull, 1L).otherwise(0L)).as("n_unshared"))
 
   /** Per-doc character trigrams of a (doc_id, text) frame. */
   private def docTrigrams(docs: DataFrame): DataFrame =
@@ -1349,6 +1412,53 @@ object TextOps {
         |  COALESCE(sc.weight_micro_nats, CAST(0 AS BIGINT)) AS weight_micro_nats
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // q81: q80's CTE chain + the Gumbel key — the uniform is the
+    // exact dyadic (md5_24bits + 0.5)/2^24, the noise lands in integer
+    // micro-nats (q79 round(ln·1e6) protocol), so the top-k set is
+    // exact in both engines.
+    "q81_dsir_select" ->
+      """WITH trs AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, length(text) - 1),
+        |    i -> substr(text, CAST(i AS INTEGER), 3))) AS tri
+        |  FROM documents WHERE length(text) >= 3),
+        |r3 AS (SELECT tri, COUNT(*) AS cnt3 FROM trs GROUP BY tri),
+        |r2 AS (SELECT substr(tri, 1, 2) AS big, SUM(cnt3) AS cnt2
+        |       FROM r3 GROUP BY 1),
+        |rm AS (
+        |  SELECT tri, CAST(round(ln(CAST(cnt3 AS DOUBLE) / CAST(cnt2 AS DOUBLE))
+        |    * 1e6) AS BIGINT) AS mn_raw
+        |  FROM r3 JOIN r2 ON substr(r3.tri, 1, 2) = r2.big),
+        |t3 AS (SELECT tri, COUNT(*) AS cnt3 FROM trs WHERE lang = 'en' GROUP BY tri),
+        |t2 AS (SELECT substr(tri, 1, 2) AS big, SUM(cnt3) AS cnt2
+        |       FROM t3 GROUP BY 1),
+        |tm AS (
+        |  SELECT tri, CAST(round(ln(CAST(cnt3 AS DOUBLE) / CAST(cnt2 AS DOUBLE))
+        |    * 1e6) AS BIGINT) AS mn_tgt
+        |  FROM t3 JOIN t2 ON substr(t3.tri, 1, 2) = t2.big),
+        |dl AS (SELECT rm.tri, mn_tgt - mn_raw AS delta
+        |       FROM rm JOIN tm ON rm.tri = tm.tri),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |    CAST(SUM(delta) AS BIGINT) AS weight_micro_nats
+        |  FROM trs JOIN dl USING (tri) GROUP BY doc_id),
+        |w AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(sc.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |    COALESCE(sc.weight_micro_nats, CAST(0 AS BIGINT)) AS weight_micro_nats
+        |  FROM documents d LEFT JOIN sc USING (doc_id)),
+        |g AS (
+        |  SELECT doc_id, n_shared, weight_micro_nats,
+        |    CAST(round(-ln(-ln(
+        |      (CAST(('0x' || substr(md5('dsir1|' || CAST(doc_id AS VARCHAR)), 1, 6))
+        |         AS BIGINT) + 0.5) / 16777216.0)) * 1e6) AS BIGINT)
+        |      AS gumbel_micro_nats
+        |  FROM w)
+        |SELECT doc_id, n_shared, weight_micro_nats, gumbel_micro_nats,
+        |  weight_micro_nats + gumbel_micro_nats AS sample_key
+        |FROM g
+        |ORDER BY sample_key DESC, doc_id
+        |LIMIT 100""".stripMargin,
 
     // q77: the 10-step training loop UNROLLED as a chained-CTE pipeline
     // (w0 → p1/m1/w1 → … → p10/m10): pk counts adjacent pairs of wk-1's

@@ -567,6 +567,45 @@ object StreamingOps {
       outDir, batchId)
   }
 
+  /** Streaming DSIR importance weighting (q80 per micro-batch):
+    * documents arrive as parquet files; each batch's trigrams
+    * broadcast-join the persisted [[graft.operators.LmStore]] DSIR
+    * delta table (micro_nats_target − micro_nats_raw over the two
+    * models' shared support) and per-doc verdicts `(doc_id, n_shared,
+    * weight_micro_nats, n_unshared)` land in `<outDir>/batch=<id>/`.
+    * Verdicts depend only on the doc's own text and the delta
+    * version, so results are batch-invariant; trigrams outside the
+    * shared support are COUNTED (`n_unshared`), not silently dropped —
+    * a drifting ingest stream carries trigrams neither training slice
+    * ever saw, and an importance sampler needs to know how much of a
+    * document its weight actually covers. Exactly-once by the shared
+    * batch-owned-subdirectory overwrite. */
+  def dsirScoreStream(spark: SparkSession, inputDir: String,
+      storeDir: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(documentsSchema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        dsirBatchApply(batch.toDF(), batchId, storeDir, outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** One micro-batch of [[dsirScoreStream]] (public for retry tests). */
+  def dsirBatchApply(batch: DataFrame, batchId: Long,
+      storeDir: String, outDir: String): Unit = {
+    import graft.operators.{LmStore, TextOps}
+    val spark = batch.sparkSession
+    import spark.implicits._
+    graft.store.PersistedStore.writeBatch(
+      TextOps.dsirScoreAgainst(batch.select($"doc_id", $"text"),
+        LmStore.dsirDelta(spark, storeDir)),
+      outDir, batchId)
+  }
+
   /** Stateful streaming interleaved packer — the arrival-order
     * counterpart of the q71 batch gate: documents arrive as parquet
     * files, each is costed with the SAME interleaved token-cost model

@@ -263,6 +263,14 @@ class PlanSpec extends AnyFunSuite {
       s"q80 lost its broadcast delta join:\n${p80.take(1500)}")
     assert(!p80.contains("SortMergeJoin"),
       s"q80 shuffles the corpus trigrams:\n${p80.take(1500)}")
+    // q81 (round 8): selection is a top-k over q80's frame — the
+    // limit must compile to TakeOrderedAndProject (no global sort of
+    // the scored corpus), and the q80 broadcast contract carries over
+    val p81 = planOf("q81_dsir_select")
+    assert(p81.contains("TakeOrderedAndProject"),
+      s"q81 resampling is not a top-k:\n${p81.take(1500)}")
+    assert(!p81.contains("SortMergeJoin"),
+      s"q81 shuffles the corpus trigrams:\n${p81.take(1500)}")
     // q75 (round 7): encoding is one scan with M native argmin
     // expressions — no join anywhere, scan pruned to (vec_id, embedding)
     val p75 = planOf("q75_pq_codes")

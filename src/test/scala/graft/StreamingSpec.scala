@@ -387,6 +387,60 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch changed the verdicts")
   }
 
+  test("streaming DSIR weighting: batch-invariant verdicts equal the batch " +
+    "q80 gate; unshared trigrams are counted, not dropped; replay idempotent") {
+    import spark.implicits._
+    import graft.operators.LmStore
+    val sfDir = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft-dsir-in").toString
+    val store = Files.createTempDirectory("graft-dsir-store").toString
+    val out = Files.createTempDirectory("graft-dsir-out").toString
+    val cp = Files.createTempDirectory("graft-dsir-cp").toString
+    LmStore.build(spark, sfDir, store)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source")
+    docs.filter($"doc_id" < 250L).coalesce(1).write.parquet(s"$in/b1.parquet")
+    def runOnce(): Unit =
+      StreamingOps.dsirScoreStream(spark, s"$in/*", store, out, cp)
+        .awaitTermination()
+    runOnce()
+    // batch 2: the rest + a doc whose trigrams neither model ever saw
+    docs.filter($"doc_id" >= 250L)
+      .union(Seq((9999L, "@@@###$$$%%%", "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"))
+      .coalesce(1).write.parquet(s"$in/b2.parquet")
+    runOnce()
+
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_shared", "weight_micro_nats", "n_unshared")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // known-corpus docs: verdicts equal the batch q80 gate (which
+    // zero-fills trigram-less docs; the stream emits only docs with
+    // trigrams — compare on every doc the stream spoke for)
+    val batch = SparkEntry.queries("q80_dsir_weights")(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    got.foreach { case (id, (ns, w, _)) =>
+      if (id != 9999L)
+        assert(batch(id) === ((ns, w)), s"doc $id diverged from batch q80")
+    }
+    // the planted doc: 10 trigrams total, the ones outside the shared
+    // support counted as unshared (not silently dropped)
+    assert(got(9999L)._3 > 0L && got(9999L)._1 + got(9999L)._3 === 10L,
+      s"unshared trigrams mishandled: ${got(9999L)}")
+
+    // replay the last batch — rows must stay identical
+    val before = spark.read.parquet(out).collect().toSet
+    StreamingOps.dsirBatchApply(
+      docs.filter($"doc_id" >= 250L)
+        .union(Seq((9999L, "@@@###$$$%%%", "en", "web"))
+          .toDF("doc_id", "text", "lang", "source")),
+      batchId = 1L, store, out)
+    assert(spark.read.parquet(out).collect().toSet === before,
+      "replayed batch changed the verdicts")
+  }
+
   test("SimhashStore attach routes q70 through the persisted signatures") {
     import spark.implicits._
     import graft.operators.SimhashStore
