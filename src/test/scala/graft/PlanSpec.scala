@@ -247,13 +247,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!rs78.contains("lang") && !rs78.contains("source"),
       s"q78 scan reads unused columns: $rs78")
     // q79 (round 8): the scoring join must broadcast the bounded-
-    // vocabulary model — a sort-merge join would shuffle the corpus's
-    // trigram rows on a string key
+    // vocabulary model — a sort-merge join on the TRIGRAM key would
+    // shuffle the corpus's trigram rows on a string. The zero-fill
+    // doc_id join is allowed to shuffle: it carries two longs per
+    // document (the correct corpus-scale shape — broadcasting the
+    // per-doc agg would be a corpus-sized broadcast at 100 TB; it
+    // shows up as SMJ here because the session-cached model is a
+    // checkpointed RDD with no file-size stats for the estimator).
+    def noTriShuffle(p: String, q: String): Unit =
+      p.linesIterator.filter(_.contains("SortMergeJoin")).foreach { l =>
+        assert(l.contains("[doc_id"),
+          s"$q shuffles a non-doc_id key (corpus trigrams?): $l")
+      }
     val p79 = planOf("q79_charlm_score")
     assert(p79.contains("BroadcastHashJoin"),
       s"q79 lost its broadcast model join:\n${p79.take(1500)}")
-    assert(!p79.contains("SortMergeJoin"),
-      s"q79 shuffles the corpus trigrams:\n${p79.take(1500)}")
+    noTriShuffle(p79, "q79")
     // q80 (round 8): the delta table is bounded vocabulary state —
     // the document-scoring join must broadcast it, same contract as
     // q79 (a sort-merge join would shuffle corpus trigrams on a
@@ -261,16 +270,14 @@ class PlanSpec extends AnyFunSuite {
     val p80 = planOf("q80_dsir_weights")
     assert(p80.contains("BroadcastHashJoin"),
       s"q80 lost its broadcast delta join:\n${p80.take(1500)}")
-    assert(!p80.contains("SortMergeJoin"),
-      s"q80 shuffles the corpus trigrams:\n${p80.take(1500)}")
+    noTriShuffle(p80, "q80")
     // q81 (round 8): selection is a top-k over q80's frame — the
     // limit must compile to TakeOrderedAndProject (no global sort of
     // the scored corpus), and the q80 broadcast contract carries over
     val p81 = planOf("q81_dsir_select")
     assert(p81.contains("TakeOrderedAndProject"),
       s"q81 resampling is not a top-k:\n${p81.take(1500)}")
-    assert(!p81.contains("SortMergeJoin"),
-      s"q81 shuffles the corpus trigrams:\n${p81.take(1500)}")
+    noTriShuffle(p81, "q81")
     // q75 (round 7): encoding is one scan with M native argmin
     // expressions — no join anywhere, scan pruned to (vec_id, embedding)
     val p75 = planOf("q75_pq_codes")
