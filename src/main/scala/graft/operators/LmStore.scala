@@ -43,4 +43,8 @@ object LmStore extends graft.store.PersistedStore {
     * models' shared support. */
   def dsirDelta(spark: SparkSession, storeDir: String): DataFrame =
     graft.store.PersistedStore.readTable(spark, s"$storeDir/dsir_delta")
+
+  override protected def onRouteChange(dir: String, storeDir: Option[String],
+      token: Option[String]): Unit =
+    TextOps.invalidateLms(dir)
 }

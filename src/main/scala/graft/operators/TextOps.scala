@@ -535,10 +535,20 @@ object TextOps {
 
   /** The unsorted q80 frame — shared by [[dsirWeights]] (ordered
     * gate output) and [[dsirSelect]] (top-k resampling; an inner sort
-    * here would be dead weight under its TakeOrderedAndProject). */
-  private def dsirWeightFrame(s: SparkSession, dir: String): DataFrame = {
+    * here would be dead weight under its TakeOrderedAndProject).
+    * Session-cached: two consumers of one corpus scan (the signature-
+    * table precedent — at warehouse scale a pipeline stages the
+    * weights to a table once per (corpus, target) refresh). */
+  private def dsirWeightFrame(s: SparkSession, dir: String): DataFrame =
+    cachedBuildFrom(dsirWeightsCache, s, dir, lmSource(dir))(
+      dsirWeightFrameUncached(s, dir).localCheckpoint(true))
+
+  /** The builder plan (PlanSpec locks its broadcast contract here —
+    * the cached consumer plans read a checkpointed scan). */
+  private[graft] def dsirWeightFrameUncached(s: SparkSession,
+      dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
-    val delta = dsirDelta(cachedLmRaw(s, dir), cachedLmTarget(s, dir))
+    val delta = dsirDeltaFor(s, dir)
     docs.select(col("doc_id"))
       .join(dsirScoreAgainst(docs, delta).drop("n_unshared"),
         Seq("doc_id"), "left")
@@ -853,16 +863,52 @@ object TextOps {
   private val lmTargetCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedDf]()
 
+  /** The file set the `dir`'s LM intermediates derive from (an
+    * attached [[LmStore]] serves the persisted model instead of
+    * retraining). */
+  private def lmSource(dir: String): String =
+    LmStore.attachedStore(dir) match {
+      case None     => t(dir, "documents")
+      case Some(sd) => s"$sd/trigram_lm"
+    }
+
   private[operators] def cachedLmRaw(s: SparkSession, dir: String): DataFrame =
-    cachedBuildFrom(lmRawCache, s, dir, t(dir, "documents"))(
-      lmModel(s.read.parquet(t(dir, "documents")).select("doc_id", "text"))
-        .localCheckpoint(true))
+    cachedBuildFrom(lmRawCache, s, dir, lmSource(dir)) {
+      LmStore.attachedStore(dir) match {
+        case Some(sd) => LmStore.model(s, sd)
+        case None =>
+          lmModel(s.read.parquet(t(dir, "documents")).select("doc_id", "text"))
+            .localCheckpoint(true)
+      }
+    }
 
   private[operators] def cachedLmTarget(s: SparkSession, dir: String): DataFrame =
-    cachedBuildFrom(lmTargetCache, s, dir, t(dir, "documents"))(
+    cachedBuildFrom(lmTargetCache, s, dir, lmSource(dir))(
       lmModel(s.read.parquet(t(dir, "documents"))
           .filter(col("lang") === "en").select("doc_id", "text"))
         .localCheckpoint(true))
+
+  /** The DSIR delta for `dir`: an attached [[LmStore]] serves the
+    * persisted table; otherwise derived from the two session-cached
+    * models (a bounded-vocabulary join — no materialization needed). */
+  private def dsirDeltaFor(s: SparkSession, dir: String): DataFrame =
+    LmStore.attachedStore(dir) match {
+      case Some(sd) => LmStore.dsirDelta(s, sd)
+      case None     => dsirDelta(cachedLmRaw(s, dir), cachedLmTarget(s, dir))
+    }
+
+  private val dsirWeightsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedDf]()
+
+  /** Drop and release ONLY the LM intermediates for `dir` — the
+    * LmStore route-change hook. */
+  private[graft] def invalidateLms(dir: String): Unit =
+    Seq(lmRawCache, lmTargetCache, dsirWeightsCache).foreach { cache =>
+      cache.keySet().toArray(Array.empty[String])
+        .filter(_.endsWith("|" + dir))
+        .foreach(k =>
+          Option(cache.remove(k)).foreach(e => releaseCheckpoint(e.df)))
+    }
 
   /** Session-shared q40 cluster assignment (PipelineOps supplies the
     * fixpoint plan; the cache materializes it once per (session, dir,
@@ -889,7 +935,7 @@ object TextOps {
     * rather than at the next fingerprint miss. */
   def invalidateDir(dir: String): Unit =
     Seq(sigCache, pairsCache, simhashCache, clustersCache,
-        lmRawCache, lmTargetCache).foreach { cache =>
+        lmRawCache, lmTargetCache, dsirWeightsCache).foreach { cache =>
       cache.keySet().toArray(Array.empty[String])
         .filter(_.endsWith("|" + dir))
         .foreach(k => Option(cache.remove(k)).foreach(e => releaseCheckpoint(e.df)))

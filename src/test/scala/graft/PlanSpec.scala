@@ -266,8 +266,13 @@ class PlanSpec extends AnyFunSuite {
     // q80 (round 8): the delta table is bounded vocabulary state —
     // the document-scoring join must broadcast it, same contract as
     // q79 (a sort-merge join would shuffle corpus trigrams on a
-    // string key twice, once per model)
-    val p80 = planOf("q80_dsir_weights")
+    // string key twice, once per model). The weight frame is session-
+    // cached (q80+q81 share one scoring scan), so the contract is
+    // locked on the BUILDER plan; the consumer plan reads the
+    // checkpointed scan.
+    val p80 = graft.operators.TextOps
+      .dsirWeightFrameUncached(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(p80.contains("BroadcastHashJoin"),
       s"q80 lost its broadcast delta join:\n${p80.take(1500)}")
     noTriShuffle(p80, "q80")

@@ -459,6 +459,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally SimhashStore.detach(sfDir)
   }
 
+  test("LmStore attach routes q79/q80 through the persisted model/delta") {
+    import spark.implicits._
+    import graft.operators.LmStore
+    val sfDir = "/root/testdata/sf0.001"
+    val store = Files.createTempDirectory("graft-lm-att").toString
+    LmStore.build(spark, sfDir, store)
+    val fresh79 = SparkEntry.queries("q79_charlm_score")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val fresh80 = SparkEntry.queries("q80_dsir_weights")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    LmStore.attach(sfDir, store, snapshot = "v1")
+    try {
+      val d79 = SparkEntry.queries("q79_charlm_score")(spark, sfDir)
+      assert(d79.queryExecution.analyzed.toString.contains(store) ||
+        d79.queryExecution.executedPlan.toString.contains(store),
+        "attached q79 does not read the store")
+      assert(d79.as[(Long, Long, Long)].collect().toSeq === fresh79)
+      // the cached weight frame hides the scan — assert the BUILDER
+      // reads the persisted delta while attached
+      val b80 = graft.operators.TextOps
+        .dsirWeightFrameUncached(spark, sfDir)
+      assert(b80.queryExecution.analyzed.toString.contains("dsir_delta") ||
+        b80.queryExecution.executedPlan.toString.contains("dsir_delta"),
+        "attached q80 does not read the persisted delta")
+      val d80 = SparkEntry.queries("q80_dsir_weights")(spark, sfDir)
+      assert(d80.as[(Long, Long, Long)].collect().toSeq === fresh80)
+    } finally LmStore.detach(sfDir)
+  }
+
   test("incremental corpus diff: batched deltas + closing deletions equal " +
     "the one-shot q55 answer; a replayed batch leaves the store row-equal") {
     import spark.implicits._
