@@ -8,7 +8,8 @@ import graft.operators.{PipelineOps, TextOps}
 /** End-to-end curation pipeline composition: the per-operator oracles
   * prove each stage; this spec proves the STAGES COMPOSE over a
   * derived corpus — quality-filter → near-dup dedup (cluster
-  * representatives) → leakage-safe split → interleaved packing, with
+  * representatives) → DSIR target-distribution selection →
+  * leakage-safe split → interleaved packing, with
   * each downstream stage running on the MATERIALIZED output of the
   * previous one (the production shape: every stage reads/writes
   * parquet, no stage needs the original corpus). */
@@ -16,7 +17,7 @@ class PipelineE2ESpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val src = "/root/testdata/sf0.001"
 
-  test("filter -> dedup -> split -> pack composes over materialized stages") {
+  test("filter -> dedup -> select -> split -> pack composes over materialized stages") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$src/documents.parquet")
 
@@ -44,31 +45,48 @@ class PipelineE2ESpec extends AnyFunSuite {
     assert(residualPairs === 0L,
       s"$residualPairs near-dup pairs survived the dedup stage")
 
-    // stage 3: leakage-safe split on the deduped corpus — a partition
-    // of exactly the deduped ids
-    val split = SparkEntry.queries("q72_split_assign")(spark, stage2)
+    // stage 3: DSIR selection on the deduped corpus — the k docs
+    // sampled without replacement ∝ w(x) toward the lang='en' target
+    // (the resampling a pipeline runs between dedup and split)
+    val k = 100
+    val selIds = TextOps.dsirSelect(spark, stage2, k).select($"doc_id")
+    val selected = spark.read.parquet(s"$stage2/documents.parquet")
+      .join(selIds, "doc_id")
+    val stage3 = Files.createTempDirectory("graft-e2e-s3").toString
+    selected.coalesce(2).write.parquet(s"$stage3/documents.parquet")
+    val nSelected = spark.read.parquet(s"$stage3/documents.parquet").count()
+    assert(nSelected === k.toLong && nSelected < nDeduped,
+      s"selection must be a strict $k-subset: $nSelected of $nDeduped")
+
+    // stage 4: leakage-safe split on the selected corpus — a partition
+    // of exactly the selected ids
+    val split = SparkEntry.queries("q72_split_assign")(spark, stage3)
       .select($"doc_id", $"split")
     val splitRows = split.collect()
-    assert(splitRows.length.toLong === nDeduped)
+    assert(splitRows.length.toLong === nSelected)
     assert(splitRows.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
-    assert(splitRows.map(_.getLong(0)).distinct.length.toLong === nDeduped,
+    assert(splitRows.map(_.getLong(0)).distinct.length.toLong === nSelected,
       "a document landed in two splits")
 
-    // stage 4: interleaved packing of the deduped corpus — every doc
+    // stage 5: interleaved packing of the selected corpus — every doc
     // packed exactly once, document-atomic
-    val packed = SparkEntry.queries("q71_interleaved_pack")(spark, stage2)
+    val packed = SparkEntry.queries("q71_interleaved_pack")(spark, stage3)
     val packedIds = packed.select($"doc_id").as[Long].collect()
-    assert(packedIds.length.toLong === nDeduped &&
+    assert(packedIds.length.toLong === nSelected &&
       packedIds.distinct.length === packedIds.length,
       "packing dropped or duplicated a document")
 
     // cross-stage coherence: nothing re-enters the pipeline — packed
-    // ids == split ids == deduped ids ⊆ kept ids ⊆ corpus ids
+    // ids == split ids == selected ids ⊂ deduped ids ⊆ kept ids
     val dedupedIds = spark.read.parquet(s"$stage2/documents.parquet")
       .select($"doc_id").as[Long].collect().toSet
-    assert(packedIds.toSet === dedupedIds)
-    assert(splitRows.map(_.getLong(0)).toSet === dedupedIds)
+    val selectedIds = spark.read.parquet(s"$stage3/documents.parquet")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(packedIds.toSet === selectedIds)
+    assert(splitRows.map(_.getLong(0)).toSet === selectedIds)
+    assert(selectedIds.subsetOf(dedupedIds))
     TextOps.invalidateDir(stage1)
     TextOps.invalidateDir(stage2)
+    TextOps.invalidateDir(stage3)
   }
 }
