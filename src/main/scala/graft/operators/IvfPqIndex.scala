@@ -58,6 +58,47 @@ object IvfPqIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** Encode one micro-batch of NEW embeddings under the index's
+    * FROZEN routing state (persisted centroids + codebooks — no
+    * retraining: a drifting ingest encodes under the index version it
+    * lands in, the IVF-PQ add() semantics) and append it as the
+    * exactly-once `batch=<id>/` partition of `<indexDir>/cells_delta`.
+    * The delta is the LSM-style side table: probes read base ∪ delta
+    * until the next full rebuild folds it in. Same columns as the
+    * base cells; state read per batch = k + M×k centroid rows. */
+  def encodeBatch(batch: DataFrame, batchId: Long, indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .as[(Int, Seq[Double])].collect()
+    val books: Seq[Seq[(Int, Seq[Double])]] =
+      spark.read.parquet(s"$indexDir/codebooks")
+        .as[(Int, Int, Seq[Double])].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(r => (r._2, r._3)).sortBy(_._1).toSeq)
+    val emb = batch.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val codeCols = (0 until PqM).map(b =>
+      VectorOps.pqAssign(expr(s"slice(v, ${b * PqSub + 1}, $PqSub)"), books(b))
+        .cast("long").as(s"code_$b"))
+    graft.store.PersistedStore.writeBatch(
+      emb.select(($"vec_id" +: codeCols :+ $"v" :+
+        IvfIndex.cidOf($"v", cents).as("cid")): _*),
+      s"$indexDir/cells_delta", batchId)
+  }
+
+  /** The serving row set: base cells ∪ streamed delta (if any). The
+    * base prunes at partition level on `cid`; the delta — small
+    * between rebuilds — filters on its `cid` column. */
+  private def cellsWithDelta(spark: SparkSession, indexDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$indexDir/cells")
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$indexDir/cells_delta")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(deltaPath)) base
+    else base.unionByName(
+      graft.store.PersistedStore.readTable(spark, s"$indexDir/cells_delta")
+        .select(base.columns.map(col): _*))
+  }
+
   private def sdot(a: Seq[Double], b: Seq[Double]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -87,8 +128,8 @@ object IvfPqIndex {
       val qb = qv.slice(b * PqSub, (b + 1) * PqSub)
       books(b).map { case (_, cv) => sdot(cv, cv) - 2.0 * sdot(qb, cv) }
     }
-    val cells = spark.read.parquet(s"$indexDir/cells")
-      .filter(col("cid").isin(probeCids: _*)) // partition prune
+    val cells = cellsWithDelta(spark, indexDir)
+      .filter(col("cid").isin(probeCids: _*)) // partition prune (base)
     // ADC pass: code columns only — the scan's ReadSchema must not
     // carry the float vectors (asserted in the spec)
     val adc = (0 until PqM).map { b =>

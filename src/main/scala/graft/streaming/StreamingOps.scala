@@ -606,6 +606,34 @@ object StreamingOps {
       outDir, batchId)
   }
 
+  private val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming PQ encode-and-append — the embedding-ingest
+    * counterpart of the LM/scrub streams: new embeddings arrive as
+    * parquet files, each micro-batch is encoded under the persisted
+    * [[graft.operators.IvfPqIndex]]'s FROZEN centroids + codebooks
+    * (no retraining — the IVF-PQ add() semantics; a rebuild is a new
+    * index version) and appended exactly-once as a `batch=<id>/`
+    * partition of the index's `cells_delta` side table, which
+    * [[graft.operators.IvfPqIndex.probe]] reads alongside the base
+    * cells. Per-batch state: k coarse centroids + M×k codebook rows. */
+  def pqEncodeStream(spark: SparkSession, inputDir: String,
+      indexDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(embeddingsSchema)
+      .parquet(inputDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.IvfPqIndex.encodeBatch(batch.toDF(), batchId, indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stateful streaming interleaved packer — the arrival-order
     * counterpart of the q71 batch gate: documents arrive as parquet
     * files, each is costed with the SAME interleaved token-cost model

@@ -441,6 +441,57 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch changed the verdicts")
   }
 
+  test("streaming PQ encode: frozen-codebook codes equal the base encode; " +
+    "probe serves base ∪ delta; replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col}
+    import graft.operators.IvfPqIndex
+    val sfDir = "/root/testdata/sf0.001"
+    val in = Files.createTempDirectory("graft-pq-in").toString
+    val index = Files.createTempDirectory("graft-pq-index").toString
+    val cp = Files.createTempDirectory("graft-pq-cp").toString
+    IvfPqIndex.build(spark, sfDir, index)
+    // stream clones of 5 existing vectors under NEW ids — a frozen
+    // index version must encode an identical vector identically
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter($"vec_id" < 5L)
+    emb.select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label")
+      .coalesce(1).write.parquet(s"$in/b1.parquet")
+    StreamingOps.pqEncodeStream(spark, s"$in/*", index, cp).awaitTermination()
+
+    val codeCols = (0 until 4).map(b => s"code_$b")
+    def codesOf(path: String, shift: Long): Map[Long, (Seq[Long], Int)] =
+      spark.read.parquet(path)
+        .select(($"vec_id" - shift).as("vec_id"),
+          array(codeCols.map(col): _*).as("codes"), $"cid")
+        .as[(Long, Seq[Long], Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val base = codesOf(s"$index/cells", 0L).filter(_._1 < 5L)
+    val delta = codesOf(s"$index/cells_delta", 100000L)
+    assert(delta.keySet === base.keySet)
+    delta.foreach { case (id, enc) =>
+      assert(enc === base(id), s"vec $id re-encoded differently: $enc vs ${base(id)}")
+    }
+
+    // probe: an exact duplicate pair must surface together — the
+    // clone's cosine ties the original's, so both sit in the top-k
+    val qv = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
+    val top = IvfPqIndex.probe(spark, index, qv,
+      nprobe = graft.operators.VectorOps.IvfK, topK = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top.contains(0L) && top.contains(100000L),
+      s"probe missed the streamed clone: $top")
+
+    // replay the batch — rows must stay identical
+    val before = spark.read.parquet(s"$index/cells_delta").collect().toSet
+    IvfPqIndex.encodeBatch(
+      emb.select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label"),
+      batchId = 0L, index)
+    assert(spark.read.parquet(s"$index/cells_delta").collect().toSet === before,
+      "replayed batch changed the delta")
+  }
+
   test("SimhashStore attach routes q70 through the persisted signatures") {
     import spark.implicits._
     import graft.operators.SimhashStore
