@@ -430,20 +430,36 @@ object TextOps {
   private def trainedMerges(s: SparkSession, dir: String,
       nMerges: Int): Seq[(Long, String, Long)] = {
     val key = sessionKey(s) + "|" + dir + "|" + nMerges
+    // an attached BpeStore serves the persisted list (prefix-stable:
+    // a deeper-trained store serves any shallower request as take(n));
+    // the fingerprint then names the store's file set, so routing
+    // changes re-validate naturally
+    val src = BpeStore.attachedStore(dir) match {
+      case None     => t(dir, "documents")
+      case Some(sd) => s"$sd/bpe_merges"
+    }
     val fp = snapshotFor.get(dir) match {
-      case null => fingerprint(s, t(dir, "documents"))
+      case null => fingerprint(s, src)
       case tok  => "snap:" + tok
     }
     val hit = bpeMergesCache.get(key)
     if (hit != null && hit._1 == fp) hit._2
     else {
-      val m = trainMergesUncached(s, dir, nMerges)
+      val m = BpeStore.attachedStore(dir) match {
+        case Some(sd) =>
+          val stored = BpeStore.merges(s, sd)
+          if (stored.length >= nMerges) stored.take(nMerges)
+          // store trained shallower than the request — the honest
+          // fallback is a fresh training run, not a truncated answer
+          else trainMergesUncached(s, dir, nMerges)
+        case None => trainMergesUncached(s, dir, nMerges)
+      }
       bpeMergesCache.put(key, (fp, m))
       m
     }
   }
 
-  private def trainMergesUncached(s: SparkSession, dir: String,
+  private[operators] def trainMergesUncached(s: SparkSession, dir: String,
       nMerges: Int): Seq[(Long, String, Long)] = {
     import s.implicits._
     val vocab = s.read.parquet(t(dir, "documents"))

@@ -203,6 +203,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size === math.min(100, counts.size) && got.nonEmpty)
   }
 
+  test("BpeStore attach routes q77/q78's merge training through the " +
+    "persisted list — tokenizer versions survive a corpus rewrite") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-bpe-att").toString
+    spark.read.parquet(s"$dir/documents.parquet").coalesce(1)
+      .write.parquet(s"$tmp/documents.parquet")
+    val store = Files.createTempDirectory("graft-bpe-store").toString
+    // train DEEPER than q77's 10 steps: the list is prefix-stable, so
+    // the store must serve the shallower request as take(10)
+    BpeStore.build(spark, tmp, store, n = 12)
+    val fresh = SparkEntry.queries("q77_bpe_train")(spark, tmp)
+      .collect().toSeq
+    BpeStore.attach(tmp, store)
+    try {
+      assert(SparkEntry.queries("q77_bpe_train")(spark, tmp)
+        .collect().toSeq === fresh)
+      // rewrite the corpus UNDER the attach: a pinned tokenizer
+      // version keeps serving — training is per refresh, not per query
+      (1L to 50L).map(i => (i, "zz zz zz qqq qqq", "en", "web"))
+        .toDF("doc_id", "text", "lang", "source")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      assert(SparkEntry.queries("q77_bpe_train")(spark, tmp)
+        .collect().toSeq === fresh,
+        "attached q77 retrained on the rewritten corpus")
+    } finally BpeStore.detach(tmp)
+    // detached again: the next call re-fingerprints the documents and
+    // genuinely retrains — the garbage corpus trains different merges
+    val retrained = SparkEntry.queries("q77_bpe_train")(spark, tmp)
+      .collect().toSeq
+    assert(retrained !== fresh, "detach did not restore in-query training")
+  }
+
   test("q77: iterative BPE training equals a plain-Scala reference fold " +
     "(greedy leftmost merge application, (count desc, pair asc) selection)") {
     import spark.implicits._
