@@ -86,14 +86,61 @@ object IvfPqIndex {
       s"$indexDir/cells_delta", batchId)
   }
 
+  /** Fold the streamed `cells_delta` into the base partitioned
+    * layout — the maintenance rewrite that bounds the delta between
+    * full rebuilds (the IceLite compactRetired analog). Only the
+    * cid partitions the delta touches are rewritten (dynamic
+    * partition overwrite — each partition flip is a commit-level
+    * rename), then the delta directory is dropped. Crash between the
+    * two steps leaves already-folded rows duplicated in base ∪ delta:
+    * the fold dedups on vec_id so RE-RUNNING is idempotent, and
+    * [[probe]]'s re-rank dedups its bounded candidate fetch so the
+    * window is harmless to serving. */
+  def compactDelta(spark: SparkSession, indexDir: String): Unit = {
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$indexDir/cells_delta")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$indexDir/cells_fold_tmp")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash after the delta drop can strand a previous fold's tmp
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    if (!fs.exists(deltaPath)) return
+    val delta = graft.store.PersistedStore
+      .readTable(spark, s"$indexDir/cells_delta")
+    val cids = delta.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (cids.nonEmpty) {
+      val base = spark.read.parquet(s"$indexDir/cells")
+      // stage the combined rows OUT of the source tree first — a
+      // direct overwrite would read and rewrite the same files
+      base.filter(col("cid").isin(cids: _*))
+        .unionByName(delta.select(base.columns.map(col): _*))
+        .dropDuplicates("vec_id")
+        .write.mode("overwrite").parquet(tmpPath.toString)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.read.parquet(tmpPath.toString)
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$indexDir/cells")
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    fs.delete(deltaPath, true)
+    fs.delete(tmpPath, true)
+  }
+
+  private def deltaExists(spark: SparkSession, indexDir: String): Boolean = {
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$indexDir/cells_delta")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(deltaPath)
+  }
+
   /** The serving row set: base cells ∪ streamed delta (if any). The
     * base prunes at partition level on `cid`; the delta — small
     * between rebuilds — filters on its `cid` column. */
   private def cellsWithDelta(spark: SparkSession, indexDir: String): DataFrame = {
     val base = spark.read.parquet(s"$indexDir/cells")
-    val deltaPath = new org.apache.hadoop.fs.Path(s"$indexDir/cells_delta")
-    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(deltaPath)) base
+    if (!deltaExists(spark, indexDir)) base
     else base.unionByName(
       graft.store.PersistedStore.readTable(spark, s"$indexDir/cells_delta")
         .select(base.columns.map(col): _*))
@@ -140,8 +187,13 @@ object IvfPqIndex {
       .orderBy(col("adc"), col("vec_id")).limit(AdcCandidates)
       .select(col("vec_id")).as[Long].collect().toSeq
     // exact re-rank: point-fetch ONLY the candidate vectors (bounded —
-    // AdcCandidates rows — row-group pruned by the vec_id stats)
-    cells.filter(col("vec_id").isin(candIds: _*))
+    // AdcCandidates rows — row-group pruned by the vec_id stats). With
+    // a delta present, a dedup guards the compactDelta crash window
+    // (a folded row can transiently exist in base AND delta); the
+    // base-only path keeps the exchange-free fetch plan
+    val fetched = cells.filter(col("vec_id").isin(candIds: _*))
+    (if (deltaExists(spark, indexDir)) fetched.dropDuplicates("vec_id")
+     else fetched)
       .select(col("vec_id"), VectorOps.cosine(col("v"), typedLit(qv)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(topK)

@@ -99,6 +99,46 @@ class IvfPqIndexSpec extends AnyFunSuite {
       s"probe read $readFiles of $allCells files — no pruning")
   }
 
+  test("compactDelta folds the streamed delta into the base partitions; " +
+    "probes unchanged; re-run and crash-window duplicates are harmless") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft-ivfpq4").toString
+    IvfPqIndex.build(spark, dir, idx)
+    val clones = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" < 5L)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding", $"label")
+    IvfPqIndex.encodeBatch(clones, batchId = 0L, idx)
+    val qv = queryVec()
+    def top(): Seq[(Long, Double)] =
+      IvfPqIndex.probe(spark, idx, qv, nprobe = VectorOps.IvfK, topK = 10)
+        .as[(Long, Double)].collect().toSeq
+    val before = top()
+    assert(before.exists(_._1 == 100000L), s"clone missing pre-fold: $before")
+
+    IvfPqIndex.compactDelta(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path(s"$idx/cells_delta")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/cells_delta")),
+      "delta not dropped after fold")
+    val folded = spark.read.parquet(s"$idx/cells")
+      .filter($"vec_id" >= 100000L).count()
+    assert(folded === 5L, s"folded rows missing from base: $folded")
+    assert(top() === before, "probe answer changed across the fold")
+
+    // crash window: the same rows transiently in base AND delta —
+    // the probe's bounded candidate dedup must keep the answer clean
+    IvfPqIndex.encodeBatch(clones, batchId = 1L, idx)
+    val dupWindow = top()
+    assert(dupWindow === before,
+      s"duplicate rows leaked into the top-k: $dupWindow")
+    // and re-folding is idempotent: one copy per vec_id survives
+    IvfPqIndex.compactDelta(spark, idx)
+    assert(spark.read.parquet(s"$idx/cells")
+      .filter($"vec_id" >= 100000L).count() === 5L,
+      "re-fold duplicated rows")
+    IvfPqIndex.compactDelta(spark, idx) // no delta: a no-op
+  }
+
   test("stored codes equal the q75 gate output") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft-ivfpq3").toString
