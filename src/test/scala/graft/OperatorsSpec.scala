@@ -203,6 +203,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size === math.min(100, counts.size) && got.nonEmpty)
   }
 
+  test("DSIR analytic properties: target ≡ raw gives all-zero weights " +
+    "with full shared support; selection is run-to-run deterministic") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.{greatest, length, lit}
+    // a corpus whose every document is in the target slice trains
+    // identical target and raw models — every delta is exactly 0, so
+    // every weight is exactly 0 and the shared support is the doc's
+    // whole trigram stream (integer-exact, no float residue)
+    val tmp = Files.createTempDirectory("graft-dsir-prop").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("lang", lit("en"))
+      .coalesce(1).write.parquet(s"$tmp/documents.parquet")
+    val w = SparkEntry.queries("q80_dsir_weights")(spark, tmp)
+      .as[(Long, Long, Long)].collect()
+    assert(w.forall(_._3 == 0L), "identical models produced nonzero weights")
+    val triCount = spark.read.parquet(s"$tmp/documents.parquet")
+      .select($"doc_id",
+        greatest(length($"text") - 2, lit(0)).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    w.foreach { case (id, nShared, _) =>
+      assert(nShared === triCount(id),
+        s"doc $id shared support $nShared != trigram count ${triCount(id)}")
+    }
+    // determinism: the Gumbel keys are pure hash functions of doc_id,
+    // so two runs select the same documents in the same order
+    val s1 = SparkEntry.queries("q81_dsir_select")(spark, dir).collect().toSeq
+    val s2 = SparkEntry.queries("q81_dsir_select")(spark, dir).collect().toSeq
+    assert(s1 === s2, "selection not deterministic across runs")
+    TextOps.invalidateDir(tmp)
+  }
+
   test("BpeStore attach routes q77/q78's merge training through the " +
     "persisted list — tokenizer versions survive a corpus rewrite") {
     import spark.implicits._
