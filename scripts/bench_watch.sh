@@ -19,12 +19,26 @@ for attempt in $(seq 1 80); do
     echo "$(date +%H:%M:%S) attempt $attempt: sbt busy, skip" >> "$LOG"
     sleep 120; continue
   fi
-  m1=$(bash $RUNJAVA graft.VmCalibration 2>/dev/null | tail -1 | grep -o 'mode=[a-z]*')
-  if [ "$m1" = "mode=ok" ]; then
+  # launch gate = mode ok AND healthy 8-thread bus (round-8 flicker
+  # regime: 1-thread copy recovers while the multi-thread bus stays
+  # contended — the pair tracks the 8t number, so launching on a 1t
+  # flicker burns the whole run in busGate waits)
+  GB8=${SPARK_GRAFT_VM_GBPS8_GATE:-40}
+  probe_line() { bash $RUNJAVA graft.VmCalibration 2>/dev/null | tail -1; }
+  probe_ok() {
+    local line; line=$(probe_line)
+    local m g; m=$(echo "$line" | grep -o 'mode=[a-z]*')
+    g=$(echo "$line" | grep -o '"mem_gbps_8t":[0-9.]*' | cut -d: -f2)
+    LAST_PROBE="$m gbps8=${g:-0}"
+    [ "$m" = "mode=ok" ] && \
+      [ "$(awk -v g="${g:-0}" -v f="$GB8" 'BEGIN{print (g>=f)?1:0}')" = "1" ]
+  }
+  if probe_ok; then
+    p1="$LAST_PROBE"
     sleep 40
-    m2=$(bash $RUNJAVA graft.VmCalibration 2>/dev/null | tail -1 | grep -o 'mode=[a-z]*')
-    echo "$(date +%H:%M:%S) probes: $m1 $m2" >> "$LOG"
-    if [ "$m2" = "mode=ok" ]; then
+    if probe_ok; then m2=ok; else m2=no; fi
+    echo "$(date +%H:%M:%S) probes: $p1 | $LAST_PROBE" >> "$LOG"
+    if [ "$m2" = "ok" ]; then
       if pgrep -f 'sbt-launch|xsbt.boot' > /dev/null || [ -f /tmp/SBT_INTENT ]; then
         echo "$(date +%H:%M:%S) sbt became busy, skip" >> "$LOG"; sleep 120; continue
       fi
@@ -54,7 +68,7 @@ for attempt in $(seq 1 80); do
       fi
     fi
   else
-    echo "$(date +%H:%M:%S) probe: $m1" >> "$LOG"
+    echo "$(date +%H:%M:%S) probe: $LAST_PROBE" >> "$LOG"
   fi
   sleep 100
 done
