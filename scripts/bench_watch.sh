@@ -14,7 +14,7 @@ cd "$(dirname "$0")/.." || exit 1
 REC=${1:-/tmp/bench_candidate.json}
 LOG=${2:-/tmp/bench_watch.log}
 RUNJAVA="scripts/runjava.sh"
-for attempt in $(seq 1 80); do
+for attempt in $(seq 1 "${SPARK_GRAFT_WATCH_ATTEMPTS:-80}"); do
   if pgrep -f 'sbt-launch|xsbt.boot' > /dev/null || [ -f /tmp/SBT_INTENT ]; then
     echo "$(date +%H:%M:%S) attempt $attempt: sbt busy, skip" >> "$LOG"
     sleep 120; continue
