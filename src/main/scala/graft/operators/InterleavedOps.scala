@@ -55,7 +55,9 @@ object InterleavedOps {
     * below is its scalar explosion, because the driver's hash-compare
     * requires scalar cells. */
   def spanArrays(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(t(dir, "documents"))
+    // widened (guide §2.5): the chunk/media span lambdas are the whole
+    // cost and otherwise run in the one-row-group scan's single task
+    Scans.widen(s.read.parquet(t(dir, "documents")).select("doc_id", "text"))
       .selectExpr("doc_id", "split(text, ' ') AS words")
       .selectExpr("doc_id", "words",
         s"cast(floor((size(words) + ${ChunkWords - 1}) / $ChunkWords) as bigint) AS nch")

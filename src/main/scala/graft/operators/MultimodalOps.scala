@@ -154,7 +154,8 @@ object MultimodalOps {
     // per-partition Decoder seam.
     "q32_media_decode" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val media = s.read.parquet(t(dir, "documents"))
+      val media = Scans.widen(
+          s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
         .select($"doc_id", encode($"text", "UTF-8").as("payload"))
         .as[MediaRow]
       media.mapPartitions { it =>
@@ -168,8 +169,8 @@ object MultimodalOps {
     // frame sampling: binary → exploded (frame_idx, frame_val) rows.
     "q33_frame_sample" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val media = s.read.parquet(t(dir, "documents"))
-        .filter($"doc_id" % 50 === 0)
+      val media = Scans.widen(s.read.parquet(t(dir, "documents"))
+          .filter($"doc_id" % 50 === 0).select($"doc_id", $"text"))
         .select($"doc_id", encode($"text", "UTF-8").as("payload"))
         .as[MediaRow]
       media.mapPartitions { it =>

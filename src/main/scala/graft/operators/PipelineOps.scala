@@ -366,7 +366,8 @@ object PipelineOps {
       import QualityRules._
       val nTokens = (length($"text") - length(replace($"text", lit(" "), lit(""))) + 1)
         .cast("long")
-      val d = s.read.parquet(t(dir, "documents"))
+      val d = Scans.widen(
+          s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
         .withColumn("n_tokens", nTokens)
         .withColumn("awl",
           length(replace($"text", lit(" "), lit(""))).cast("double") / $"n_tokens")
@@ -402,7 +403,8 @@ object PipelineOps {
       import s.implicits._
       import QualityRules.{DecontamMinHits, DecontamMod}
       val docs = s.read.parquet(t(dir, "documents"))
-      val sh = docs.select($"doc_id",
+      val sh = Scans.widen(docs.select($"doc_id", $"text"))
+        .select($"doc_id",
           explode(sequence(lit(1), greatest(length($"text") - 15, lit(1)), lit(8))).as("i"),
           $"text")
         .select($"doc_id", expr("substr(text, i, 16)").as("sg"))
@@ -428,7 +430,8 @@ object PipelineOps {
     // shuffle, embarrassingly parallel at any corpus size.
     "q50_repetition" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val d = s.read.parquet(t(dir, "documents"))
+      val d = Scans.widen(
+        s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
       val m = d.select($"doc_id", split($"text", " ").as("ws"))
         .select($"doc_id", $"ws",
           size($"ws").cast("long").as("n_words"),
@@ -461,7 +464,10 @@ object PipelineOps {
       import s.implicits._
       val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val phonePat = "555-[0-9]{4}"
-      val d = s.read.parquet(t(dir, "documents"))
+      // widened (guide §2.5): three regex passes per row are the whole
+      // cost and the one-row-group scan is one task
+      val d = Scans.widen(
+        s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
       val planted = when($"doc_id" % 7 === 0,
         concat($"text", lit(" contact user"), $"doc_id",
           lit("@example.com or call 555-"),

@@ -25,7 +25,11 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      s.read.parquet(t(dir, "lineitem"))
+      // widen the projected scan (guide §2.5): the decimal casts + sums
+      // otherwise run in the one-row-group scan's single task
+      Scans.widen(s.read.parquet(t(dir, "lineitem"))
+          .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+            $"l_extendedprice", $"l_discount"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
           sum(d2($"l_quantity")).cast("double").as("sum_qty"),

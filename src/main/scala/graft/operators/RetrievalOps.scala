@@ -47,6 +47,10 @@ object RetrievalOps {
       import s.implicits._
       val tfCols = QueryTerms.map(q =>
         expr(s"cast(size(filter(words, x -> x = '$q')) as bigint)").as(s"tf_$q"))
+      // NOT widened: measured 0.66 -> 0.73 s with the widen exchange —
+      // the frame feeds both the stats collect and the scored output,
+      // so the exchange is paid twice while the per-row work is three
+      // array filters (guide §1.2: measure, then decide)
       val m = s.read.parquet(t(dir, "documents"))
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .select(col("doc_id") +: expr("cast(size(words) as bigint)").as("dl") +: tfCols: _*)
@@ -89,7 +93,8 @@ object RetrievalOps {
       // DISTINCT set (cap on distinct count) inside the buffer, so a
       // separate dedup pass would add a second corpus-token-scale
       // exchange for identical semantics
-      val sh = s.read.parquet(t(dir, "documents"))
+      val sh = Scans.widen(
+          s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
         .select($"doc_id", split($"text", " ").as("words"))
         .select($"doc_id",
           explode(expr(
@@ -125,8 +130,9 @@ object RetrievalOps {
     // scale. No stage ever holds more than one document's tokens.
     "q73_substring_scrub" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val docs = s.read.parquet(t(dir, "documents")).select($"doc_id", $"text")
-      scrubAgainst(docs, dupShingleDirectory(s, dir)).orderBy($"doc_id")
+      val docs = Scans.widen(
+        s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
+      scrubCorpus(docs).orderBy($"doc_id")
     }))
 
   /** Positional 13-token shingles `(doc_id, i, sg)` of a `(doc_id,
@@ -152,7 +158,8 @@ object RetrievalOps {
     import s.implicits._
     // cappedSortedSet dedups inside the aggregation buffer — no
     // distinct() pass (same reasoning as q64)
-    posShingles(s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
+    posShingles(Scans.widen(
+        s.read.parquet(t(dir, "documents")).select($"doc_id", $"text")))
       .select($"doc_id", $"sg")
       .groupBy($"sg")
       .agg(TextOps.cappedSortedSet($"doc_id", BucketCap).as("docs"))
@@ -168,13 +175,44 @@ object RetrievalOps {
     * gate's contract). The directory joins on the compact 48-bit key —
     * never broadcast-assumed: at warehouse scale it is corpus-bounded,
     * not benchmark-bounded. */
-  private[graft] def scrubAgainst(docs: DataFrame, dups: DataFrame): DataFrame = {
+  /** The q73 batch body: directory AND removal positions from ONE
+    * materialized positional-shingle frame (round-8 verdict #3 — the
+    * old path ran `posShingles` twice, once inside
+    * [[dupShingleDirectory]] and once inside [[scrubAgainst]]: two
+    * full md5-per-token-window passes over the corpus for one query).
+    * The shingle frame is localCheckpointed (the signature-table
+    * precedent — at warehouse scale a pipeline stages it to a table
+    * once and both consumers read it); the directory agg keeps the
+    * 512-doc capped-set valve, so agg state stays bounded exactly as
+    * before. Same-phase A/B at sf0.1 (BenchExtra, warm best-of-3):
+    * recorded in OPTIMIZATION_r09.md. */
+  private[graft] def scrubCorpus(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ps = posShingles(docs).localCheckpoint(true)
+    val dups = ps
+      .select($"doc_id", $"sg")
+      .groupBy($"sg")
+      .agg(TextOps.cappedSortedSet($"doc_id", BucketCap).as("docs"))
+      .filter($"docs".isNotNull && size($"docs") >= 2)
+      .select($"sg", element_at($"docs", 1).as("keeper"))
+    scrubWith(docs, ps, dups)
+  }
+
+  private[graft] def scrubAgainst(docs: DataFrame, dups: DataFrame): DataFrame =
+    scrubWith(docs, posShingles(docs), dups)
+
+  /** Scrub body over a caller-supplied positional-shingle frame of
+    * `docs` — shared by the batch gate (one materialized frame, two
+    * consumers) and the streaming per-micro-batch scrub (fresh tiny
+    * frame per batch). */
+  private def scrubWith(docs: DataFrame, ps: DataFrame,
+      dups: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val words = docs.select($"doc_id", split($"text", " ").as("words"))
     // removal positions: overlapping windows collapse inside the
     // collect_set aggregation buffer (no separate distinct pass — the
     // exploded position stream is the scrub's largest intermediate)
-    val rem = posShingles(docs).join(dups, "sg")
+    val rem = ps.join(dups, "sg")
       .filter($"doc_id" =!= $"keeper")
       .select($"doc_id",
         explode(sequence($"i", $"i" + lit(ShingleWords - 1).cast("long")))

@@ -59,7 +59,7 @@ object TextOps {
     // quality scoring: length, avg word length, stopword ratio.
     "q21_quality" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      s.read.parquet(t(dir, "documents"))
+      Scans.widen(s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
         .withColumn("n_tokens",
           (length($"text") - length(replaceCol($"text", " ")) + 1).cast("long"))
         .withColumn("n_stop",
@@ -75,7 +75,8 @@ object TextOps {
     "q22_lang_guess" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val padded = concat(lit(" "), $"text", lit(" "))
-      s.read.parquet(t(dir, "documents"))
+      Scans.widen(s.read.parquet(t(dir, "documents"))
+          .select($"doc_id", $"lang", $"text"))
         .withColumn("en_score", occPlain(padded, " the ") + occPlain(padded, " row "))
         .withColumn("qy_score", occPlain(padded, " query ") + occPlain(padded, " scan "))
         .withColumn("dt_score", occPlain(padded, " data ") + occPlain(padded, " table "))
@@ -187,7 +188,8 @@ object TextOps {
     // graft.functions.GraftFunctions.simhash64 (FunctionsSpec).
     "q27_simhash" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      val tok = s.read.parquet(t(dir, "documents"))
+      val tok = Scans.widen(
+          s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
         .select($"doc_id", explode(split($"text", " ")).as("tk"))
       val h = tok.select($"doc_id",
         element_at(md5Ints4($"tk"), 1).as("h"))
@@ -247,7 +249,7 @@ object TextOps {
     // punctuation, the pre-tokenizer shape BPE vocabularies use.
     "q34_token_bpe" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      s.read.parquet(t(dir, "documents"))
+      Scans.widen(s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
         .select($"doc_id",
           size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
             .cast("long").as("n_bpe_tokens"),
@@ -267,7 +269,7 @@ object TextOps {
     // embarrassingly parallel at any corpus size.
     "q74_bpe_merges" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      s.read.parquet(t(dir, "documents"))
+      Scans.widen(s.read.parquet(t(dir, "documents")).select($"text"))
         .select(explode(split($"text", " ")).as("w"))
         .filter(length($"w") >= 2)
         .select(explode(expr(
@@ -370,6 +372,9 @@ object TextOps {
     import s.implicits._
     val docs = s.read.parquet(t(dir, "documents"))
     val nDocs = docs.agg(count(lit(1))).head().getLong(0)
+    // NOT widened: measured 0.94 -> 1.40 s with the widen exchange —
+    // the (doc_id, term) hash aggregate dominates, not the explode,
+    // and the extra text exchange only adds cost (guide §1.2: measure)
     val words = docs
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .filter(length($"term") > 0)
@@ -462,7 +467,7 @@ object TextOps {
   private[operators] def trainMergesUncached(s: SparkSession, dir: String,
       nMerges: Int): Seq[(Long, String, Long)] = {
     import s.implicits._
-    val vocab = s.read.parquet(t(dir, "documents"))
+    val vocab = Scans.widen(s.read.parquet(t(dir, "documents")).select($"text"))
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") >= 2)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
@@ -509,7 +514,7 @@ object TextOps {
       val Array(a, b) = pair.split(" ", 2)
       replace(c, lit(s" $a  $b "), lit(s" $a$b "))
     }
-    s.read.parquet(t(dir, "documents"))
+    Scans.widen(s.read.parquet(t(dir, "documents")).select($"doc_id", $"text"))
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
       .select($"doc_id",
@@ -528,8 +533,12 @@ object TextOps {
   def charLmScores(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = s.read.parquet(t(dir, "documents"))
+    // the scoring side is widened (guide §2.5): the per-char trigram
+    // explode is the query's dominant cost and otherwise runs in the
+    // one-row-group scan's single task
+    val scoring = Scans.widen(docs.select($"doc_id", $"text"))
     docs.select($"doc_id")
-      .join(lmScoreAgainst(docs, cachedLmRaw(s, dir)).drop("n_unknown"),
+      .join(lmScoreAgainst(scoring, cachedLmRaw(s, dir)).drop("n_unknown"),
         Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_trigrams", lit(0L)).as("n_trigrams"),
@@ -565,8 +574,10 @@ object TextOps {
       dir: String): DataFrame = {
     val docs = s.read.parquet(t(dir, "documents"))
     val delta = dsirDeltaFor(s, dir)
+    // widened scoring side, same rationale as charLmScores
+    val scoring = Scans.widen(docs.select(col("doc_id"), col("text")))
     docs.select(col("doc_id"))
-      .join(dsirScoreAgainst(docs, delta).drop("n_unshared"),
+      .join(dsirScoreAgainst(scoring, delta).drop("n_unshared"),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
@@ -774,7 +785,7 @@ object TextOps {
 
   /** Stable session identity (identityHashCode can collide across GC'd
     * sessions — round-3 ADVICE). */
-  private def sessionKey(s: SparkSession): String =
+  private[operators] def sessionKey(s: SparkSession): String =
     org.apache.spark.sql.graftshim.ColumnShim.sessionUUID(s)
       .getOrElse("sys-" + System.identityHashCode(s))
 
@@ -799,7 +810,7 @@ object TextOps {
     * return a constant for remote URIs — and a constant fingerprint is
     * a stale-cache bug, the exact failure this mechanism exists to
     * prevent). */
-  private def fingerprint(s: SparkSession, path: String): String = {
+  private[operators] def fingerprint(s: SparkSession, path: String): String = {
     import org.apache.hadoop.fs.{FileSystem, Path => HPath}
     try {
       fingerprintListings.incrementAndGet()
@@ -893,15 +904,16 @@ object TextOps {
       LmStore.attachedStore(dir) match {
         case Some(sd) => LmStore.model(s, sd)
         case None =>
-          lmModel(s.read.parquet(t(dir, "documents")).select("doc_id", "text"))
+          lmModel(Scans.widen(
+              s.read.parquet(t(dir, "documents")).select("doc_id", "text")))
             .localCheckpoint(true)
       }
     }
 
   private[operators] def cachedLmTarget(s: SparkSession, dir: String): DataFrame =
     cachedBuildFrom(lmTargetCache, s, dir, lmSource(dir))(
-      lmModel(s.read.parquet(t(dir, "documents"))
-          .filter(col("lang") === "en").select("doc_id", "text"))
+      lmModel(Scans.widen(s.read.parquet(t(dir, "documents"))
+          .filter(col("lang") === "en").select("doc_id", "text")))
         .localCheckpoint(true))
 
   /** The DSIR delta for `dir`: an attached [[LmStore]] serves the
@@ -1133,7 +1145,8 @@ object TextOps {
       SimhashStore.attachedStore(dir) match {
         case Some(sd) => SimhashStore.simhashes(s, sd)
         case None =>
-          simhashOf(s.read.parquet(t(dir, "documents"))).localCheckpoint(true)
+          simhashOf(Scans.widen(s.read.parquet(t(dir, "documents"))
+            .select(col("doc_id"), col("text")))).localCheckpoint(true)
       }
     }
 
@@ -1151,7 +1164,10 @@ object TextOps {
         // store-served: already a compact persisted table — a pruned
         // parquet read needs no checkpoint (and gate reads prune `ss`)
         case None =>
-          signaturesOf(s.read.parquet(t(dir, "documents"))).localCheckpoint(true)
+          // widened (guide §2.5): the per-row MinhashSigExpr is the
+          // whole build cost and the one-row-group scan is one task
+          signaturesOf(Scans.widen(s.read.parquet(t(dir, "documents"))
+            .select(col("doc_id"), col("text")))).localCheckpoint(true)
         case Some(storeDir) => SignatureStore.signatures(s, storeDir)
       }
     }

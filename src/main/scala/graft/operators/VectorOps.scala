@@ -112,6 +112,57 @@ object VectorOps {
     }
   }
 
+  /** The q57/q60 SHARED decontamination intermediate: every
+    * (corpus vec_id, benchmark bvec) LSH candidate whose exact cosine
+    * clears the 0.4 gate. The two queries are the corpus-side and
+    * benchmark-side READS of one scored pair set — q57 aggregates it
+    * by vec_id, q60 by bvec — so the pair set is computed once per
+    * (session, dir, corpus/benchmark version) and localCheckpointed
+    * (the signature-table precedent; round-9 measurement: whichever
+    * gate runs second previously re-ran the whole band scan + three
+    * broadcast builds + cosine re-rank for an identical pair set).
+    * Fingerprinted on the embeddings table AND the attached benchmark
+    * store path, so a corpus rewrite or a store attach/detach rebuilds
+    * naturally. */
+  private final case class CachedHits(fp: String, df: DataFrame)
+  private val decontamHitsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedHits]()
+
+  private def decontamHits(s: SparkSession, dir: String): DataFrame = {
+    val key = TextOps.sessionKey(s) + "|" + dir
+    val fp = (t(dir, "embeddings") +: BenchmarkStore.attachedStore(dir).toList)
+      .map(p => TextOps.fingerprint(s, p)).mkString("+")
+    val hit = decontamHitsCache.get(key)
+    if (hit != null && hit.fp == fp) hit.df
+    else decontamHitsCache.compute(key, (_, old) =>
+      if (old != null && old.fp == fp) old
+      else CachedHits(fp, decontamHitsUncached(s, dir).localCheckpoint(true))).df
+  }
+
+  /** The builder plan (bipartite sign-LSH candidates + exact cosine
+    * re-rank, 0.4 gate) — the uncached form the plan-shape tests
+    * assert on. Same skeleton the two gate queries carried in rounds
+    * 5–8: one corpus band scan, benchmark-bounded broadcasts, corpus
+    * arrays never shuffle; see the q57 query comment for the scale
+    * notes on each broadcast. */
+  private[graft] def decontamHitsUncached(s: SparkSession,
+      dir: String): DataFrame = {
+    import s.implicits._
+    val emb = s.read.parquet(t(dir, "embeddings"))
+    val corpus = emb.filter($"vec_id" % BenchmarkStore.BenchMod =!= 0)
+    val (benchBands, benchVecs) = benchSide(s, dir, emb)
+    val cand = signBands(corpus)
+      .join(broadcast(benchBands), Seq("band", "chunk"))
+      .select($"vec_id", $"bvec").distinct()
+    corpus.select($"vec_id", $"embedding".as("ce"))
+      .join(broadcast(cand), "vec_id")
+      .join(broadcast(benchVecs.select($"bvec", $"embedding".as("be"))),
+        "bvec")
+      .select($"vec_id", $"bvec", cosine($"ce", $"be").as("cos"))
+      .filter($"cos" >= 0.4)
+      .select($"vec_id", $"bvec")
+  }
+
   /** SQL fragment mirroring signChunk for the oracle. */
   private def signChunkSql(b: Int): String =
     (0 until SignBitsPerBand).map { j =>
@@ -148,7 +199,27 @@ object VectorOps {
     * seeding, IvfIters iterations, IvfRoundDp-rounded means, (c·c −
     * 2 v·c, cid) argmin). M×k×Sub doubles of driver-side training
     * state — the q36 precedent. */
+  /** Codebooks are BUILD-ONCE training state shared by q75 (encode)
+    * and q76 (ADC serving) — two consumers of one training run, cached
+    * per (session, dir, corpus version) under the bpeMergesCache
+    * discipline (M×k×Sub driver-side doubles, nothing to release). */
+  private val pqCodebooksCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[Seq[(Int, Seq[Double])]])]()
+
   private[operators] def pqCodebooks(s: SparkSession, dir: String)
+      : Seq[Seq[(Int, Seq[Double])]] = {
+    val key = TextOps.sessionKey(s) + "|" + dir
+    val fp = TextOps.fingerprint(s, t(dir, "embeddings"))
+    val hit = pqCodebooksCache.get(key)
+    if (hit != null && hit._1 == fp) hit._2
+    else {
+      val cb = pqCodebooksUncached(s, dir)
+      pqCodebooksCache.put(key, (fp, cb))
+      cb
+    }
+  }
+
+  private def pqCodebooksUncached(s: SparkSession, dir: String)
       : Seq[Seq[(Int, Seq[Double])]] = {
     import s.implicits._
     val emb = s.read.parquet(t(dir, "embeddings"))
@@ -161,23 +232,36 @@ object VectorOps {
       BigDecimal(x).setScale(IvfRoundDp, BigDecimal.RoundingMode.HALF_UP)
         .toDouble
     val vecSum = udaf(new graft.functions.VecSumAggregator())
-    (0 until PqM).map { b =>
-      val vb = emb.select($"vec_id",
-        expr(s"slice(v, ${b * PqSub + 1}, $PqSub)").as("v"))
-      var cents: Seq[(Int, Seq[Double])] = (0 until PqK).map(i =>
-        i -> vidVec(initVids(i)).slice(b * PqSub, (b + 1) * PqSub))
-      (1 to IvfIters).foreach { _ =>
-        val sums = vb.groupBy(pqAssign($"v", cents).as("cid"))
-          .agg(vecSum($"v").as("sv"), count(lit(1)).as("cnt"))
-          .as[(Int, Seq[Double], Long)].collect()
-        val means = sums.map { case (cid, sv, cnt) =>
-          cid -> sv.map(x => roundDp(x / cnt))
-        }.toMap
-        // empty cells coalesce back to the previous centroid
-        cents = cents.map { case (cid, cv) => cid -> means.getOrElse(cid, cv) }
+    // Per-iteration FUSED Lloyd step: the M=4 blocks are independent,
+    // so the old block-by-block loop's M×iters aggregate jobs (each a
+    // full embeddings scan + driver round-trip) fold into ONE job per
+    // iteration — explode each row into its M (block, cid, subvector)
+    // assignments and aggregate on the compact (block, cid) key. Same
+    // argmin, same VecSum partials, same rounded means per block as
+    // the sequential form (blocks never interact), 8 jobs -> 2.
+    var cents: IndexedSeq[Seq[(Int, Seq[Double])]] =
+      (0 until PqM).map(b => (0 until PqK).map(i =>
+        i -> vidVec(initVids(i)).slice(b * PqSub, (b + 1) * PqSub)))
+    (1 to IvfIters).foreach { _ =>
+      val spans = (0 until PqM).map { b =>
+        struct(lit(b).as("b"),
+          pqAssign(expr(s"slice(v, ${b * PqSub + 1}, $PqSub)"), cents(b))
+            .as("cid"),
+          expr(s"slice(v, ${b * PqSub + 1}, $PqSub)").as("vb"))
       }
-      cents
+      val sums = emb.select(explode(array(spans: _*)).as("x"))
+        .groupBy($"x.b".as("b"), $"x.cid".as("cid"))
+        .agg(vecSum($"x.vb").as("sv"), count(lit(1)).as("cnt"))
+        .as[(Int, Int, Seq[Double], Long)].collect()
+      val means = sums.map { case (b, cid, sv, cnt) =>
+        (b, cid) -> sv.map(x => roundDp(x / cnt))
+      }.toMap
+      // empty cells coalesce back to the previous centroid
+      cents = (0 until PqM).map(b => cents(b).map { case (cid, cv) =>
+        cid -> means.getOrElse((b, cid), cv)
+      })
     }
+    cents
   }
 
   /** Native argmin over a block codebook (IvfAssignExpr, codegen'd). */
@@ -364,16 +448,7 @@ object VectorOps {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
       val corpus = emb.filter($"vec_id" % BenchmarkStore.BenchMod =!= 0)
-      val (benchBands, benchVecs) = benchSide(s, dir, emb)
-      val cand = signBands(corpus)
-        .join(broadcast(benchBands), Seq("band", "chunk"))
-        .select($"vec_id", $"bvec").distinct()
-      val hits = corpus.select($"vec_id", $"embedding".as("ce"))
-        .join(broadcast(cand), "vec_id")
-        .join(broadcast(benchVecs.select($"bvec", $"embedding".as("be"))),
-          "bvec")
-        .select($"vec_id", cosine($"ce", $"be").as("cos"))
-        .filter($"cos" >= 0.4)
+      val hits = decontamHits(s, dir)
         .groupBy($"vec_id").agg(count(lit(1)).as("n_hits"))
       corpus.select($"vec_id")
         .join(hits, Seq("vec_id"), "left")
@@ -397,17 +472,8 @@ object VectorOps {
     "q60_benchmark_leakage" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
       val emb = s.read.parquet(t(dir, "embeddings"))
-      val corpus = emb.filter($"vec_id" % BenchmarkStore.BenchMod =!= 0)
-      val (benchBands, benchVecs) = benchSide(s, dir, emb)
-      val cand = signBands(corpus)
-        .join(broadcast(benchBands), Seq("band", "chunk"))
-        .select($"vec_id", $"bvec").distinct()
-      val hits = corpus.select($"vec_id", $"embedding".as("ce"))
-        .join(broadcast(cand), "vec_id")
-        .join(broadcast(benchVecs.select($"bvec", $"embedding".as("be"))),
-          "bvec")
-        .select($"bvec", cosine($"ce", $"be").as("cos"))
-        .filter($"cos" >= 0.4)
+      val (_, benchVecs) = benchSide(s, dir, emb)
+      val hits = decontamHits(s, dir)
         .groupBy($"bvec").agg(count(lit(1)).as("n_corpus_hits"))
       benchVecs.select($"bvec")
         .join(broadcast(hits), Seq("bvec"), "left")

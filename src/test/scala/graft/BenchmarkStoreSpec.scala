@@ -31,23 +31,28 @@ class BenchmarkStoreSpec extends AnyFunSuite {
       assert(routed === fresh, "store-routed result differs from in-query")
       assert(BenchmarkStore.snapshotOf(dir) === Some("bench-v1"))
 
-      // plan audit: the benchmark side reads the store parquet (both
-      // tables), and the embeddings file is scanned exactly as many
-      // times as the CORPUS side needs it (bands + re-rank + the
-      // final left join = 3) — with no store attached the benchmark
-      // adds two more embeddings scans
+      // plan audit — on the UNCACHED builder since round 9: the q57/
+      // q60 consumer plans aggregate the session-cached checkpointed
+      // pair set (the dsirWeightFrame precedent), so the store-routing
+      // contract lives on the builder plan. The benchmark side reads
+      // the store parquet (both tables), and the embeddings file is
+      // scanned exactly as many times as the CORPUS side needs it
+      // (bands + re-rank = 2) — with no store attached the benchmark
+      // side adds two more embeddings scans
       def embScans(plan: String): Int =
         plan.linesIterator.count(l =>
           l.contains("FileScan parquet") && l.contains("embeddings.parquet"))
-      val routedPlan = q57().queryExecution.executedPlan.toString
+      val routedPlan = VectorOps.decontamHitsUncached(spark, dir)
+        .queryExecution.executedPlan.toString
       assert(routedPlan.contains("bench_bands"), "band table not store-served")
       assert(routedPlan.contains("bench_vectors"), "vector table not store-served")
-      assert(embScans(routedPlan) === 3,
-        s"expected 3 corpus-side embeddings scans, plan:\n$routedPlan")
+      assert(embScans(routedPlan) === 2,
+        s"expected 2 corpus-side embeddings scans, plan:\n$routedPlan")
     } finally BenchmarkStore.detach(dir)
 
     // detached: back to the in-query path, same rows, no store scan
-    val detachedPlan = q57().queryExecution.executedPlan.toString
+    val detachedPlan = VectorOps.decontamHitsUncached(spark, dir)
+      .queryExecution.executedPlan.toString
     assert(!detachedPlan.contains("bench_bands"))
     assert(q57().as[(Long, Long, Boolean)].collect().toSeq === fresh)
   }

@@ -197,10 +197,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     // the filter is real (both rules fire) and not vacuous
     assert(rows.count(_._6) > 100 && rows.count(!_._6) > 50)
-    // scale shape: per-row expressions only — the single exchange is
-    // the presentation orderBy's range partitioning, nothing else
+    // scale shape: per-row expressions only — the allowed exchanges
+    // are the presentation orderBy's range partitioning and the
+    // round-9 degenerate-scan widener's round-robin (Scans.widen — a
+    // no-op on any source already core-count wide); nothing key-hashed
+    // below the sort
     val plan = out.queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange"))
+      .filterNot(_.contains("RoundRobinPartitioning")).toSeq
     assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
       s"repetition metrics must be shuffle-free below the sort:\n$plan")
   }
