@@ -82,6 +82,12 @@ object InterleavedOps {
     // unhashable there — round-6 red). Still one scan + per-row
     // lambdas + one generator: zero shuffle, embarrassingly parallel.
     "q61_spanize" -> ((s: SparkSession, dir: String) => {
+      // (A localCheckpoint before the presentation sort — to spare the
+      // range-partitioner's boundary-sampling pass one recompute of
+      // the span lambdas — was A/B-measured this round and REVERTED:
+      // warm best 0.77 -> 0.73 s but first-run 1.10 -> 2.11 s at
+      // sf0.1; with the widened scan the recompute is parallel and
+      // cheaper than serializing the span rows.)
       spanArrays(s, dir)
         .selectExpr("doc_id", "inline(spans)")
         .selectExpr("doc_id", "offset", "kind", "text", "media_ref")

@@ -55,9 +55,13 @@ object RelationalQueries {
       val c = s.read.parquet(t(dir, "customer"))
       val o = s.read.parquet(t(dir, "orders"))
       val l = s.read.parquet(t(dir, "lineitem"))
+      // the customer dimension (filtered to one segment) is broadcast
+      // explicitly (guide §3.1 — the session disables auto-broadcast,
+      // so hints are the deliberate-strategy channel); the l join o
+      // fact-fact join stays a shuffle join, the correct 100 TB shape
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(c, $"o_custkey" === $"c_custkey")
-        .filter($"c_mktsegment" === "BUILDING")
+        .join(broadcast(c.filter($"c_mktsegment" === "BUILDING")),
+          $"o_custkey" === $"c_custkey")
         .groupBy($"c_custkey", $"c_name")
         .agg(sum(d2($"l_extendedprice") * (lit(1).cast(DecimalType(18, 2)) - d2($"l_discount")))
           .cast("double").as("revenue"),
@@ -127,7 +131,8 @@ object RelationalQueries {
 
     "q9_json" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      s.read.parquet(t(dir, "events"))
+      Scans.widen(s.read.parquet(t(dir, "events"))
+          .select($"event_id", $"event_type", $"props"))
         .select($"event_id", $"event_type",
           get_json_object($"props", "$.k").cast("long").as("k"))
         .groupBy($"event_type")
