@@ -709,6 +709,9 @@ object PipelineOps {
       import org.apache.spark.sql.expressions.Window
       val clusters = dedupClusters(s, dir)
         .select($"doc_id", $"cluster_id")
+      // NOT widened: the q56 A/B measured the same split+distinct scan
+      // 0.42 s un-widened vs 0.68 s widened — the downstream window
+      // exchange dominates and the extra exchange only adds cost
       val scores = s.read.parquet(t(dir, "documents"))
         .select($"doc_id", split($"text", " ").as("ws"))
         .select($"doc_id",
