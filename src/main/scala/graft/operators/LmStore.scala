@@ -26,8 +26,11 @@ object LmStore extends graft.store.PersistedStore {
     TextOps.lmModel(docs.select("doc_id", "text"))
       .write.mode("overwrite").parquet(s"$storeDir/trigram_lm")
     // delta reads the raw model BACK from the store (not the live
-    // plan) so the persisted pair is consistent even if the source
-    // table changes between the two writes
+    // plan) so both delta terms reference the same written artifact;
+    // the TARGET side still trains from the live documents plan, so a
+    // consistent pair assumes a quiesced/single-writer source for the
+    // duration of the build (the standard store-refresh discipline —
+    // round-8 ADVICE)
     TextOps.dsirDelta(
         model(spark, storeDir),
         TextOps.lmModel(
