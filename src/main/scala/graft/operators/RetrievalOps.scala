@@ -176,26 +176,42 @@ object RetrievalOps {
     * never broadcast-assumed: at warehouse scale it is corpus-bounded,
     * not benchmark-bounded. */
   /** The q73 batch body: directory AND removal positions from ONE
-    * materialized positional-shingle frame (round-8 verdict #3 — the
-    * old path ran `posShingles` twice, once inside
-    * [[dupShingleDirectory]] and once inside [[scrubAgainst]]: two
-    * full md5-per-token-window passes over the corpus for one query).
-    * The shingle frame is localCheckpointed (the signature-table
-    * precedent — at warehouse scale a pipeline stages it to a table
-    * once and both consumers read it); the directory agg keeps the
-    * 512-doc capped-set valve, so agg state stays bounded exactly as
-    * before. Same-phase A/B at sf0.1 (BenchExtra, warm best-of-3):
-    * recorded in OPTIMIZATION_r09.md. */
+    * aggregate on ONE positional-shingle pass (round-8 verdict #3
+    * fused the two `posShingles` passes behind a localCheckpoint;
+    * round 9 goes further — [[graft.functions.CappedDupOccAgg]]
+    * computes the keeper and the non-keeper occurrence positions in
+    * the SAME `sg`-keyed aggregation, so the checkpoint, the second
+    * scan of the shingle frame, and the `ps ⋈ directory` shuffle all
+    * disappear; guide §2.4, two operations keyed the same way share
+    * one exchange). The 512-doc distinct valve is unchanged — an
+    * over-cap shingle collapses to NULL inside the buffer, exactly
+    * the [[TextOps.cappedSortedSet]] contract. Pinned equal to the
+    * legacy two-pass directory + scrub by RewriteEquivalenceSpec.
+    * Same-phase A/B at sf0.1 (interleaved same-JVM reps, 6 each, a
+    * dim-ok VM window): checkpoint shape med 3.68 s / best 2.51 s ->
+    * fused med 2.15 s / best 1.57 s (~-40%), outputs byte-identical
+    * (exceptAll = 0 both ways). */
   private[graft] def scrubCorpus(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val ps = posShingles(docs).localCheckpoint(true)
-    val dups = ps
-      .select($"doc_id", $"sg")
+    val rem = posShingles(docs)
       .groupBy($"sg")
-      .agg(TextOps.cappedSortedSet($"doc_id", BucketCap).as("docs"))
-      .filter($"docs".isNotNull && size($"docs") >= 2)
-      .select($"sg", element_at($"docs", 1).as("keeper"))
-    scrubWith(docs, ps, dups)
+      .agg(cappedDupOccurrences($"doc_id", $"i", BucketCap).as("occ"))
+      .filter($"occ".isNotNull)
+      .select(explode($"occ").as("o"))
+      .select($"o.doc_id".as("doc_id"),
+        explode(sequence($"o.p", $"o.p" + lit(ShingleWords - 1).cast("long")))
+          .as("p"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_set($"p")).as("rem"))
+    rebuildWith(docs, rem)
+  }
+
+  private[graft] def cappedDupOccurrences(doc: org.apache.spark.sql.Column,
+      pos: org.apache.spark.sql.Column, cap: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.CappedDupOccAgg(
+      ColumnShim.expression(doc), ColumnShim.expression(pos), cap)
+      .toAggregateExpression())
   }
 
   private[graft] def scrubAgainst(docs: DataFrame, dups: DataFrame): DataFrame =
@@ -208,7 +224,6 @@ object RetrievalOps {
   private def scrubWith(docs: DataFrame, ps: DataFrame,
       dups: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val words = docs.select($"doc_id", split($"text", " ").as("words"))
     // removal positions: overlapping windows collapse inside the
     // collect_set aggregation buffer (no separate distinct pass — the
     // exploded position stream is the scrub's largest intermediate)
@@ -219,6 +234,15 @@ object RetrievalOps {
           .as("p"))
       .groupBy($"doc_id")
       .agg(sort_array(collect_set($"p")).as("rem"))
+    rebuildWith(docs, rem)
+  }
+
+  /** Rebuild tail shared by the fused batch gate and the streaming
+    * scrub: join the per-doc removal positions back to the text and
+    * fingerprint what survives. */
+  private def rebuildWith(docs: DataFrame, rem: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val words = docs.select($"doc_id", split($"text", " ").as("words"))
     // rebuild: per-row lambda keeps tokens not covered by a removed
     // window (lambda index is 0-based; positions are 1-based)
     words.join(rem, Seq("doc_id"), "left")

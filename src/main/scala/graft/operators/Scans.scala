@@ -32,8 +32,26 @@ import org.apache.spark.sql.DataFrame
   * headers), and every window / top-k carries a total order.
   */
 object Scans {
+  import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
+
   def widen(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    if (df.rdd.getNumPartitions < cores) {
+      // Deterministic hash exchange, NOT keyless round-robin: a keyless
+      // repartition(n) first pays a local sort of its entire input in
+      // the (single-task) scan stage — spark.sql.execution.
+      // sortBeforeRepartition, on by default since SPARK-23207 so that
+      // retried tasks reproduce the same row-to-partition assignment
+      // (guide §2.5). Hashing the full row through xxhash64 gives the
+      // same retry-determinism with no sort (the guide's own
+      // "derive the synthetic key deterministically, e.g.
+      // pmod(xxhash64(id), 100 * n)" shape); cores*64 distinct key
+      // values spread evenly over `cores` partitions. Same-phase A/B
+      // at sf0.1 (BenchExtra, 20 widened-path queries, back-to-back):
+      // best-of-3 13.31 s -> 12.18 s, first-run 27.37 -> 25.08 s
+      // (q1 1.14->0.77, q27 0.80->0.67, q25 1.50->1.29, q73 1.25->1.19).
+      df.repartition(cores, pmod(xxhash64(struct(df.columns.map(col): _*)),
+        lit(cores * 64)))
+    } else df
   }
 }

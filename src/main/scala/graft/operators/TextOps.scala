@@ -160,6 +160,12 @@ object TextOps {
       // tried. Unlike q30's wide float arrays, there is no heavy-array
       // shuffle to avoid here.
       val sets = perDoc.select($"doc_id", $"ss")
+      // r9 A/B note: a shuffle_hash hint on both set joins (drops the
+      // four SMJ Sort nodes) measured a WASH in interleaved same-JVM
+      // reps (SMJ med 1.363/1.297 s vs SHJ 1.306/1.352 s over two
+      // 5-7-rep sessions) — the sorts of the compact set table are not
+      // where the time goes (gate ≈0.57 s, set joins ≈0.60 s, final
+      // sort ≈0.13 s). Left as SMJ, the spill-graceful default.
       cand
         .join(sets.select($"doc_id".as("doc_a"), $"ss".as("sa")), "doc_a")
         .join(sets.select($"doc_id".as("doc_b"), $"ss".as("sb")), "doc_b")
@@ -379,10 +385,18 @@ object TextOps {
       .select($"doc_id", explode(split($"text", " ")).as("term"))
       .filter(length($"term") > 0)
     val tf = words.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // document frequency as a WINDOW COUNT over the tf frame, not a
+    // dfreq-aggregate self-join (guide §2.4 — two operations keyed the
+    // same way share one exchange): the join shape re-scanned tf into
+    // a second aggregate branch and shuffled both sides by term; the
+    // window computes the identical df on the single term exchange.
+    // Interleaved same-JVM A/B at sf0.1 (6 reps): med 1.149 -> 1.036 s,
+    // best 0.953 -> 0.914 s, result sets byte-identical (exceptAll = 0
+    // both ways).
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy($"term")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term".asc)
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wdf))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter($"rnk" <= 5)
       .select($"doc_id", $"rnk", $"term", $"tf", $"df",

@@ -778,6 +778,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(small === small.sorted && small.toSet === (1800L until 2000L).map(_ % 600).toSet)
   }
 
+  test("capped_dup_occurrences: non-keeper occurrences under the cap, NULL " +
+    "for singleton and over-cap groups, partial merges forced") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.RetrievalOps
+    // "dup": docs {1,2,3}, keeper 1 — expect the non-keeper pairs only;
+    // "single": one distinct doc -> NULL; "big": 600 distinct docs > cap -> NULL
+    val rows =
+      Seq(("dup", 1L, 10L), ("dup", 2L, 20L), ("dup", 2L, 21L), ("dup", 3L, 30L),
+        ("single", 7L, 70L), ("single", 7L, 71L)) ++
+        (0L until 600L).map(i => ("big", i, i * 2))
+    val out = rows.toDF("g", "d", "p")
+      .repartition(8) // force partial buffers + merges
+      .groupBy($"g")
+      .agg(RetrievalOps.cappedDupOccurrences($"d", $"p", 512).as("occ"))
+      .collect()
+      .map(r => r.getString(0) ->
+        Option(r.getSeq[org.apache.spark.sql.Row](1))).toMap
+    assert(out("single").isEmpty, "singleton group must be NULL")
+    assert(out("big").isEmpty, "600 distinct docs > cap 512 must be NULL")
+    val dup = out("dup").get.map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(dup === Seq((2L, 20L), (2L, 21L), (3L, 30L)))
+  }
+
   test("stub decoder: resize fits the box preserving aspect; features recompute") {
     val dec = new MultimodalOps.StubDecoder
     val payload = "some synthetic media payload bytes 0123".getBytes("UTF-8")

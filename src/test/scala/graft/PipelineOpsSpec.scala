@@ -199,12 +199,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.count(_._6) > 100 && rows.count(!_._6) > 50)
     // scale shape: per-row expressions only — the allowed exchanges
     // are the presentation orderBy's range partitioning and the
-    // round-9 degenerate-scan widener's round-robin (Scans.widen — a
-    // no-op on any source already core-count wide); nothing key-hashed
-    // below the sort
+    // round-9 degenerate-scan widener (Scans.widen — a deterministic
+    // pmod(xxhash64(row)) exchange, a no-op on any source already
+    // core-count wide); nothing GROUP-key-hashed below the sort
     val plan = out.queryExecution.executedPlan.toString
     val exchanges = plan.linesIterator.filter(_.contains("Exchange"))
-      .filterNot(_.contains("RoundRobinPartitioning")).toSeq
+      .filterNot(l => l.contains("RoundRobinPartitioning") ||
+        l.contains("pmod(xxhash64")).toSeq
     assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
       s"repetition metrics must be shuffle-free below the sort:\n$plan")
   }
