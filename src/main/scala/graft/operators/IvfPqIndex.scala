@@ -182,8 +182,20 @@ object IvfPqIndex {
     val adc = (0 until PqM).map { b =>
       element_at(typedLit(luts(b)), col(s"code_$b").cast("int") + 1)
     }.reduce(_ + _)
-    val candIds = cells
-      .select(col("vec_id"), adc.as("adc"))
+    // with a delta present, dedup at vec_id level BEFORE the bounded
+    // candidate cut (round-8 ADVICE): in the compactDelta crash window
+    // a folded row transiently exists in base AND delta, and duplicate
+    // rows inside the top-AdcCandidates window would consume slots and
+    // evict distinct vectors from the re-rank set — a transient recall
+    // loss the final-fetch dedup alone cannot undo. Identical rows
+    // carry identical codes, so min(adc) per vec_id is exact. The
+    // base-only path is untouched (no extra aggregate in the plan).
+    val adcRows = cells.select(col("vec_id"), adc.as("adc"))
+    val adcDeduped =
+      if (deltaExists(spark, indexDir))
+        adcRows.groupBy(col("vec_id")).agg(min(col("adc")).as("adc"))
+      else adcRows
+    val candIds = adcDeduped
       .orderBy(col("adc"), col("vec_id")).limit(AdcCandidates)
       .select(col("vec_id")).as[Long].collect().toSeq
     // exact re-rank: point-fetch ONLY the candidate vectors (bounded —
